@@ -1,0 +1,226 @@
+"""The Partition pytree — TPU-native equivalent of ``pll_partition_t``.
+
+Where libpll's partition is a mutable C struct owning CLV/P-matrix buffers
+(created by ``pll_partition_create(tips, clv_buffers, states, sites, ...)``,
+SURVEY.md §2.9), the TPU partition is an immutable JAX pytree holding
+
+- the *data*: encoded tip states + the per-code tip-CLV lookup table
+  (the PATTERN_TIP analog — tips are never materialized as full CLVs),
+  compressed site-pattern weights, and the invariant-site indicator,
+- the *model*: exchangeability rates, frequencies, rate categories/weights,
+  proportion of invariant sites, alpha — all traced leaves, so every model
+  parameter is differentiable through the likelihood.
+
+CLVs themselves are **not** stored here: the pruning engine
+(:mod:`pllmod_tpu.ops.clv`) computes them functionally and returns them,
+which is what makes topology moves / rollback trivial (no invalidation
+protocol needed at this layer; see ``tree/treeinfo.py`` for the cached
+incremental layer).
+
+The pattern axis is padded to a multiple of ``pattern_pad`` (default 128 =
+one TPU lane tile); padding sites use the all-gap code (CLV rows of ones)
+and weight 0, so they contribute exactly zero to the log-likelihood.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from pllmod_tpu.common import GAMMA_RATES_MEAN
+from pllmod_tpu.ops import charmap as charmap_mod
+from pllmod_tpu.ops import gamma as gamma_mod
+from pllmod_tpu.ops import eigen as eigen_mod
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class Partition:
+    # --- data (static content, traced storage) -----------------------------
+    tip_states: jnp.ndarray        # int32 [tips, patterns_padded]
+    code_clv: jnp.ndarray          # [n_codes, states] 0/1 tip-CLV rows
+    pattern_weights: jnp.ndarray   # [patterns_padded] (0 on padding)
+    inv_indicator: jnp.ndarray     # [patterns_padded, states] 0/1 — site can
+                                   # be invariant in state s (gamma.invariant_sites_mask)
+    # --- model parameters (all differentiable) -----------------------------
+    subst_rates: jnp.ndarray       # [n_matrices, states*(states-1)/2]
+    freqs: jnp.ndarray             # [n_matrices, states]
+    rate_cats: jnp.ndarray         # [cats] category rates (mean 1)
+    rate_weights: jnp.ndarray      # [cats] category weights (sum 1)
+    prop_invar: jnp.ndarray        # [n_matrices]
+    alpha: jnp.ndarray             # scalar (Gamma shape; NaN = free rates)
+    param_indices: jnp.ndarray     # int32 [cats] rate-matrix index per category
+    # --- static metadata ----------------------------------------------------
+    n_tips: int = struct.field(pytree_node=False)
+    states: int = struct.field(pytree_node=False)
+    n_patterns: int = struct.field(pytree_node=False)       # unpadded count
+    gamma_mode: int = struct.field(pytree_node=False, default=GAMMA_RATES_MEAN)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_patterns_padded(self) -> int:
+        return self.tip_states.shape[1]
+
+    @property
+    def n_cats(self) -> int:
+        return self.rate_cats.shape[0]
+
+    @property
+    def n_matrices(self) -> int:
+        return self.subst_rates.shape[0]
+
+    @property
+    def dtype(self):
+        return self.freqs.dtype
+
+    # ------------------------------------------------------------------
+    def eigen(self):
+        """Batched eigendecomposition over rate matrices (lazy in the
+        reference via eigen_decomp_valid flags, algo_callback.c:68; here
+        it's recomputed per trace — XLA caches/fuses it)."""
+        return eigen_mod.eigen_reversible_batched(self.subst_rates, self.freqs)
+
+    def prob_matrices(self, brlens):
+        """P-matrices for all edges × categories: [E, C, S, S]."""
+        return eigen_mod.prob_matrices_multi(
+            self.eigen(), brlens, self.rate_cats, self.param_indices,
+            self.prop_invar)
+
+    def with_alpha(self, alpha):
+        """Return a partition with alpha set and category rates recomputed
+        (the whole chain is differentiable w.r.t. alpha)."""
+        alpha = jnp.asarray(alpha, self.dtype)
+        cats = gamma_mod.compute_gamma_cats(alpha, self.n_cats, self.gamma_mode)
+        return self.replace(alpha=alpha, rate_cats=cats.astype(self.dtype))
+
+    def freqs_per_cat(self):
+        return self.freqs[self.param_indices]       # [C, S]
+
+    def pinv_mix(self):
+        """Scalar p-inv used in the site-likelihood mixture (libpll uses the
+        per-param_index prop_invar; identical across a partition in practice)."""
+        return self.prop_invar[0]
+
+
+def create_partition(
+    sequences,
+    states: int | None = None,
+    n_rate_cats: int = 4,
+    alpha: float = 1.0,
+    subst_rates=None,
+    freqs=None,
+    prop_invar: float = 0.0,
+    n_matrices: int = 1,
+    param_indices=None,
+    rate_weights=None,
+    charmap: "charmap_mod.Charmap | None" = None,
+    pattern_weights=None,
+    compress: bool = True,
+    pattern_pad: int = 128,
+    dtype=jnp.float32,
+    gamma_mode: int = GAMMA_RATES_MEAN,
+) -> Partition:
+    """Build a Partition from raw sequences (list of str/bytes, equal length).
+
+    Equivalent of pll_partition_create + pll_set_tip_states +
+    pll_set_pattern_weights + pll_compress_site_patterns +
+    pll_update_invariant_sites (SURVEY.md §2.9).
+    """
+    if charmap is None:
+        if states is None:
+            raise ValueError("need states or charmap")
+        charmap = charmap_mod.for_states(states)
+    states = charmap.states
+
+    codes, code_masks = charmap.encode(sequences)   # [tips, sites]
+    n_tips, n_sites = codes.shape
+
+    if pattern_weights is None:
+        pattern_weights = np.ones(n_sites, dtype=np.float64)
+    else:
+        pattern_weights = np.asarray(pattern_weights, dtype=np.float64)
+
+    if compress:
+        codes, pattern_weights = compress_patterns(codes, pattern_weights)
+    n_patterns = codes.shape[1]
+    padded = round_up(max(n_patterns, 1), pattern_pad)
+
+    tip_states = np.zeros((n_tips, padded), dtype=np.int32)  # code 0 = gap
+    tip_states[:, :n_patterns] = codes
+    w = np.zeros(padded, dtype=np.float64)
+    w[:n_patterns] = pattern_weights
+
+    inv_mask = gamma_mod.invariant_sites_mask(code_masks, tip_states)
+    bits = (inv_mask[:, None] >> np.arange(states, dtype=np.uint64)[None, :]) & np.uint64(1)
+    inv_indicator = bits.astype(np.float64)
+    inv_indicator[n_patterns:] = 0.0   # padding can never be invariant
+
+    code_clv = charmap.mask_to_clv_rows(code_masks)
+
+    if subst_rates is None:
+        subst_rates = np.ones(states * (states - 1) // 2, dtype=np.float64)
+    subst_rates = np.broadcast_to(np.asarray(subst_rates, np.float64),
+                                  (n_matrices, states * (states - 1) // 2)).copy()
+    if freqs is None:
+        freqs = np.full(states, 1.0 / states)
+    freqs = np.broadcast_to(np.asarray(freqs, np.float64), (n_matrices, states)).copy()
+
+    if param_indices is None:
+        param_indices = np.zeros(n_rate_cats, dtype=np.int32)
+    if rate_weights is None:
+        rate_weights = np.full(n_rate_cats, 1.0 / n_rate_cats)
+
+    alpha_arr = jnp.asarray(float("nan") if alpha is None else alpha, dtype)
+    if n_rate_cats > 1 and alpha is not None:
+        cats = gamma_mod.compute_gamma_cats(
+            jnp.asarray(alpha, jnp.float64), n_rate_cats, gamma_mode)
+        cats = jnp.asarray(cats, dtype)
+    else:
+        cats = jnp.ones(n_rate_cats, dtype)
+
+    return Partition(
+        tip_states=jnp.asarray(tip_states),
+        code_clv=jnp.asarray(code_clv, dtype),
+        pattern_weights=jnp.asarray(w, dtype),
+        inv_indicator=jnp.asarray(inv_indicator, dtype),
+        subst_rates=jnp.asarray(subst_rates, dtype),
+        freqs=jnp.asarray(freqs, dtype),
+        rate_cats=cats,
+        rate_weights=jnp.asarray(rate_weights, dtype),
+        prop_invar=jnp.full((n_matrices,), prop_invar, dtype),
+        alpha=alpha_arr,
+        param_indices=jnp.asarray(param_indices, jnp.int32),
+        n_tips=n_tips,
+        states=states,
+        n_patterns=n_patterns,
+        gamma_mode=gamma_mode,
+    )
+
+
+def compress_patterns(codes: np.ndarray, weights: np.ndarray):
+    """Site-pattern compression: identical alignment columns collapse into
+    one pattern with summed weight (libpll ``pll_compress_site_patterns``,
+    SURVEY.md §5 "long-context analog"). Host-side numpy; O(sites log sites).
+    """
+    cols = np.ascontiguousarray(codes.T)
+    view = cols.view([("", cols.dtype)] * cols.shape[1]).ravel()
+    uniq, inverse = np.unique(view, return_inverse=True)
+    n_pat = len(uniq)
+    w = np.zeros(n_pat, dtype=weights.dtype)
+    np.add.at(w, inverse, weights)
+    # keep first-occurrence order for reproducibility
+    first_idx = np.full(n_pat, len(view), dtype=np.int64)
+    np.minimum.at(first_idx, inverse, np.arange(len(view)))
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(n_pat)
+    new_codes = cols[np.sort(first_idx)].T.copy()
+    return new_codes.astype(codes.dtype), w[order]
