@@ -1,0 +1,65 @@
+"""Benchmark: full-tree log-likelihood throughput on the flagship config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: CLV site-pattern node-updates per second during repeated full-tree
+GTR+Γ4 log-likelihood evaluations (the north-star metric of BASELINE.md §2:
+one "update" = one inner node × one pattern fully recomputed, i.e. the unit
+of work of libpll's ``pll_update_partials`` hot loop).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+comparison point is the documented estimate of AVX2 libpll on one CPU
+socket for the same 4-state × 4-category kernel: ~2.5e9 pattern-node
+updates/s (order-of-magnitude from libpll AVX throughput of ~1e8/s/core ×
+~24 cores). vs_baseline = value / 2.5e9.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+AVX2_SOCKET_BASELINE = 2.5e9  # pattern-node updates/s, documented estimate
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import engine
+    from __graft_entry__ import _example
+
+    n_taxa, n_sites = 128, 16384
+    partition, tree = _example(n_taxa=n_taxa, n_sites=n_sites, seed=3)
+    ops, root_info = tree.traversal_ops()
+    root_info = tuple(int(x) for x in root_info)
+    brlens = jnp.asarray(tree.lengths, partition.dtype)
+    ops = jnp.asarray(ops)
+
+    fn = jax.jit(lambda p, o, b: engine.loglikelihood(p, o, b, root_info))
+
+    # warmup/compile
+    fn(partition, ops, brlens).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        lnl = fn(partition, ops, brlens)
+    lnl.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_inner = n_taxa - 2
+    updates = n_inner * partition.n_patterns_padded * iters
+    rate = updates / dt
+
+    print(json.dumps({
+        "metric": "clv_pattern_node_updates_per_s",
+        "value": rate,
+        "unit": "updates/s",
+        "vs_baseline": rate / AVX2_SOCKET_BASELINE,
+    }))
+
+
+if __name__ == "__main__":
+    main()
