@@ -1,0 +1,214 @@
+"""Branch-length optimization: all edges at once from directed CLVs.
+
+TPU re-design of the reference's iterative BLO
+(``pllmod_opt_optimize_branch_lengths_local_multi`` +
+``recomp_iterative_multi``, pll_optimize.c:1395-1951; call stack SURVEY.md
+§3.2). The reference walks the tree edge-by-edge, re-orienting one CLV per
+step and running a serial Newton per edge (Gauss-Seidel). That serial chain
+is hostile to TPU; instead:
+
+1. **Directed CLVs in O(n)**: one post-order pass (every node's CLV toward
+   its parent) plus one pre-order pass (every node's CLV away from each
+   child) yields, for every edge (u,v), the two conditional likelihood
+   vectors facing each other across the edge. Both passes run through the
+   same masked-scan pruning kernel (:func:`pllmod_tpu.ops.clv.update_partials`).
+2. **Batched sumtables**: one gather + einsum produces the sumtable of
+   every edge at once (libpll computes them one edge at a time).
+3. **Batched bracketed Newton**: every branch optimizes to convergence
+   simultaneously from its sumtable — a Jacobi-style sweep. A few sweeps
+   (each O(n) CLV work) replace the reference's smoothing loops, and a
+   monotonicity guard (the SAFE-mode analog, pll_optimize.c:1587-1632)
+   keeps the best iterate and damps on overshoot.
+
+The per-sweep log-likelihood comes free from the edge derivatives (every
+edge's sumtable evaluates the same tree logL), so no extra traversal.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pllmod_tpu.common import (MIN_BRANCH_LEN, MAX_BRANCH_LEN, TOL_BRANCH_LEN)
+from pllmod_tpu.ops import derivatives as deriv_mod
+from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.optimize.newton import minimize_newton_multi
+
+
+class DirectedTraversal:
+    """Compiled directed-CLV schedule for a tree (host-side, O(n)).
+
+    Produces:
+      ops: int32 [3*(n_tips-2), 5] — schedule rows for every (inner node,
+        direction) CLV; consumed by update_partials. Node references encode
+        tips as ``t < n_tips`` and directed slots as ``n_tips + slot``.
+      edge_ref: int32 [n_edge_slots, 2] — per edge id, the references of
+        the two CLVs facing each other across the edge (masked rows (0,0)).
+      edge_mask: bool [n_edge_slots] — live edges.
+
+    The equivalent state in the reference is treeinfo's per-subnode
+    ``clv_valid`` bookkeeping (treeinfo.c:230-352); here directions are
+    materialized slots instead of invalidation flags.
+    """
+
+    def __init__(self, tree):
+        n_tips = tree.n_tips
+        adj = tree.adjacency()
+        # root at tip 0's neighbor
+        (r, _e0), = adj[0]
+        slot_of: dict[tuple[int, int], int] = {}
+        rows: list[list[int]] = []
+
+        def ref(node, toward):
+            return node if node < n_tips else n_tips + slot_of[(node, toward)]
+
+        # --- post-order: slot (u -> parent) for every inner u -------------
+        # (traverse from r with tip 0 as the virtual ancestor)
+        post = tree.postorder(r, avoid_edge=_e0)
+        for node, parent, pedge in post:
+            if node < n_tips:
+                continue
+            par = parent if parent != -1 else 0  # r's parent is tip 0
+            kids = [(nbr, e) for nbr, e in adj[node]
+                    if nbr != par and e != (pedge if parent != -1 else _e0)]
+            assert len(kids) == 2, "tree must be binary for BLO"
+            slot = len(rows)
+            slot_of[(node, par)] = slot
+            rows.append([slot, ref(kids[0][0], node), kids[0][1],
+                         ref(kids[1][0], node), kids[1][1]])
+
+        # --- pre-order: slots (u -> child) ---------------------------------
+        stack = [(r, 0, _e0)]  # (node, parent, edge_to_parent)
+        while stack:
+            u, par, pe = stack.pop()
+            if u < n_tips:
+                continue
+            kids = [(nbr, e) for nbr, e in adj[u] if e != pe]
+            (c1, e1), (c2, e2) = kids
+            for (c, ec), (o, eo) in (((c1, e1), (c2, e2)),
+                                     ((c2, e2), (c1, e1))):
+                slot = len(rows)
+                slot_of[(u, c)] = slot
+                rows.append([slot, ref(par, u), pe, ref(o, u), eo])
+            stack.append((c1, u, e1))
+            stack.append((c2, u, e2))
+
+        n_edge_slots = len(tree.edge_nodes)
+        edge_ref = np.zeros((n_edge_slots, 2), np.int32)
+        edge_mask = np.zeros(n_edge_slots, bool)
+        for e, (u, v) in enumerate(tree.edge_nodes):
+            u, v = int(u), int(v)
+            if u < 0:
+                continue
+            edge_ref[e] = (ref(u, v), ref(v, u))
+            edge_mask[e] = True
+
+        self.n_tips = n_tips
+        self.ops = np.asarray(rows, np.int32).reshape(-1, 5)
+        self.edge_ref = edge_ref
+        self.edge_mask = edge_mask
+        self.slot_of = slot_of
+
+
+@partial(jax.jit, static_argnames=("max_newton_iters",))
+def _blo_sweep(partition, ops, edge_ref, edge_mask, brlens,
+               min_brlen, max_brlen, tol, max_newton_iters: int = 10):
+    """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens)."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    eigen = partition.eigen()
+
+    def gather(ref):
+        clv_p, s_p = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
+        clv_c, s_c = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
+        st = deriv_mod.sumtable(partition, clv_p, clv_c, eigen)
+        return st, s_p + s_c
+
+    st, sc = jax.vmap(gather)(edge_ref)            # [E,P,C,S], [E,P]
+
+    lnl0_all, _, _ = deriv_mod.edge_derivatives_batch(
+        partition, st, sc, brlens, eigen)
+    live_idx = jnp.argmax(edge_mask)               # any live edge
+    lnl0 = lnl0_all[live_idx]
+
+    def deriv_fn(t):
+        _, df, ddf = deriv_mod.edge_derivatives_batch(
+            partition, st, sc, t, eigen)
+        return df, ddf
+
+    t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
+                                  tol=tol, max_iters=max_newton_iters)
+    return jnp.where(edge_mask, t_opt, brlens), lnl0
+
+
+@jax.jit
+def _lnl_at(partition, ops, edge_ref, edge_mask, brlens):
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    eigen = partition.eigen()
+    e = jnp.argmax(edge_mask)
+    ref = edge_ref[e]
+    clv_p, s_p = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
+    clv_c, s_c = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
+    st = deriv_mod.sumtable(partition, clv_p, clv_c, eigen)
+    lnl, _, _ = deriv_mod.edge_derivatives(partition, st, s_p + s_c,
+                                           brlens[e], eigen)
+    return lnl
+
+
+def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
+                            tolerance: float = 1e-4,
+                            min_brlen: float = MIN_BRANCH_LEN,
+                            max_brlen: float = MAX_BRANCH_LEN,
+                            newton_tol: float = TOL_BRANCH_LEN,
+                            write_back: bool = True):
+    """Optimize all branch lengths of ``tree`` under ``partition``.
+
+    Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
+    (smoothing loop, acceptance threshold, SAFE fallback): sweeps repeat
+    until the logL gain drops below ``tolerance`` or ``max_sweeps`` is hit;
+    a sweep that worsens logL is retried with half steps (damped Jacobi),
+    and the best iterate always wins.
+
+    Returns (brlens [n_edge_slots], logL) — and writes the optimized
+    lengths back into ``tree`` unless ``write_back=False``.
+    """
+    trav = DirectedTraversal(tree)
+    ops = jnp.asarray(trav.ops)
+    edge_ref = jnp.asarray(trav.edge_ref)
+    edge_mask = jnp.asarray(trav.edge_mask)
+    dtype = partition.dtype
+    brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
+
+    best_brlens = brlens
+    best_lnl = -np.inf
+    lnl_prev = None
+    for _ in range(max_sweeps):
+        new_brlens, lnl_here = _blo_sweep(
+            partition, ops, edge_ref, edge_mask, brlens,
+            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype))
+        lnl_here = float(lnl_here)
+        if lnl_here > best_lnl:
+            best_lnl, best_brlens = lnl_here, brlens
+        if lnl_prev is not None:
+            if lnl_here < lnl_prev - 1e-9:
+                # overshoot: damp toward the best iterate and retry
+                brlens = 0.5 * (best_brlens + new_brlens)
+                lnl_prev = None
+                continue
+            if abs(lnl_here - lnl_prev) < tolerance:
+                brlens = new_brlens
+                break
+        lnl_prev = lnl_here
+        brlens = new_brlens
+
+    final_lnl = float(_lnl_at(partition, ops, edge_ref, edge_mask, brlens))
+    if final_lnl >= best_lnl:
+        best_lnl, best_brlens = final_lnl, brlens
+    if write_back:
+        tree.lengths = np.asarray(best_brlens, np.float64).copy()
+    return best_brlens, best_lnl

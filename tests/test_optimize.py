@@ -1,0 +1,175 @@
+"""Optimizer tests: Newton BLO, Brent, L-BFGS-B, EM.
+
+Mirrors the reference's optimize tests (test/src/optimize/blopt-minimal):
+BLO must strictly improve logL, reach a stationary point (near-zero
+per-edge derivatives), and agree with an independent autodiff-based
+optimum.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.ops.engine import tree_loglikelihood
+from pllmod_tpu.optimize import (minimize_newton_multi, minimize_brent_multi,
+                                 minimize_lbfgsb, em_rates_weights,
+                                 optimize_branch_lengths)
+from pllmod_tpu.optimize.blo import DirectedTraversal, _blo_sweep, _lnl_at
+from pllmod_tpu.tree import Tree
+from tests import reference_impl as ref
+
+
+def make_case(rng, n_tips=8, n_sites=120, cats=4, pinv=0.0):
+    tree = ref.random_binary_tree(rng, n_tips, 0.02, 0.6)
+    seqs = ref.random_sequences(rng, n_tips, n_sites)
+    part = create_partition(
+        seqs, states=4, n_rate_cats=cats, alpha=0.8,
+        subst_rates=rng.uniform(0.5, 3.0, 6),
+        freqs=rng.dirichlet([8, 8, 8, 8]), prop_invar=pinv,
+        dtype=jnp.float64)
+    return tree, part
+
+
+# ---------------------------------------------------------------------------
+# generic minimizers
+# ---------------------------------------------------------------------------
+def test_newton_multi_quartics():
+    # maximize f_i(x) = -(x - m_i)^2 independently
+    m = jnp.array([0.3, 1.7, 5.0, 0.01])
+
+    def deriv(x):
+        return -2 * (x - m), jnp.full_like(x, -2.0)
+
+    x = minimize_newton_multi(deriv, jnp.full(4, 1.0), 1e-4, 10.0,
+                              tol=1e-8, max_iters=50)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(m), atol=1e-6)
+
+
+def test_brent_multi_minima():
+    m = jnp.array([0.4, 2.2, 0.9])
+
+    def f(x):
+        return (x - m) ** 2 + jnp.sin(x)
+
+    x, fx = minimize_brent_multi(f, 0.01, 5.0, tol=1e-10, max_iters=200)
+    # compare against dense grid optimum
+    grid = jnp.linspace(0.01, 5.0, 200001)
+    fg = jax.vmap(lambda g: (g - m) ** 2 + jnp.sin(g))(grid)
+    expect = grid[jnp.argmin(fg, axis=0)]
+    np.testing.assert_allclose(np.asarray(x), np.asarray(expect), atol=1e-4)
+
+
+def test_lbfgsb_rosenbrock_box():
+    def vg(x):
+        xj = jnp.asarray(x)
+        f = lambda z: jnp.sum(100 * (z[1:] - z[:-1] ** 2) ** 2
+                              + (1 - z[:-1]) ** 2)
+        val, g = jax.value_and_grad(f)(xj)
+        return float(val), np.asarray(g)
+
+    x, fv, ne = minimize_lbfgsb(vg, np.array([-1.0, 2.0, 2.0]),
+                                np.full(3, -5.0), np.full(3, 5.0),
+                                max_iters=500)
+    np.testing.assert_allclose(x, 1.0, atol=1e-4)
+    # active bound case: constrain x0 <= 0.5
+    x2, f2, _ = minimize_lbfgsb(vg, np.array([-1.0, 2.0, 2.0]),
+                                np.full(3, -5.0), np.array([0.5, 5.0, 5.0]),
+                                max_iters=500)
+    assert x2[0] == pytest.approx(0.5, abs=1e-8)
+
+
+def test_em_weights_match_direct_ml():
+    rng = np.random.default_rng(0)
+    true_w = np.array([0.6, 0.3, 0.1])
+    P = 2000
+    comp = rng.choice(3, p=true_w, size=P)
+    L = np.full((P, 3), 0.05) + rng.uniform(0, 0.02, (P, 3))
+    L[np.arange(P), comp] = 1.0
+    w_em = np.asarray(em_rates_weights(jnp.asarray(L), jnp.ones(P),
+                                       jnp.full(3, 1 / 3), max_iters=500,
+                                       tol=1e-12))
+    # direct ML over the simplex via softmax + L-BFGS
+    Lj = jnp.asarray(L)
+
+    def neg(theta):
+        w = jax.nn.softmax(theta)
+        return -jnp.sum(jnp.log(Lj @ w))
+
+    vg = jax.jit(jax.value_and_grad(neg))
+    th, f_opt, _ = minimize_lbfgsb(
+        lambda z: tuple(map(np.asarray, vg(jnp.asarray(z)))),
+        np.zeros(3), np.full(3, -20.0), np.full(3, 20.0), max_iters=500)
+    w_ml = np.asarray(jax.nn.softmax(jnp.asarray(th)))
+    np.testing.assert_allclose(w_em, w_ml, atol=1e-4)
+    assert abs(float(neg(jnp.log(jnp.asarray(w_em)))) - f_opt) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# branch-length optimization
+# ---------------------------------------------------------------------------
+def test_blo_sweep_lnl_matches_engine(rng):
+    tree, part = make_case(rng)
+    trav = DirectedTraversal(tree)
+    lnl_ref = float(tree_loglikelihood(part, tree))
+    lnl = float(_lnl_at(part, jnp.asarray(trav.ops), jnp.asarray(trav.edge_ref),
+                        jnp.asarray(trav.edge_mask),
+                        jnp.asarray(tree.lengths, part.dtype)))
+    assert lnl == pytest.approx(lnl_ref, abs=1e-8)
+
+
+def test_blo_improves_and_reaches_stationary_point(rng):
+    tree, part = make_case(rng)
+    l0 = float(tree_loglikelihood(part, tree))
+    brlens, lnl = optimize_branch_lengths(part, tree, max_sweeps=64,
+                                          tolerance=1e-10, newton_tol=1e-8)
+    assert lnl > l0 + 0.1
+    # engine agrees with reported logL
+    assert float(tree_loglikelihood(part, tree)) == pytest.approx(lnl, abs=1e-6)
+    # stationarity: gradient of logL w.r.t. every live branch ~ 0
+    ops, root_info = tree.traversal_ops()
+    from pllmod_tpu.ops import engine
+
+    def f(b):
+        return engine.loglikelihood(part, jnp.asarray(ops), b,
+                                    tuple(int(x) for x in root_info))
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(tree.lengths, part.dtype)))
+    live = np.asarray(tree.edge_nodes[:, 0] >= 0)
+    interior = live & (np.asarray(brlens) > 2e-4) & (np.asarray(brlens) < 99)
+    assert np.max(np.abs(g[interior])) < 0.05
+
+
+def test_blo_matches_autodiff_optimum(rng):
+    """Independent check: optimize the same objective with plain gradient
+    ascent via autodiff; logL optima must agree closely."""
+    tree, part = make_case(rng, n_tips=6, n_sites=80)
+    t2 = tree.copy()
+    _, lnl_newton = optimize_branch_lengths(part, tree, max_sweeps=40,
+                                            tolerance=1e-10)
+
+    ops, root_info = t2.traversal_ops()
+    from pllmod_tpu.ops import engine
+    ri = tuple(int(x) for x in root_info)
+
+    def neg(logb):
+        return -engine.loglikelihood(part, jnp.asarray(ops), jnp.exp(logb), ri)
+
+    vg = jax.jit(jax.value_and_grad(neg))
+    x, f_opt, _ = minimize_lbfgsb(
+        lambda z: tuple(map(np.asarray, vg(jnp.asarray(z)))),
+        np.log(np.clip(t2.lengths, 1e-4, None)),
+        np.full(len(t2.lengths), np.log(1e-4)),
+        np.full(len(t2.lengths), np.log(100.0)), max_iters=300)
+    # Newton BLO must be at least as good as the independent optimizer
+    # (it may be strictly better if L-BFGS under-converges)
+    assert lnl_newton >= -f_opt - 1e-3
+
+
+def test_blo_with_pinv(rng):
+    tree, part = make_case(rng, pinv=0.2)
+    l0 = float(tree_loglikelihood(part, tree))
+    _, lnl = optimize_branch_lengths(part, tree)
+    assert lnl >= l0 - 1e-9
+    assert float(tree_loglikelihood(part, tree)) == pytest.approx(lnl, abs=1e-6)
