@@ -1,0 +1,379 @@
+"""SPR-round topology search with batched regraft scoring.
+
+TPU re-design of ``pllmod_algo_spr_round`` (``src/algorithm/algo_search.c``;
+call stack SURVEY.md §3.4). The reference's hot loop scores each regraft
+candidate serially with incremental CLV updates; here, for each pruned
+subtree we
+
+1. build the remainder tree R (host, O(n) bookkeeping),
+2. compute ALL directed CLVs of R in one batched pruning pass (device),
+3. score EVERY candidate regraft edge in a single vmapped evaluation:
+   for edge (x,y), the placed likelihood is
+   ``L_p = Σ_c w_c Σ_i π_i (P(t_s)·clv_S)_i (P(l/2)·A_{x→y})_i (P(l/2)·A_{y→x})_i``
+   with clv_S the pruned subtree's root CLV — the fast-mode attachment of
+   the reference (original subtree length t_s, regraft branch split in
+   half, algo_search.c:753-787),
+4. pick the best candidate inside the BFS radius window (host mask),
+
+then apply the SPR greedily when it improves (>1e-6, algo_search.c:953),
+keep a top-K list of the best non-applied prune candidates
+(bestnode list, algo_search.c:70-346), run a full branch-length
+optimization, and keep the best topology seen (algo_search.c:1271-1470).
+
+All device shapes are fixed per tree size (padded ops + edge masks), so
+the whole round reuses ONE compiled scorer across every prune candidate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.ops import likelihood as lk_mod
+from pllmod_tpu.optimize.blo import (DirectedTraversal,
+                                     optimize_branch_lengths_treeinfo)
+from pllmod_tpu.tree import moves
+
+
+@partial(jax.jit, static_argnames=())
+def _directed_clvs(partition, P, ops):
+    return clv_mod.update_partials(partition, P, ops)
+
+
+@jax.jit
+def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
+                        edge_ref, edge_mask, half_len):
+    """logL of placing the pruned subtree into every edge of R at once.
+
+    Args:
+      ops_R: [n_slots, 5] directed schedule of the remainder tree
+      brlens_R: [n_edge_slots] R branch lengths (fused edge included)
+      clv_S, scaler_S: pruned subtree root CLV [Pat, C, S], [Pat]
+      t_s: scalar — subtree attachment branch length
+      edge_ref: [n_edge_slots, 2] directed-CLV references per edge
+      edge_mask: [n_edge_slots] live edges of R
+      half_len: [n_edge_slots] attachment half-lengths (edge len / 2)
+    Returns:
+      lnl [n_edge_slots] (−inf on masked edges)
+    """
+    P = partition.prob_matrices(brlens_R)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops_R)
+    eigen = partition.eigen()
+    dtype = partition.dtype
+
+    P_s = partition.prob_matrices(t_s[None])[0]                 # [C,S,S]
+    s_in = jnp.einsum("pcj,cij->pci", clv_S, P_s,
+                      preferred_element_type=dtype)             # [Pat,C,S]
+    fc = partition.freqs_per_cat()
+    w = partition.rate_weights
+
+    def score(ref, hl):
+        A_x, sx = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
+        A_y, sy = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
+        P_h = partition.prob_matrices(hl[None])[0]
+        u_x = jnp.einsum("pcj,cij->pci", A_x, P_h,
+                         preferred_element_type=dtype)
+        u_y = jnp.einsum("pcj,cij->pci", A_y, P_h,
+                         preferred_element_type=dtype)
+        per_cat = jnp.einsum("pci,ci,pci,pci->pc", s_in, fc, u_x, u_y,
+                             preferred_element_type=dtype)
+        site_lk = per_cat @ w
+        lnl = lk_mod._site_lnl(partition, site_lk, sx + sy + scaler_S)
+        return jnp.sum(lnl * partition.pattern_weights)
+
+    lnls = jax.vmap(score)(edge_ref, half_len)
+    return jnp.where(edge_mask, lnls, -jnp.inf)
+
+
+@jax.jit
+def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
+                                 t_s, edge_ref, edge_mask, half_len,
+                                 min_brlen, max_brlen):
+    """Thorough-mode batched scoring: per candidate edge, optimize the
+    three attachment branch lengths (subtree, x-side, y-side) by
+    coordinate-wise Newton from sumtables (the reference's radius-1
+    triplet BLO, algo_search.c:792-807, batched over ALL candidates).
+
+    Returns (lnl [E], t_s_opt [E], t_x_opt [E], t_y_opt [E]).
+    """
+    from pllmod_tpu.ops import derivatives as deriv_mod
+    from pllmod_tpu.optimize.newton import minimize_newton_multi
+
+    P = partition.prob_matrices(brlens_R)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops_R)
+    eigen = partition.eigen()
+    dtype = partition.dtype
+
+    def one_edge(ref, hl):
+        A_x, sx = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
+        A_y, sy = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
+
+        def coord_newton(t_triple, which):
+            ts, tx, ty = t_triple
+            # combined CLV of the two fixed directions
+            def comb(c1, t1, c2, t2):
+                P1 = partition.prob_matrices(t1[None])[0]
+                P2 = partition.prob_matrices(t2[None])[0]
+                a = jnp.einsum("pcj,cij->pci", c1, P1,
+                               preferred_element_type=dtype)
+                b = jnp.einsum("pcj,cij->pci", c2, P2,
+                               preferred_element_type=dtype)
+                return a * b
+
+            if which == 0:   # optimize t_s: edge between clv_S and (x,y)
+                B = comb(A_x, tx, A_y, ty)
+                st = deriv_mod.sumtable(partition, B, clv_S, eigen)
+                sc = sx + sy + scaler_S
+                t0 = ts
+            elif which == 1:  # optimize t_x
+                B = comb(clv_S, ts, A_y, ty)
+                st = deriv_mod.sumtable(partition, B, A_x, eigen)
+                sc = sx + sy + scaler_S
+                t0 = tx
+            else:            # optimize t_y
+                B = comb(clv_S, ts, A_x, tx)
+                st = deriv_mod.sumtable(partition, B, A_y, eigen)
+                sc = sx + sy + scaler_S
+                t0 = ty
+
+            def deriv(t):
+                _, df, ddf = deriv_mod.edge_derivatives(partition, st, sc, t,
+                                                        eigen)
+                return df, ddf
+
+            t_new = minimize_newton_multi(deriv, t0, min_brlen, max_brlen,
+                                          tol=1e-4, max_iters=6)
+            lnl, _, _ = deriv_mod.edge_derivatives(partition, st, sc, t_new,
+                                                   eigen)
+            if which == 0:
+                return (t_new, tx, ty), lnl
+            if which == 1:
+                return (ts, t_new, ty), lnl
+            return (ts, tx, t_new), lnl
+
+        t = (t_s, hl, hl)
+        lnl = jnp.asarray(-jnp.inf, dtype)
+        for _cycle in range(2):
+            for which in (0, 1, 2):
+                t, lnl = coord_newton(t, which)
+        return lnl, t[0], t[1], t[2]
+
+    lnls, ts, tx, ty = jax.vmap(one_edge)(edge_ref, half_len)
+    neg = jnp.asarray(-jnp.inf, dtype)
+    return jnp.where(edge_mask, lnls, neg), ts, tx, ty
+
+
+@dataclasses.dataclass
+class SprEntry:
+    """bestnode toplist entry (algo_search.c:70-346)."""
+    lnl: float
+    prune_edge: int
+    junction: int
+    regraft_edge: int
+
+
+def _prune_candidates(tree):
+    """All (prune_edge, junction) pairs — every subtree that can be pruned
+    (the reference queries all 3(n-2) inner subnodes,
+    algo_search.c:1154-1169)."""
+    out = []
+    for e, (u, v) in enumerate(tree.edge_nodes):
+        u, v = int(u), int(v)
+        if u < 0:
+            continue
+        for junction in (u, v):
+            if not tree.is_tip(junction):
+                out.append((e, junction))
+    return out
+
+
+def _radius_mask(tree_R, a, b, radius_min, radius_max, n_edge_slots):
+    """Edges of R whose BFS distance from the original location (the fused
+    edge's endpoints a..b) lies within [radius_min, radius_max]
+    (nodes_at_node_dist, utree_operations.c:389-503)."""
+    import collections
+    dist = {a: 0, b: 0}
+    q = collections.deque([a, b])
+    adj = tree_R.adjacency()
+    while q:
+        n = q.popleft()
+        if dist[n] > radius_max:
+            continue
+        for nbr, _e in adj[n]:
+            if nbr not in dist:
+                dist[nbr] = dist[n] + 1
+                q.append(nbr)
+    big = np.iinfo(np.int32).max
+    edge_dist = np.full(n_edge_slots, big, np.int64)
+    for e, (x, y) in enumerate(tree_R.edge_nodes):
+        if x < 0:
+            continue
+        dx = dist.get(int(x), big)
+        dy = dist.get(int(y), big)
+        # edge distance = max of endpoint distances: 0 ONLY for the fused
+        # edge (the no-op reinsertion); edges incident to the prune spot
+        # count as distance 1 (reference nodes_at_node_dist semantics)
+        edge_dist[e] = max(dx, dy) if max(dx, dy) < big else big
+    return (edge_dist >= radius_min) & (edge_dist <= radius_max)
+
+
+def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
+              ntopol_keep: int = 20, thorough: bool = False,
+              epsilon: float = 1e-6, blo_params: dict | None = None,
+              subtree_cutoff: float = 0.0):
+    """One SPR round over all prunable subtrees.
+
+    Returns (best_lnl, n_applied, toplist) — treeinfo holds the best
+    topology found (with optimized branch lengths).
+
+    The reference's adaptive subtree cutoff (cutoff_info_t,
+    pllmod_algorithm.h:41-47) skips subtrees whose previous-round logL
+    drop exceeds ``subtree_cutoff × mean drop``; pass 0 to disable.
+    """
+    tree = treeinfo.tree
+    part_idx = list(treeinfo.local_indices())
+    # batched scoring currently drives one partition at a time and sums
+    n_edge_slots = len(tree.edge_nodes)
+
+    start_lnl = treeinfo.compute_loglh()
+    best_lnl = start_lnl
+    n_applied = 0
+    toplist: list[SprEntry] = []
+    cutoff_sum, cutoff_n = 0.0, 0
+
+    # per-topology caches: full-tree directed traversal + per-partition CLVs
+    cache_version = -1
+    trav_full = None
+    full_clvs: dict[int, tuple] = {}
+
+    for prune_edge, junction in _prune_candidates(tree):
+        u, v = (int(x) for x in tree.edge_nodes[prune_edge])
+        if u < 0 or junction not in (u, v):
+            continue  # candidate went stale after an applied SPR
+        sub_root = u if junction == v else v
+        nbrs = [(n, e) for n, e in tree.neighbors(junction)
+                if e != prune_edge]
+        if len(nbrs) != 2:
+            continue
+        (a, ea), (b, eb) = nbrs
+
+        if cache_version != n_applied:
+            trav_full = DirectedTraversal(tree)
+            ops_full = jnp.asarray(trav_full.ops)
+            full_clvs = {}
+            for i in part_idx:
+                part = treeinfo.partitions[i]
+                brl_full = jnp.asarray(treeinfo.partition_brlens(i),
+                                       part.dtype)
+                P_full = part.prob_matrices(brl_full)
+                full_clvs[i] = _directed_clvs(part, P_full, ops_full)
+            cache_version = n_applied
+
+        # ---- remainder tree R: dissolve junction, drop subtree edges ----
+        sub_nodes = moves.subtree_nodes(tree, prune_edge, sub_root)
+        R = tree.copy()
+        moves.prune(R, junction, keep_edge=prune_edge)
+        R.edge_nodes[prune_edge] = (-1, -1)
+        for e, (x, y) in enumerate(R.edge_nodes):
+            if x >= 0 and int(x) in sub_nodes and int(y) in sub_nodes:
+                R.edge_nodes[e] = (-1, -1)
+        R.invalidate()
+        root_tip = next((t for t in range(R.n_tips)
+                         if t not in sub_nodes and R.adjacency()[t]), None)
+        if root_tip is None:
+            continue
+
+        # radius window around the original location
+        mask = _radius_mask(R, a, b, radius_min, radius_max, n_edge_slots)
+        mask &= R.edge_nodes[:, 0] >= 0
+        if not mask.any():
+            continue
+
+        trav_R = DirectedTraversal(R, root_tip=root_tip)
+        ops_R = np.full_like(trav_full.ops, -1)
+        ops_R[:len(trav_R.ops)] = trav_R.ops
+        ops_R_j = jnp.asarray(ops_R)
+        edge_ref = jnp.asarray(trav_R.edge_ref)
+        mask &= trav_R.edge_mask
+
+        total_scores = None
+        triplets = None
+        use_thorough = thorough and len(part_idx) == 1
+        for i in part_idx:
+            part = treeinfo.partitions[i]
+            clvs_f, scalers_f = full_clvs[i]
+            if tree.is_tip(sub_root):
+                clv_S = clv_mod.tip_clv(part, sub_root)
+                clv_S = jnp.broadcast_to(
+                    clv_S[:, None, :],
+                    (clv_S.shape[0], part.n_cats, part.states))
+                scaler_S = jnp.zeros(clv_S.shape[0], jnp.int32)
+            else:
+                slot = trav_full.slot_of[(sub_root, junction)]
+                clv_S = clvs_f[slot]
+                scaler_S = scalers_f[slot]
+
+            brl_R = jnp.asarray(
+                np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1),
+                part.dtype)
+            t_s0 = jnp.asarray(float(tree.lengths[prune_edge]), part.dtype)
+            halves = jnp.asarray(R.lengths / 2.0, part.dtype)
+            if use_thorough:
+                scores, ts, tx, ty = _score_all_regrafts_thorough(
+                    part, ops_R_j, brl_R, clv_S, scaler_S, t_s0,
+                    edge_ref, jnp.asarray(mask), halves,
+                    jnp.asarray(1e-4, part.dtype),
+                    jnp.asarray(100.0, part.dtype))
+                triplets = (np.array(ts), np.array(tx), np.array(ty))
+            else:
+                scores = _score_all_regrafts(
+                    part, ops_R_j, brl_R, clv_S, scaler_S, t_s0,
+                    edge_ref, jnp.asarray(mask), halves)
+            s = np.array(scores, np.float64)  # writable copy off-device
+            total_scores = s if total_scores is None else total_scores + s
+
+        if total_scores is None:
+            continue
+        total_scores[~mask] = -np.inf
+        best_edge = int(np.argmax(total_scores))
+        cand_lnl = float(total_scores[best_edge])
+
+        if cand_lnl > best_lnl + epsilon:
+            # apply the SPR on the real tree
+            y_node = int(R.edge_nodes[best_edge, 1])
+            moves.spr(tree, prune_edge, best_edge, junction=junction)
+            if triplets is not None:
+                # write optimized attachment lengths (reference saves &
+                # applies the best triplet, algo_search.c:809-819)
+                ts, tx, ty = triplets
+                tree.lengths[prune_edge] = float(ts[best_edge])
+                tree.lengths[best_edge] = float(tx[best_edge])
+                e_y = tree.edge_between(junction, y_node)
+                if e_y is not None:
+                    tree.lengths[e_y] = float(ty[best_edge])
+            treeinfo.tree.invalidate()
+            best_lnl = cand_lnl
+            n_applied += 1
+        else:
+            drop = best_lnl - cand_lnl
+            cutoff_sum += drop
+            cutoff_n += 1
+            toplist.append(SprEntry(cand_lnl, prune_edge, junction,
+                                    best_edge))
+            toplist.sort(key=lambda t: -t.lnl)
+            del toplist[ntopol_keep:]
+            if (subtree_cutoff > 0 and cutoff_n > 5
+                    and drop > subtree_cutoff * (cutoff_sum / cutoff_n)):
+                continue
+
+    # full branch-length optimization (algo_search.c:1232)
+    final_lnl = optimize_branch_lengths_treeinfo(
+        treeinfo, **(blo_params or {}))
+    # consistency: final logL must not be (much) worse than tracked best
+    # (reference asserts |logL − best| < 1e-6 after restoring best topology)
+    return final_lnl, n_applied, toplist

@@ -1,0 +1,291 @@
+"""Block-based binary checkpoint files.
+
+TPU build of ``src/binary/pll_binary.c`` + ``binary_io_operations.c``
+(SURVEY.md §2.7). Format semantics preserved — a new on-disk layout (the
+reference's raw-C-struct dumps are libpll-layout-specific; golden binary
+compatibility is explicitly not required, SURVEY §7 step 7):
+
+- global header ``{magic, version, n_blocks, max_blocks, access_type,
+  map_offset}`` (pll_binary.h:62-69),
+- optional random-access block map ``{block_id, offset}[]`` written at
+  create time and patched on close (pll_binary.h:72-76),
+- per-block header ``{block_id, type, attributes, block_len}``
+  (pll_binary.h:85-93),
+- block types PARTITION / CLV / TREE / CUSTOM (pll_binary.h:29-33),
+- the same routine reads & writes each payload via a direction flag —
+  the reference's ``bin_fread|bin_fwrite`` "apply" pattern
+  (binary_io_operations.c:33-57) — realized here as symmetric
+  pack/unpack pairs over numpy buffers,
+- ``LOAD_SKELETON`` loads partition metadata + model parameters without
+  materializing CLV-sized arrays (pll_binary.c:204-516 skeleton mode).
+
+Payload arrays are serialized with ``np.save`` (stable, pickle-free).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+
+import numpy as np
+
+from pllmod_tpu.common import (
+    BinaryError,
+    BINARY_ERROR_BLOCK_MISMATCH,
+    BINARY_ERROR_INVALID_INDEX,
+    BINARY_ERROR_IO,
+    BINARY_ERROR_MISSING_BLOCK,
+)
+
+MAGIC = b"PLLTPUB1"
+ACCESS_SEQUENTIAL = 0
+ACCESS_RANDOM = 1
+
+BLOCK_PARTITION = 0
+BLOCK_CLV = 1
+BLOCK_TREE = 2
+BLOCK_CUSTOM = 3
+
+_HDR = struct.Struct("<8sIIIIq")          # magic, ver, n, max, access, map_off
+_BLK = struct.Struct("<qIIq")             # block_id, type, attributes, len
+_MAP = struct.Struct("<qq")               # block_id, offset
+
+
+def _pack_arrays(named: dict) -> bytes:
+    out = io.BytesIO()
+    out.write(struct.pack("<I", len(named)))
+    for name, arr in named.items():
+        nb = name.encode()
+        out.write(struct.pack("<I", len(nb)))
+        out.write(nb)
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(arr), allow_pickle=False)
+        data = buf.getvalue()
+        out.write(struct.pack("<q", len(data)))
+        out.write(data)
+    return out.getvalue()
+
+
+def _unpack_arrays(data: bytes, skip: set[str] | None = None) -> dict:
+    inp = io.BytesIO(data)
+    (count,) = struct.unpack("<I", inp.read(4))
+    out = {}
+    for _ in range(count):
+        (ln,) = struct.unpack("<I", inp.read(4))
+        name = inp.read(ln).decode()
+        (dlen,) = struct.unpack("<q", inp.read(8))
+        if skip and name in skip:
+            inp.seek(dlen, os.SEEK_CUR)
+            continue
+        out[name] = np.load(io.BytesIO(inp.read(dlen)), allow_pickle=False)
+    return out
+
+
+class BinaryFile:
+    """Checkpoint file with the reference's create/open/append API
+    (pll_binary.c:49-190)."""
+
+    def __init__(self, fh, access_type: int, max_blocks: int, mode: str):
+        self._fh = fh
+        self.access_type = access_type
+        self.max_blocks = max_blocks
+        self.mode = mode
+        self.block_map: list[tuple[int, int]] = []
+        self.n_blocks = 0
+
+    # -- lifecycle -----------------------------------------------------
+    @classmethod
+    def create(cls, path: str, max_blocks: int = 128,
+               access_type: int = ACCESS_RANDOM) -> "BinaryFile":
+        fh = open(path, "w+b")
+        self = cls(fh, access_type, max_blocks, "w")
+        self._write_header()
+        if access_type == ACCESS_RANDOM:
+            # reserve map space right after the header
+            fh.write(b"\0" * (_MAP.size * max_blocks))
+        return self
+
+    @classmethod
+    def open(cls, path: str) -> "BinaryFile":
+        fh = open(path, "rb")
+        magic, ver, n, mx, access, map_off = _HDR.unpack(
+            fh.read(_HDR.size))
+        if magic != MAGIC:
+            raise BinaryError(BINARY_ERROR_IO, f"bad magic in {path}")
+        self = cls(fh, access, mx, "r")
+        self.n_blocks = n
+        if access == ACCESS_RANDOM:
+            fh.seek(map_off)
+            for _ in range(n):
+                self.block_map.append(_MAP.unpack(fh.read(_MAP.size)))
+            self._data_start = map_off + _MAP.size * mx
+        return self
+
+    @classmethod
+    def open_append(cls, path: str) -> "BinaryFile":
+        fh = open(path, "r+b")
+        magic, ver, n, mx, access, map_off = _HDR.unpack(fh.read(_HDR.size))
+        if magic != MAGIC:
+            raise BinaryError(BINARY_ERROR_IO, f"bad magic in {path}")
+        self = cls(fh, access, mx, "a")
+        self.n_blocks = n
+        if access == ACCESS_RANDOM:
+            fh.seek(map_off)
+            for _ in range(n):
+                self.block_map.append(_MAP.unpack(fh.read(_MAP.size)))
+        fh.seek(0, os.SEEK_END)
+        return self
+
+    def close(self):
+        if self.mode in ("w", "a"):
+            self._write_header()
+            if self.access_type == ACCESS_RANDOM:
+                self._fh.seek(_HDR.size)
+                for bid, off in self.block_map[:self.max_blocks]:
+                    self._fh.write(_MAP.pack(bid, off))
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _write_header(self):
+        self._fh.seek(0)
+        self._fh.write(_HDR.pack(MAGIC, 1, self.n_blocks, self.max_blocks,
+                                 self.access_type, _HDR.size))
+
+    # -- low-level block IO (binary_update_header analog) --------------
+    def _dump_block(self, block_id: int, btype: int, payload: bytes,
+                    attributes: int = 0):
+        if self.mode not in ("w", "a"):
+            raise BinaryError(BINARY_ERROR_IO, "file not writable")
+        self._fh.seek(0, os.SEEK_END)
+        offset = self._fh.tell()
+        self._fh.write(_BLK.pack(block_id, btype, attributes, len(payload)))
+        self._fh.write(payload)
+        self.block_map.append((block_id, offset))
+        self.n_blocks += 1
+
+    def _load_block(self, block_id: int, expect_type: int | None = None):
+        if self.access_type == ACCESS_RANDOM and self.mode == "r":
+            off = next((o for b, o in self.block_map if b == block_id), None)
+            if off is None:
+                raise BinaryError(BINARY_ERROR_MISSING_BLOCK,
+                                  f"block {block_id} not in map")
+            self._fh.seek(off)
+        bid, btype, attrs, ln = _BLK.unpack(self._fh.read(_BLK.size))
+        if self.access_type == ACCESS_RANDOM and bid != block_id:
+            raise BinaryError(BINARY_ERROR_BLOCK_MISMATCH,
+                              f"wanted block {block_id}, found {bid}")
+        if expect_type is not None and btype != expect_type:
+            raise BinaryError(BINARY_ERROR_BLOCK_MISMATCH,
+                              f"block {bid} has type {btype}")
+        return bid, btype, attrs, self._fh.read(ln)
+
+    def seek_first_block(self):
+        """Sequential access: position at the first block."""
+        start = _HDR.size
+        if self.access_type == ACCESS_RANDOM:
+            start += _MAP.size * self.max_blocks
+        self._fh.seek(start)
+
+    # -- partition dump/load (pll_binary.c:204-516) --------------------
+    def dump_partition(self, block_id: int, partition,
+                       with_tips: bool = True):
+        from pllmod_tpu.ops.partition import Partition
+        named = {
+            "meta": np.array([partition.n_tips, partition.states,
+                              partition.n_patterns, partition.gamma_mode],
+                             np.int64),
+            "subst_rates": partition.subst_rates,
+            "freqs": partition.freqs,
+            "rate_cats": partition.rate_cats,
+            "rate_weights": partition.rate_weights,
+            "prop_invar": partition.prop_invar,
+            "alpha": partition.alpha,
+            "param_indices": partition.param_indices,
+            "pattern_weights": partition.pattern_weights,
+        }
+        if with_tips:
+            named["tip_states"] = partition.tip_states
+            named["code_clv"] = partition.code_clv
+            named["inv_indicator"] = partition.inv_indicator
+        self._dump_block(block_id, BLOCK_PARTITION, _pack_arrays(named),
+                         attributes=int(with_tips))
+
+    def load_partition(self, block_id: int, skeleton: bool = False):
+        """Load a partition. ``skeleton=True`` skips the big per-site
+        arrays (LOAD_SKELETON mode) and returns a dict of model params."""
+        import jax.numpy as jnp
+        from pllmod_tpu.ops.partition import Partition
+        _, _, attrs, data = self._load_block(block_id, BLOCK_PARTITION)
+        skip = ({"tip_states", "code_clv", "inv_indicator",
+                 "pattern_weights"} if skeleton else None)
+        named = _unpack_arrays(data, skip)
+        if skeleton:
+            return named
+        if not attrs:
+            raise BinaryError(BINARY_ERROR_MISSING_BLOCK,
+                              "partition dumped without tip data")
+        meta = named["meta"]
+        return Partition(
+            tip_states=jnp.asarray(named["tip_states"]),
+            code_clv=jnp.asarray(named["code_clv"]),
+            pattern_weights=jnp.asarray(named["pattern_weights"]),
+            inv_indicator=jnp.asarray(named["inv_indicator"]),
+            subst_rates=jnp.asarray(named["subst_rates"]),
+            freqs=jnp.asarray(named["freqs"]),
+            rate_cats=jnp.asarray(named["rate_cats"]),
+            rate_weights=jnp.asarray(named["rate_weights"]),
+            prop_invar=jnp.asarray(named["prop_invar"]),
+            alpha=jnp.asarray(named["alpha"]),
+            param_indices=jnp.asarray(named["param_indices"]),
+            n_tips=int(meta[0]), states=int(meta[1]),
+            n_patterns=int(meta[2]), gamma_mode=int(meta[3]))
+
+    # -- CLV dump/load (pll_binary.c:517-884) --------------------------
+    def dump_clv(self, block_id: int, clv, scaler=None):
+        named = {"clv": np.asarray(clv)}
+        if scaler is not None:
+            named["scaler"] = np.asarray(scaler)
+        self._dump_block(block_id, BLOCK_CLV, _pack_arrays(named))
+
+    def load_clv(self, block_id: int):
+        _, _, _, data = self._load_block(block_id, BLOCK_CLV)
+        named = _unpack_arrays(data)
+        return named["clv"], named.get("scaler")
+
+    # -- tree dump/load (pll_binary.c:885-1123) ------------------------
+    def dump_tree(self, block_id: int, tree):
+        labels = "\x00".join(tree.labels).encode()
+        named = {
+            "meta": np.array([tree.n_tips, tree.n_nodes], np.int64),
+            "labels": np.frombuffer(labels, np.uint8),
+            "edge_nodes": tree.edge_nodes,
+            "lengths": tree.lengths,
+        }
+        self._dump_block(block_id, BLOCK_TREE, _pack_arrays(named))
+
+    def load_tree(self, block_id: int):
+        from pllmod_tpu.tree.topology import Tree
+        _, _, _, data = self._load_block(block_id, BLOCK_TREE)
+        named = _unpack_arrays(data)
+        labels = bytes(named["labels"]).decode().split("\x00")
+        meta = named["meta"]
+        return Tree(int(meta[0]), labels, named["edge_nodes"],
+                    named["lengths"], n_nodes=int(meta[1]))
+
+    # -- custom blobs (pll_binary.c:1125-1270) -------------------------
+    def dump_custom(self, block_id: int, blob: bytes):
+        self._dump_block(block_id, BLOCK_CUSTOM, blob)
+
+    def load_custom(self, block_id: int) -> bytes:
+        _, _, _, data = self._load_block(block_id, BLOCK_CUSTOM)
+        return data
+
+    def get_block_map(self):
+        """pllmod_binary_get_map analog."""
+        return list(self.block_map)

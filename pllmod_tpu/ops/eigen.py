@@ -127,6 +127,107 @@ def prob_matrices_multi(eigen, brlens, rate_cats, param_indices, prop_invar):
                       preferred_element_type=dtype)
 
 
+# ---------------------------------------------------------------------------
+# Differentiable P-matrices with exact derivatives at DEGENERATE eigenvalues.
+#
+# jnp.linalg.eigh's JVP divides by eigenvalue gaps and produces NaN when Q
+# has repeated eigenvalues (e.g. JC / equal-rates starting points — exactly
+# where optimizers start). P(t) = exp(Qt) itself is analytic in Q, so we
+# override the JVP with the Fréchet derivative of the matrix exponential:
+#
+#   dP = V (F ∘ (V⁻¹ (dQ·t + Q·dt) V)) V⁻¹,
+#   F_ij = (e^{a_i} − e^{a_j})/(a_i − a_j),  F_ii = e^{a_i},  a = λt
+#
+# computed with a numerically-stable divided difference
+# (e^a−e^b)/(a−b) = e^{(a+b)/2}·sinh(x)/x, x=(a−b)/2.
+# ---------------------------------------------------------------------------
+@jax.custom_jvp
+def prob_matrices_params(rates_m, freqs_m, brlens, rate_cats, param_indices,
+                         prop_invar):
+    """P-matrices [E, C, S, S] directly from model parameters.
+
+    Args match :func:`prob_matrices_multi` but the eigendecomposition is
+    internal, so this function is safely differentiable w.r.t. every real
+    argument (rates, freqs, brlens, rate_cats, prop_invar).
+    """
+    eigen = eigen_reversible_batched(rates_m, freqs_m)
+    return prob_matrices_multi(eigen, brlens, rate_cats, param_indices,
+                               prop_invar)
+
+
+def _dexp_divided_difference(a):
+    """F_ij for the Fréchet derivative of exp at diag a (last axis S)."""
+    ai = a[..., :, None]
+    aj = a[..., None, :]
+    x = 0.5 * (ai - aj)
+    mid = jnp.exp(0.5 * (ai + aj))
+    small = jnp.abs(x) < 1e-6
+    sinhc = jnp.where(small, 1.0 + x * x / 6.0,
+                      jnp.sinh(jnp.where(small, 1.0, x))
+                      / jnp.where(small, 1.0, x))
+    return mid * sinhc
+
+
+@prob_matrices_params.defjvp
+def _prob_matrices_params_jvp(primals, tangents):
+    rates_m, freqs_m, brlens, rate_cats, param_indices, prop_invar = primals
+    drates, dfreqs, dbrlens, drate_cats, _dpi, dprop_invar = tangents
+
+    lam, V, Vinv = eigen_reversible_batched(rates_m, freqs_m)
+    dtype = V.dtype
+    lam_c = lam[param_indices]
+    V_c = V[param_indices]
+    Vinv_c = Vinv[param_indices]
+    pinv_c = jnp.asarray(prop_invar, dtype)[param_indices]
+    rc = rate_cats.astype(dtype) / (1.0 - pinv_c)
+    t = brlens[:, None] * rc[None, :]                      # [E,C]
+    a = lam_c[None] * t[:, :, None]                        # [E,C,S]
+    expo = jnp.exp(a)
+    P = jnp.einsum("cik,eck,ckj->ecij", V_c, expo, Vinv_c,
+                   preferred_element_type=dtype)
+
+    # dQ per matrix via autodiff of the (non-degenerate-safe) Q builder
+    def q_of(rf):
+        r, f = rf
+        return build_q(r, jnp.maximum(f, _FREQ_FLOOR))
+
+    drates = _materialize(drates, rates_m)
+    dfreqs = _materialize(dfreqs, freqs_m)
+    dbrlens = _materialize(dbrlens, brlens)
+    drate_cats = _materialize(drate_cats, rate_cats)
+    dprop_invar = _materialize(dprop_invar, prop_invar)
+
+    Q, dQ = jax.vmap(lambda r, f, dr, df: jax.jvp(
+        lambda rr, ff: q_of((rr, ff)), (r, f), (dr, df)))(
+            rates_m, freqs_m, drates, dfreqs)
+    Q_c = Q[param_indices]
+    dQ_c = dQ[param_indices]
+
+    # dt from brlens, rate_cats, prop_invar
+    dpinv_c = jnp.asarray(dprop_invar, dtype)[param_indices]
+    drc = (drate_cats.astype(dtype) / (1.0 - pinv_c)
+           + rate_cats.astype(dtype) * dpinv_c / (1.0 - pinv_c) ** 2)
+    dt = dbrlens[:, None] * rc[None, :] + brlens[:, None] * drc[None, :]
+
+    # E_in[e,c] = dQ_c * t + Q_c * dt   [E,C,S,S]
+    E_in = (dQ_c[None, :, :, :] * t[:, :, None, None]
+            + Q_c[None, :, :, :] * dt[:, :, None, None])
+    M = jnp.einsum("cik,eckl,clj->ecij", Vinv_c, E_in, V_c,
+                   preferred_element_type=dtype)
+    F = _dexp_divided_difference(a)                        # [E,C,S,S]
+    dP = jnp.einsum("cik,eckl,clj->ecij", V_c, F * M, Vinv_c,
+                    preferred_element_type=dtype)
+    return P, dP
+
+
+def _materialize(dx, x):
+    if isinstance(dx, jax.custom_derivatives.SymbolicZero) or dx is None:
+        return jnp.zeros_like(x)
+    if hasattr(dx, "dtype") and dx.dtype == jax.dtypes.float0:
+        return jnp.zeros_like(x)
+    return dx
+
+
 def prob_matrices_expm(rates, freqs, brlens, rate_cats, prop_invar=0.0):
     """General (possibly non-reversible) fallback via matrix exponential."""
     Q = build_q(rates, jnp.maximum(freqs, _FREQ_FLOOR))

@@ -89,10 +89,14 @@ class Partition:
         return eigen_mod.eigen_reversible_batched(self.subst_rates, self.freqs)
 
     def prob_matrices(self, brlens):
-        """P-matrices for all edges × categories: [E, C, S, S]."""
-        return eigen_mod.prob_matrices_multi(
-            self.eigen(), brlens, self.rate_cats, self.param_indices,
-            self.prop_invar)
+        """P-matrices for all edges × categories: [E, C, S, S].
+
+        Uses the degenerate-eigenvalue-safe differentiable path
+        (eigen.prob_matrices_params custom JVP) so autodiff works even for
+        equal-rates models like JC."""
+        return eigen_mod.prob_matrices_params(
+            self.subst_rates, self.freqs, jnp.asarray(brlens, self.dtype),
+            self.rate_cats, self.param_indices, self.prop_invar)
 
     def with_alpha(self, alpha):
         """Return a partition with alpha set and category rates recomputed

@@ -54,11 +54,11 @@ class DirectedTraversal:
     materialized slots instead of invalidation flags.
     """
 
-    def __init__(self, tree):
+    def __init__(self, tree, root_tip: int = 0):
         n_tips = tree.n_tips
         adj = tree.adjacency()
-        # root at tip 0's neighbor
-        (r, _e0), = adj[0]
+        # root at root_tip's neighbor
+        (r, _e0), = adj[root_tip]
         slot_of: dict[tuple[int, int], int] = {}
         rows: list[list[int]] = []
 
@@ -71,7 +71,7 @@ class DirectedTraversal:
         for node, parent, pedge in post:
             if node < n_tips:
                 continue
-            par = parent if parent != -1 else 0  # r's parent is tip 0
+            par = parent if parent != -1 else root_tip
             kids = [(nbr, e) for nbr, e in adj[node]
                     if nbr != par and e != (pedge if parent != -1 else _e0)]
             assert len(kids) == 2, "tree must be binary for BLO"
@@ -81,7 +81,7 @@ class DirectedTraversal:
                          ref(kids[1][0], node), kids[1][1]])
 
         # --- pre-order: slots (u -> child) ---------------------------------
-        stack = [(r, 0, _e0)]  # (node, parent, edge_to_parent)
+        stack = [(r, root_tip, _e0)]  # (node, parent, edge_to_parent)
         while stack:
             u, par, pe = stack.pop()
             if u < n_tips:
@@ -103,8 +103,11 @@ class DirectedTraversal:
             u, v = int(u), int(v)
             if u < 0:
                 continue
-            edge_ref[e] = (ref(u, v), ref(v, u))
-            edge_mask[e] = True
+            try:
+                edge_ref[e] = (ref(u, v), ref(v, u))
+                edge_mask[e] = True
+            except KeyError:
+                pass  # edge outside the traversed component (pruned remainder)
 
         self.n_tips = n_tips
         self.ops = np.asarray(rows, np.int32).reshape(-1, 5)
@@ -157,6 +160,58 @@ def _lnl_at(partition, ops, edge_ref, edge_mask, brlens):
     lnl, _, _ = deriv_mod.edge_derivatives(partition, st, s_p + s_c,
                                            brlens[e], eigen)
     return lnl
+
+
+@partial(jax.jit, static_argnames=("max_newton_iters",))
+def _blo_sweep_multi(partitions, scalers, ops, edge_ref, edge_mask, brlens,
+                     min_brlen, max_brlen, tol, max_newton_iters: int = 10):
+    """One Jacobi BLO sweep over SHARED branch lengths across partitions.
+
+    Multi-partition derivative accumulation with per-partition scalers
+    (chain rule df·s, ddf·s² — pll_optimize.c:1249-1267); the cross-rank
+    reduce of the reference (pll_optimize.c:1270-1286) is the mesh psum.
+
+    Args:
+      partitions: tuple of Partition pytrees (shapes may differ)
+      scalers: tuple of scalar brlen scalers (SCALED mode; 1.0 otherwise)
+    Returns (new_brlens, logL at incoming brlens).
+    """
+    st_all, sc_all, eig_all = [], [], []
+    lnl0 = 0.0
+    live_idx = jnp.argmax(edge_mask)
+    for part, s in zip(partitions, scalers):
+        P = part.prob_matrices(brlens * s)
+        clvs, sclr = clv_mod.update_partials(part, P, ops)
+        eigen = part.eigen()
+
+        def gather(ref, part=part, clvs=clvs, sclr=sclr, eigen=eigen):
+            clv_p, s_p = clv_mod.get_node_clv(part, clvs, sclr, ref[0])
+            clv_c, s_c = clv_mod.get_node_clv(part, clvs, sclr, ref[1])
+            st = deriv_mod.sumtable(part, clv_p, clv_c, eigen)
+            return st, s_p + s_c
+
+        st, sc = jax.vmap(gather)(edge_ref)
+        st_all.append(st)
+        sc_all.append(sc)
+        eig_all.append(eigen)
+        l0, _, _ = deriv_mod.edge_derivatives(
+            part, st[live_idx], sc[live_idx], brlens[live_idx] * s, eigen)
+        lnl0 = lnl0 + l0
+
+    def deriv_fn(t):
+        df_tot = jnp.zeros_like(t)
+        ddf_tot = jnp.zeros_like(t)
+        for part, s, st, sc, eigen in zip(partitions, scalers, st_all,
+                                          sc_all, eig_all):
+            _, df, ddf = deriv_mod.edge_derivatives_batch(
+                part, st, sc, t * s, eigen)
+            df_tot = df_tot + df * s
+            ddf_tot = ddf_tot + ddf * s * s
+        return df_tot, ddf_tot
+
+    t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
+                                  tol=tol, max_iters=max_newton_iters)
+    return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
 def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
@@ -212,3 +267,85 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     if write_back:
         tree.lengths = np.asarray(best_brlens, np.float64).copy()
     return best_brlens, best_lnl
+
+
+def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
+                                     tolerance: float = 1e-4,
+                                     min_brlen: float = MIN_BRANCH_LEN,
+                                     max_brlen: float = MAX_BRANCH_LEN,
+                                     newton_tol: float = TOL_BRANCH_LEN):
+    """Multi-partition BLO across branch-length linkage modes.
+
+    TPU build of ``pllmod_opt_optimize_branch_lengths_local_multi``
+    (pll_optimize.c:1739-1951):
+    - LINKED: one shared brlen set; per-edge df/ddf summed over partitions
+    - SCALED: shared brlens × per-partition scaler (scalers held fixed
+      here; optimize them via algorithm.opt_brlen_scalers)
+    - UNLINKED: each partition optimizes its own brlen set independently
+      (the reference's xnum=partition_count lock-step Newton is just a
+      per-partition loop under SPMD)
+
+    Returns total logL after optimization; tree/treeinfo brlens updated.
+    """
+    from pllmod_tpu.common import BRLEN_UNLINKED, BRLEN_SCALED
+
+    tree = treeinfo.tree
+    if treeinfo.brlen_linkage == BRLEN_UNLINKED:
+        total = 0.0
+        for i in treeinfo.local_indices():
+            part = treeinfo.partitions[i]
+            t = tree.copy()
+            t.lengths = treeinfo.brlens[i].copy()
+            _, lnl = optimize_branch_lengths(
+                part, t, max_sweeps=max_sweeps, tolerance=tolerance,
+                min_brlen=min_brlen, max_brlen=max_brlen,
+                newton_tol=newton_tol)
+            treeinfo.brlens[i] = t.lengths
+            treeinfo.partition_loglh[i] = lnl
+            total += lnl
+        return total
+
+    parts = tuple(treeinfo.partitions[i] for i in treeinfo.local_indices())
+    idxs = list(treeinfo.local_indices())
+    if treeinfo.brlen_linkage == BRLEN_SCALED:
+        scalers = tuple(float(treeinfo.brlen_scalers[i]) for i in idxs)
+    else:
+        scalers = tuple(1.0 for _ in idxs)
+    dtype = parts[0].dtype
+
+    trav = DirectedTraversal(tree)
+    ops = jnp.asarray(trav.ops)
+    edge_ref = jnp.asarray(trav.edge_ref)
+    edge_mask = jnp.asarray(trav.edge_mask)
+    brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
+
+    best_brlens = brlens
+    best_lnl = -np.inf
+    lnl_prev = None
+    for _ in range(max_sweeps):
+        new_brlens, lnl_here = _blo_sweep_multi(
+            parts, scalers, ops, edge_ref, edge_mask, brlens,
+            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype))
+        lnl_here = float(lnl_here)
+        if lnl_here > best_lnl:
+            best_lnl, best_brlens = lnl_here, brlens
+        if lnl_prev is not None:
+            if lnl_here < lnl_prev - 1e-9:
+                brlens = 0.5 * (best_brlens + new_brlens)
+                lnl_prev = None
+                continue
+            if abs(lnl_here - lnl_prev) < tolerance:
+                brlens = new_brlens
+                break
+        lnl_prev = lnl_here
+        brlens = new_brlens
+
+    # final logL at the final iterate (sum over partitions)
+    final = 0.0
+    for part, s in zip(parts, scalers):
+        final += float(_lnl_at(part, ops, edge_ref, edge_mask, brlens * s))
+    if final >= best_lnl:
+        best_lnl, best_brlens = final, brlens
+    tree.lengths = np.asarray(best_brlens, np.float64).copy()
+    return best_lnl

@@ -1,0 +1,93 @@
+"""Transfer Bootstrap Expectation (Lemoine et al., Nature 2018).
+
+TPU build of ``src/tree/tbe_functions.c``: per reference branch b with
+light side size p, the transfer index over a bootstrap tree T is the
+minimum Hamming distance (transfer distance) between b's bipartition and
+ANY branch of T (including trivial ones); TBE support = mean over
+bootstrap trees of ``1 − δ(b,T)/(p−1)``.
+
+The naive scan (tbe_functions.c:318-425) is an O(refs × branches) Hamming
+loop with early exits; here it is a single vectorized
+``popcount(xor)`` over a [refs, branches, words] broadcast — the
+bit-parallel formulation a TPU/SIMD build wants. The Nature
+linear-time algorithm (tbe_functions.c:182-313) is unnecessary once the
+scan is one fused array op for typical split counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pllmod_tpu.tree import splits as sp
+
+
+def transfer_distance_matrix(ref_splits: np.ndarray, boot_splits: np.ndarray,
+                             n_tips: int) -> np.ndarray:
+    """min-Hamming distance of each ref split to each bootstrap split.
+
+    d(a,b) = min(popcount(a^b), n − popcount(a^b)) — both splits
+    normalized. Returns int64 [R, B].
+    """
+    if len(ref_splits) == 0 or len(boot_splits) == 0:
+        return np.zeros((len(ref_splits), len(boot_splits)), np.int64)
+    x = ref_splits[:, None, :] ^ boot_splits[None, :, :]
+    d = np.bitwise_count(x).sum(axis=-1).astype(np.int64)
+    return np.minimum(d, n_tips - d)
+
+
+def transfer_index(ref_splits: np.ndarray, boot_tree, n_tips: int):
+    """Minimum transfer distance of each ref split to any branch of the
+    bootstrap tree (trivial branches included: distance floor p−1)."""
+    boot_splits, _ = sp.tree_splits(boot_tree, include_tips=False)
+    p = np.minimum(sp.popcount(ref_splits),
+                   n_tips - sp.popcount(ref_splits))
+    # trivial boot branches give distance exactly p-1
+    best = (p - 1).astype(np.int64)
+    if len(boot_splits):
+        d = transfer_distance_matrix(ref_splits, boot_splits, n_tips)
+        best = np.minimum(best, d.min(axis=1))
+    return best, p
+
+
+def tbe_support(ref_tree, boot_trees):
+    """TBE support per inner edge of ``ref_tree``.
+
+    Returns {edge_id: support in [0,1]} (pllmod_utree_tbe_naive driver
+    semantics: mean over bootstrap trees of 1 − mindist/(p−1); p=2
+    branches get exact-match support only).
+    """
+    from pllmod_tpu.tree.topology import set_tip_order
+    n_tips = ref_tree.n_tips
+    ref_splits, edge_ids = sp.tree_splits(ref_tree)
+    if len(ref_splits) == 0:
+        return {}
+    acc = np.zeros(len(ref_splits))
+    n = 0
+    for bt in boot_trees:
+        if bt.labels != ref_tree.labels:
+            bt = set_tip_order(bt, ref_tree.labels)
+        mindist, p = transfer_index(ref_splits, bt, n_tips)
+        denom = np.maximum(p - 1, 1)
+        acc += 1.0 - mindist / denom
+        n += 1
+    support = acc / max(n, 1)
+    return {int(e): float(s) for e, s in zip(edge_ids, support)}
+
+
+def fbp_support(ref_tree, boot_trees):
+    """Classic Felsenstein bootstrap proportions (exact split matches)."""
+    from pllmod_tpu.tree.topology import set_tip_order
+    ref_splits, edge_ids = sp.tree_splits(ref_tree)
+    keys = [sp.split_key(s) for s in ref_splits]
+    counts = np.zeros(len(keys))
+    n = 0
+    for bt in boot_trees:
+        if bt.labels != ref_tree.labels:
+            bt = set_tip_order(bt, ref_tree.labels)
+        bs, _ = sp.tree_splits(bt)
+        bset = sp.split_set(bs)
+        for i, k in enumerate(keys):
+            if k in bset:
+                counts[i] += 1
+        n += 1
+    return {int(e): float(c / max(n, 1)) for e, c in zip(edge_ids, counts)}

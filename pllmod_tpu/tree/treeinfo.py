@@ -1,0 +1,152 @@
+"""TreeInfo — partitioned likelihood state over one topology.
+
+TPU build of ``pllmod_treeinfo_t`` (``src/tree/treeinfo.c``, struct at
+``pll_tree.h:219-277``): one tree + N partitions with per-partition model
+parameters, branch-length linkage (LINKED / SCALED / UNLINKED,
+``pllmod_common.h:25-27``), per-partition ``params_to_optimize`` masks, and
+total log-likelihood = sum over partitions.
+
+Design differences (deliberate, TPU-first):
+
+- partitions are immutable pytrees; "setting" a parameter swaps the stored
+  partition — so there is no eigendecomp-invalidation protocol
+  (``algo_callback.c:68``): XLA recomputes/caches the eigendecomp inside
+  the jitted evaluation.
+- CLV validity masks (treeinfo.c:872-944) are replaced by functional
+  recomputation; incremental SPR scoring gets its speed from *batching*
+  candidates (algorithm/spr.py), not from invalidation bookkeeping.
+- the ``parallel_reduce_cb`` seam (treeinfo.c:215-227) is the device mesh:
+  sharded partitions reduce via psum inside jit (parallel/sharding.py).
+  "Remote" partitions (``partitions[p] == NULL`` on non-owner ranks) are
+  represented as ``None`` entries and simply skipped — under SPMD every
+  process holds the same treeinfo, so the reference's skip-local /
+  reduce-global dance is unnecessary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pllmod_tpu.common import (BRLEN_LINKED, BRLEN_SCALED, BRLEN_UNLINKED,
+                               PARAM_ALL)
+from pllmod_tpu.ops import engine as engine_mod
+
+
+class TreeInfo:
+    """Partitioned likelihood state (pllmod_treeinfo_* API surface).
+
+    Attributes:
+      tree: the shared topology (host object, edge-id-stable)
+      partitions: list[Partition | None] — None marks a remote partition
+      brlen_linkage: LINKED | SCALED | UNLINKED
+      brlens: [n_parts, n_edge_slots] per-partition branch lengths
+        (UNLINKED) or broadcast views of the shared lengths otherwise
+      brlen_scalers: [n_parts] multipliers (SCALED mode)
+      params_to_optimize: [n_parts] bitmasks (PLLMOD_OPT_PARAM_*)
+    """
+
+    def __init__(self, tree, partitions, brlen_linkage: int = BRLEN_LINKED,
+                 params_to_optimize=None):
+        if not isinstance(partitions, (list, tuple)):
+            partitions = [partitions]
+        self.tree = tree
+        self.partitions = list(partitions)
+        self.brlen_linkage = brlen_linkage
+        n = len(self.partitions)
+        ne = len(tree.lengths)
+        if brlen_linkage == BRLEN_UNLINKED:
+            self.brlens = np.tile(tree.lengths, (n, 1))
+        else:
+            self.brlens = None  # use tree.lengths
+        self.brlen_scalers = np.ones(n)
+        if params_to_optimize is None:
+            params_to_optimize = [PARAM_ALL] * n
+        elif isinstance(params_to_optimize, int):
+            params_to_optimize = [params_to_optimize] * n
+        self.params_to_optimize = list(params_to_optimize)
+        # active-partition scoping (treeinfo.c:354-369); -1 = all
+        self.active_partition = -1
+        self.partition_loglh = np.zeros(n)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_partitions(self) -> int:
+        return len(self.partitions)
+
+    def local_indices(self):
+        ap = self.active_partition
+        for i, p in enumerate(self.partitions):
+            if p is None:
+                continue
+            if ap != -1 and i != ap:
+                continue
+            yield i
+
+    def set_active_partition(self, idx: int) -> None:
+        """PLLMOD_TREEINFO_PARTITION_ALL == -1 (treeinfo.c:354-369)."""
+        self.active_partition = idx
+
+    # -- branch lengths across linkage modes (treeinfo.c:387-506) ---------
+    def partition_brlens(self, idx: int) -> np.ndarray:
+        if self.brlen_linkage == BRLEN_UNLINKED:
+            return self.brlens[idx]
+        if self.brlen_linkage == BRLEN_SCALED:
+            return self.tree.lengths * self.brlen_scalers[idx]
+        return self.tree.lengths
+
+    def set_branch_length(self, edge: int, value: float,
+                          partition: int | None = None) -> None:
+        if self.brlen_linkage == BRLEN_UNLINKED and partition is not None:
+            self.brlens[partition, edge] = value
+        else:
+            self.tree.lengths[edge] = value
+            if self.brlens is not None:
+                self.brlens[:, edge] = value
+
+    def set_partition(self, idx: int, partition) -> None:
+        self.partitions[idx] = partition
+
+    # -- topology snapshot/restore (treeinfo.c:546-719) -------------------
+    def get_topology(self):
+        snap = self.tree.snapshot()
+        brlens = None if self.brlens is None else self.brlens.copy()
+        return (snap, brlens, self.brlen_scalers.copy())
+
+    def set_topology(self, topo) -> None:
+        snap, brlens, scalers = topo
+        self.tree.restore(snap)
+        self.brlens = None if brlens is None else brlens.copy()
+        self.brlen_scalers = scalers.copy()
+
+    # -- likelihood (treeinfo.c:946-1099; SURVEY §3.1) --------------------
+    def compute_loglh(self) -> float:
+        """Total log-likelihood over local partitions (sum; under a sharded
+        mesh the per-partition site reduction lowers to psum)."""
+        ops, root_info = self.tree.traversal_ops()
+        ri = tuple(int(x) for x in root_info)
+        ops_j = jnp.asarray(ops)
+        total = 0.0
+        for i in self.local_indices():
+            part = self.partitions[i]
+            brl = jnp.asarray(self.partition_brlens(i), part.dtype)
+            lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
+            self.partition_loglh[i] = lnl
+            total += lnl
+        return total
+
+    # -- brlen-scaler normalization (treeinfo.c:1101-1197) ----------------
+    def normalize_brlen_scalers(self) -> None:
+        """Rescale so the pattern-weight-weighted mean scaler is 1, pushing
+        the factor into the shared branch lengths (SCALED mode)."""
+        if self.brlen_linkage != BRLEN_SCALED:
+            return
+        wsum = np.array([float(jnp.sum(self.partitions[i].pattern_weights))
+                         if self.partitions[i] is not None else 0.0
+                         for i in range(self.n_partitions)])
+        mean = float((self.brlen_scalers * wsum).sum() / wsum.sum())
+        if mean <= 0:
+            return
+        self.brlen_scalers /= mean
+        self.tree.lengths *= mean
