@@ -1,0 +1,86 @@
+"""Starting-tree tests (reference: tree/random-tree, tree/parsimony-tree
+golden tests: seeded RNG => deterministic topology; parsimony score
+printed/verified)."""
+
+import numpy as np
+import pytest
+
+from pllmod_tpu.ops import charmap as cm
+from pllmod_tpu.tree.starting import (random_tree, parsimony_score,
+                                      parsimony_stepwise,
+                                      parsimony_tree_multi)
+from pllmod_tpu.tree.splits import rf_distance
+
+
+def test_random_tree_valid_and_deterministic():
+    labels = [f"t{i}" for i in range(12)]
+    t1 = random_tree(labels, seed=7)
+    t2 = random_tree(labels, seed=7)
+    t3 = random_tree(labels, seed=8)
+    t1.check_integrity()
+    assert t1.is_binary()
+    assert t1.n_edges == 2 * 12 - 3
+    assert rf_distance(t1, t2) == 0       # same seed, same topology
+    assert rf_distance(t1, t3) > 0        # different seed (overwhelmingly)
+
+
+def test_parsimony_score_known():
+    from pllmod_tpu.tree import Tree
+    # compatible topology: {a,b}|{c,d} split matches the character -> 1
+    good = Tree.from_newick("((a:1,b:1):1,c:1,d:1);")
+    assert parsimony_score(good, ["A", "A", "C", "C"], cm.DNA) == 1
+    # incompatible topology {a,c}|{b,d} -> 2 changes
+    bad = Tree.from_newick("((a:1,c:1):1,b:1,d:1);")
+    seqs_by_label = {"a": "A", "b": "A", "c": "C", "d": "C"}
+    assert parsimony_score(bad, [seqs_by_label[l] for l in bad.labels],
+                           cm.DNA) == 2
+    # all same: 0 mutations; all different: 3 on any binary tree
+    assert parsimony_score(good, ["A", "A", "A", "A"], cm.DNA) == 0
+    assert parsimony_score(good, ["A", "C", "G", "T"], cm.DNA) == 3
+
+
+def test_parsimony_score_with_ambiguity():
+    t = random_tree(["a", "b", "c", "d"], seed=1)
+    seqs_by_label = {"a": "A", "b": "R", "c": "G", "d": "G"}
+    seqs = [seqs_by_label[l] for l in t.labels]
+    # R=A|G is compatible with both sides: 1 mutation suffices (A vs G)
+    assert parsimony_score(t, seqs, cm.DNA) == 1
+
+
+def test_parsimony_stepwise_beats_random(rng):
+    # simulate clustered data: two clades with distinct signatures
+    n, sites = 10, 200
+    base1 = rng.choice(list("ACGT"), sites)
+    base2 = base1.copy()
+    flip = rng.random(sites) < 0.4
+    base2[flip] = rng.choice(list("ACGT"), flip.sum())
+    seqs = []
+    for i in range(n):
+        src = base1 if i < n // 2 else base2
+        s = src.copy()
+        mut = rng.random(sites) < 0.03
+        s[mut] = rng.choice(list("ACGT"), mut.sum())
+        seqs.append("".join(s))
+    labels = [f"t{i}" for i in range(n)]
+    ptree, pscore = parsimony_stepwise(labels, seqs, cm.DNA, seed=3)
+    ptree.check_integrity()
+    assert ptree.is_binary()
+    assert pscore == parsimony_score(ptree, seqs, cm.DNA)
+    # must beat the average random tree comfortably
+    rscores = [parsimony_score(random_tree(labels, seed=s0), seqs, cm.DNA)
+               for s0 in range(5)]
+    assert pscore <= min(rscores)
+
+
+def test_parsimony_multi_partition(rng):
+    n = 8
+    labels = [f"t{i}" for i in range(n)]
+    seqs1 = ["".join(rng.choice(list("ACGT"), 80)) for _ in range(n)]
+    seqs2 = ["".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), 40))
+             for _ in range(n)]
+    t, score = parsimony_tree_multi(
+        labels, [(seqs1, cm.DNA, None), (seqs2, cm.AA, None)], seed=5)
+    t.check_integrity()
+    assert t.is_binary()
+    assert score == (parsimony_score(t, seqs1, cm.DNA)
+                     + parsimony_score(t, seqs2, cm.AA))

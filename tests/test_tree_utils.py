@@ -1,0 +1,117 @@
+"""Tree utility + rooted-tree tests (reference: tree/serialize golden test
+serialize->expand->RF==0; rtreemove-spr apply/rollback)."""
+
+import numpy as np
+import pytest
+
+from pllmod_tpu.common import TreeError
+from pllmod_tpu.tree import Tree
+from pllmod_tpu.tree.rtree import RTree
+from pllmod_tpu.tree.splits import rf_distance, tree_splits
+from pllmod_tpu.tree.utils import (collapse_short_branches,
+                                   resolve_multifurcations, outgroup_edge,
+                                   serialize_tree, expand_tree,
+                                   newick_with_support)
+from tests import reference_impl as ref
+
+
+def test_serialize_expand_rf_zero(rng):
+    t = ref.random_binary_tree(rng, 20)
+    blob = serialize_tree(t)
+    t2 = expand_tree(blob)
+    assert rf_distance(t, t2) == 0
+    np.testing.assert_array_equal(t.edge_nodes, t2.edge_nodes)
+    np.testing.assert_allclose(t.lengths, t2.lengths)
+
+
+def test_collapse_and_resolve_roundtrip(rng):
+    t = ref.random_binary_tree(rng, 12, 0.05, 0.5)
+    # shrink two inner edges below threshold
+    inner = [e for e, (u, v) in enumerate(t.edge_nodes)
+             if not t.is_tip(int(u)) and not t.is_tip(int(v))]
+    t.lengths[inner[0]] = 1e-8
+    t.lengths[inner[1]] = 1e-8
+    c = collapse_short_branches(t, 1e-6)
+    c.check_integrity()
+    assert not c.is_binary()
+    assert c.n_edges == t.n_edges - 2
+    # collapsed splits are a subset of the original's
+    s_orig = {bytes(s) for s in tree_splits(t)[0]}
+    s_coll = {bytes(s) for s in tree_splits(c)[0]}
+    assert s_coll <= s_orig
+    r = resolve_multifurcations(c, seed=5)
+    r.check_integrity()
+    assert r.is_binary()
+    # resolution preserves all collapsed splits
+    s_res = {bytes(s) for s in tree_splits(r)[0]}
+    assert s_coll <= s_res
+
+
+def test_outgroup_edge():
+    t = Tree.from_newick("(((a:1,b:1):1,c:1):1,(d:1,e:1):1,f:1);")
+    e = outgroup_edge(t, ["d", "e"])
+    u, v = (int(x) for x in t.edge_nodes[e])
+    # the split across e must be exactly {d,e}
+    from pllmod_tpu.tree import moves
+    side_u = {x for x in moves.subtree_nodes(t, e, u) if t.is_tip(x)}
+    side_v = {x for x in moves.subtree_nodes(t, e, v) if t.is_tip(x)}
+    names = [{t.labels[i] for i in side_u}, {t.labels[i] for i in side_v}]
+    assert {"d", "e"} in names
+    # single-tip outgroup
+    e2 = outgroup_edge(t, ["f"])
+    assert t.is_tip(int(min(t.edge_nodes[e2])))
+    with pytest.raises(TreeError):
+        outgroup_edge(t, ["a", "d"])  # polyphyletic
+
+
+def test_newick_with_support():
+    t = Tree.from_newick("((a:1,b:1):1,(c:1,d:1):1,e:1);")
+    splits, ids = tree_splits(t)
+    sup = {int(e): 0.87 for e in ids}
+    nw = newick_with_support(t, sup)
+    assert "87" in nw
+    t2 = Tree.from_newick(nw)  # inner labels are skippable
+    assert rf_distance(t, t2) == 0
+
+
+# ---------------------------------------------------------------------------
+# rooted trees
+# ---------------------------------------------------------------------------
+def test_rtree_parse_and_export():
+    nw = "((a:0.1,b:0.2):0.3,(c:0.4,(d:0.5,e:0.6):0.7):0.8);"
+    rt = RTree.from_newick(nw)
+    rt.check_integrity()
+    assert rt.n_tips == 5
+    back = RTree.from_newick(rt.to_newick())
+    back.check_integrity()
+    assert back.labels == rt.labels
+
+
+def test_rtree_sibling_and_spr_rollback():
+    rt = RTree.from_newick(
+        "((a:0.1,b:0.2):0.3,(c:0.4,(d:0.5,e:0.6):0.7):0.8);")
+    a = rt.labels.index("a")
+    b = rt.labels.index("b")
+    assert rt.sibling(a) == b
+    d = rt.labels.index("d")
+    before = rt.to_newick()
+    snap = rt.spr(a, d)       # move a next to d
+    rt.check_integrity()
+    assert rt.to_newick() != before
+    rt.rollback(snap)
+    assert rt.to_newick() == before
+
+
+def test_rtree_spr_into_subtree_rejected():
+    rt = RTree.from_newick("((a:1,b:1):1,(c:1,d:1):1);")
+    inner_cd = int(rt.parent[rt.labels.index("c")])
+    with pytest.raises(TreeError):
+        rt.spr(inner_cd, rt.labels.index("c"))
+
+
+def test_rtree_to_unrooted_matches():
+    rt = RTree.from_newick("((a:0.1,b:0.2):0.3,(c:0.4,d:0.5):0.8);")
+    ut = rt.to_unrooted()
+    ut.check_integrity()
+    expect = Tree.from_newick("((a:0.1,b:0.2):1.1,c:0.4,d:0.5);")
+    assert rf_distance(ut, expect) == 0
