@@ -225,7 +225,7 @@ def _radius_mask(tree_R, a, b, radius_min, radius_max, n_edge_slots):
 def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
               ntopol_keep: int = 20, thorough: bool = False,
               epsilon: float = 1e-6, blo_params: dict | None = None,
-              subtree_cutoff: float = 0.0):
+              subtree_cutoff: float = 0.0, constraint=None):
     """One SPR round over all prunable subtrees.
 
     Returns (best_lnl, n_applied, toplist) — treeinfo holds the best
@@ -234,6 +234,10 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     The reference's adaptive subtree cutoff (cutoff_info_t,
     pllmod_algorithm.h:41-47) skips subtrees whose previous-round logL
     drop exceeds ``subtree_cutoff × mean drop``; pass 0 to disable.
+
+    ``constraint`` (tree.constraint.Constraint) filters regraft
+    candidates via the reference's SPR fast check
+    (constraint_check_spr, algo_search.c:737).
     """
     tree = treeinfo.tree
     part_idx = list(treeinfo.local_indices())
@@ -340,6 +344,16 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         if total_scores is None:
             continue
         total_scores[~mask] = -np.inf
+        if constraint is not None and constraint.subtree_affected(
+                tree, prune_edge, sub_root):
+            # drop candidates that would violate the constraint, best-first
+            for e_cand in np.argsort(-total_scores):
+                if not np.isfinite(total_scores[e_cand]):
+                    break
+                if constraint.check_spr(tree, prune_edge, junction,
+                                        int(e_cand)):
+                    break  # best remaining candidate is valid
+                total_scores[e_cand] = -np.inf
         best_edge = int(np.argmax(total_scores))
         cand_lnl = float(total_scores[best_edge])
 

@@ -1,0 +1,111 @@
+"""Topological constraints from (possibly multifurcating,
+non-comprehensive) constraint trees.
+
+TPU build of ``src/tree/utree_constraint.c`` (557 LoC): a constraint tree
+over a subset of taxa induces a split set; a candidate topology is
+compatible iff every constraint split, restricted to the constraint taxa,
+is present-or-compatible with the candidate's restricted splits. The SPR
+fast path (``pllmod_utree_constraint_check_spr``,
+utree_constraint.c:421-482) checks only the single NEW split an SPR
+introduces; ``subtree_affected`` (:542-557) exits early when the pruned
+subtree contains at most one constrained taxon.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pllmod_tpu.tree import splits as sp
+from pllmod_tpu.tree import moves
+
+
+class Constraint:
+    """Split-based topological constraint (pllmod_utree_constraint)."""
+
+    def __init__(self, cons_tree, full_labels: list[str]):
+        """Args:
+          cons_tree: constraint Tree (taxa must be a subset of full_labels)
+          full_labels: the taxon set of trees that will be checked
+        """
+        self.full_labels = list(full_labels)
+        self.n_full = len(full_labels)
+        # map constraint tip ids -> full tree tip ids
+        self.cons_taxa = [self.full_labels.index(l) for l in cons_tree.labels]
+        self.n_cons = len(self.cons_taxa)
+        # constrained-taxon mask in FULL tip space
+        self.full_mask = np.zeros(sp.n_words(self.n_full), np.uint64)
+        for t in self.cons_taxa:
+            self.full_mask[t // 64] |= np.uint64(1) << np.uint64(t % 64)
+        # constraint splits in CONSTRAINT tip space (ids 0..n_cons-1)
+        self.cons_splits, _ = sp.tree_splits(cons_tree)
+        # position of each full tip inside the constraint ordering (or -1)
+        self.full_to_cons = np.full(self.n_full, -1, np.int64)
+        for ci, ft in enumerate(self.cons_taxa):
+            self.full_to_cons[ft] = ci
+
+    # ------------------------------------------------------------------
+    def _restrict(self, split_full: np.ndarray) -> np.ndarray:
+        """Project a full-space split onto constraint taxa."""
+        out = np.zeros(sp.n_words(self.n_cons), np.uint64)
+        for ft in self.cons_taxa:
+            if split_full[ft // 64] >> np.uint64(ft % 64) & np.uint64(1):
+                ci = int(self.full_to_cons[ft])
+                out[ci // 64] |= np.uint64(1) << np.uint64(ci % 64)
+        return sp.normalize(out[None], self.n_cons)[0]
+
+    def _is_trivial(self, split_cons: np.ndarray) -> bool:
+        pc = int(np.bitwise_count(split_cons).sum())
+        return pc <= 1 or pc >= self.n_cons - 1
+
+    def check_tree(self, tree) -> bool:
+        """Full-topology check (pllmod_utree_constraint_check_current,
+        utree_constraint.c:485-540): every constraint split must be
+        compatible with ALL of the tree's restricted splits."""
+        tree_splits_full, _ = sp.tree_splits(tree)
+        restricted = []
+        for s in tree_splits_full:
+            r = self._restrict(s)
+            if not self._is_trivial(r):
+                restricted.append(r)
+        for c in self.cons_splits:
+            for r in restricted:
+                if not sp.compatible(c, r, self.n_cons):
+                    return False
+        return True
+
+    def subtree_affected(self, tree, prune_edge: int, sub_root: int) -> bool:
+        """Fast exit: an SPR can only violate the constraint if the pruned
+        subtree contains >= 1 constrained taxon AND the remainder contains
+        >= 2 (utree_constraint.c:542-557)."""
+        sub = moves.subtree_nodes(tree, prune_edge, sub_root)
+        k = sum(1 for t in sub if t < tree.n_tips
+                and self.full_to_cons[t] >= 0)
+        return 1 <= k <= self.n_cons - 2
+
+    def check_spr(self, tree, prune_edge: int, junction: int,
+                  regraft_edge: int) -> bool:
+        """SPR fast check (utree_constraint.c:421-482): compute the single
+        new split the SPR would create — pruned-subtree taxa ∪ one side of
+        the regraft edge — and test it against all constraint splits."""
+        u, v = (int(x) for x in tree.edge_nodes[prune_edge])
+        sub_root = u if junction == v else v
+        if not self.subtree_affected(tree, prune_edge, sub_root):
+            return True
+        sub = moves.subtree_nodes(tree, prune_edge, sub_root)
+        sub_tips = [t for t in sub if t < tree.n_tips]
+        sub_split = np.zeros(sp.n_words(self.n_full), np.uint64)
+        for t in sub_tips:
+            sub_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
+        # one side of the regraft edge (excluding the pruned subtree)
+        rx, ry = (int(x) for x in tree.edge_nodes[regraft_edge])
+        side = moves.subtree_nodes(tree, regraft_edge, rx) - sub - {junction}
+        side_split = np.zeros_like(sub_split)
+        for t in side:
+            if t < tree.n_tips:
+                side_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
+        new_split = sub_split | side_split
+        r = self._restrict(sp.normalize(new_split[None], self.n_full)[0])
+        if self._is_trivial(r):
+            return True
+        return all(sp.compatible(c, r, self.n_cons)
+                   for c in self.cons_splits)

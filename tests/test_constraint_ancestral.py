@@ -1,0 +1,81 @@
+"""Constraint + ancestral-state tests (reference: utree_constraint.c
+behaviors; treeinfo.c:1558-1718 ancestral)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.tree import Tree
+from pllmod_tpu.tree.constraint import Constraint
+from pllmod_tpu.tree.treeinfo import TreeInfo
+from pllmod_tpu.algorithm import spr_round
+from pllmod_tpu.algorithm.ancestral import (ancestral_probabilities,
+                                            ancestral_states)
+from tests import reference_impl as ref
+
+
+def test_constraint_check_tree():
+    full = Tree.from_newick("(((a:1,b:1):1,c:1):1,(d:1,e:1):1,f:1);")
+    cons_ok = Tree.from_newick("((a:1,b:1):1,d:1,e:1);")       # {a,b} clade
+    cons_bad = Tree.from_newick("((a:1,d:1):1,b:1,e:1);")      # {a,d} clade
+    assert Constraint(cons_ok, full.labels).check_tree(full)
+    assert not Constraint(cons_bad, full.labels).check_tree(full)
+
+
+def test_constraint_non_comprehensive():
+    # constraint over a strict subset of taxa
+    full = Tree.from_newick("(((a:1,b:1):1,c:1):1,(d:1,e:1):1,f:1);")
+    cons = Tree.from_newick("((a:1,b:1):1,c:1,d:1);")
+    assert Constraint(cons, full.labels).check_tree(full)
+
+
+def test_constrained_spr_round(rng):
+    tree = ref.random_binary_tree(rng, 8, 0.05, 0.3)
+    seqs = ref.random_sequences(rng, 8, 300)
+    part = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.0,
+                            dtype=jnp.float64)
+    # constrain a clade that exists in the current tree: pick a real split
+    from pllmod_tpu.tree.splits import tree_splits
+    from pllmod_tpu.tree import moves
+    s, ids = tree_splits(tree)
+    e = int(ids[0])
+    u = int(tree.edge_nodes[e, 0])
+    side = {t for t in moves.subtree_nodes(tree, e, u) if tree.is_tip(t)}
+    if len(side) < 2 or len(side) > tree.n_tips - 2:
+        side = {t for t in range(tree.n_tips)} - side
+    names = [tree.labels[t] for t in sorted(side)]
+    inner = ",".join(f"{n}:1" for n in names[1:])
+    cons_nw = f"(({inner}):1,{names[0]}:1);" if len(names) > 2 else None
+    if cons_nw is None:
+        cons_nw = f"(({names[0]}:1,{names[1]}:1):1," + ",".join(
+            f"{l}:1" for l in tree.labels if l not in names) + ");"
+    cons = Constraint(Tree.from_newick(cons_nw), tree.labels)
+    assert cons.check_tree(tree)
+    ti = TreeInfo(tree, [part])
+    lnl, n_applied, _ = spr_round(ti, radius_min=1, radius_max=6,
+                                  constraint=cons)
+    # after the round the constraint must still hold
+    assert cons.check_tree(ti.tree)
+
+
+def test_ancestral_probabilities_sum_to_one(rng):
+    tree = ref.random_binary_tree(rng, 6, 0.05, 0.3)
+    seqs = ref.random_sequences(rng, 6, 64, gap_frac=0.0)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=1.0,
+                            compress=False, dtype=jnp.float64)
+    nodes, probs = ancestral_probabilities(part, tree)
+    assert probs.shape == (len(nodes), part.n_patterns_padded, 4)
+    np.testing.assert_allclose(probs.sum(-1)[:, :part.n_patterns], 1.0,
+                               atol=1e-10)
+
+
+def test_ancestral_states_recover_conserved_site():
+    # a site where all tips share 'G' must reconstruct 'G' everywhere
+    tree = Tree.from_newick("((a:0.1,b:0.1):0.1,(c:0.1,d:0.1):0.1,e:0.1);")
+    seqs = ["GAC", "GAC", "GCC", "GCA", "GTC"]
+    part = create_partition(seqs, states=4, n_rate_cats=1, alpha=None,
+                            compress=False, dtype=jnp.float64)
+    nodes, states = ancestral_states(part, tree)
+    # site 0: all G (state index 2)
+    assert np.all(states[:, 0] == 2)
