@@ -1,0 +1,327 @@
+// Native host-runtime kernels for pllmod_tpu.
+//
+// The reference implements its entire host layer in C (SURVEY §2); the TPU
+// build keeps the *compute path* in XLA/Pallas and implements the
+// host-side hot loops natively here:
+//
+//  - site-pattern compression (libpll pll_compress_site_patterns):
+//    hash-dedup of alignment columns -> pattern weights,
+//  - Fitch parsimony scoring (pll_fastparsimony kernels): bitmask AND/OR
+//    over sites, auto-vectorized,
+//  - split operations (utree_distances.c/tbe_functions.c): popcount-based
+//    Hamming / transfer-distance matrices,
+//  - Newick parsing (pll_utree_parse_newick + the flex/bison split
+//    parser's role): one-pass recursive descent into flat edge arrays.
+//
+// Exposed as a plain C ABI for ctypes; all buffers are caller-allocated.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstdio>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Site-pattern compression.
+// codes: int32 [n_taxa, n_sites] row-major. Output: first-occurrence order.
+// Returns number of patterns, or -1 on error.
+// codes_out: int32 [n_taxa, n_sites] (only first n_patterns columns valid)
+// w_out: double [n_sites]
+// ---------------------------------------------------------------------------
+int64_t pllmod_compress_patterns(const int32_t* codes, int64_t n_taxa,
+                                 int64_t n_sites, const double* w_in,
+                                 int32_t* codes_out, double* w_out) {
+  if (n_taxa <= 0 || n_sites < 0) return -1;
+  std::unordered_map<std::string, int64_t> seen;
+  seen.reserve(static_cast<size_t>(n_sites) * 2);
+  std::string key(static_cast<size_t>(n_taxa) * sizeof(int32_t), '\0');
+  int64_t n_pat = 0;
+  std::vector<int32_t> col(n_taxa);
+  for (int64_t s = 0; s < n_sites; ++s) {
+    for (int64_t t = 0; t < n_taxa; ++t) col[t] = codes[t * n_sites + s];
+    std::memcpy(&key[0], col.data(), key.size());
+    auto it = seen.find(key);
+    int64_t idx;
+    if (it == seen.end()) {
+      idx = n_pat++;
+      seen.emplace(key, idx);
+      for (int64_t t = 0; t < n_taxa; ++t)
+        codes_out[t * n_sites + idx] = col[t];
+      w_out[idx] = 0.0;
+    } else {
+      idx = it->second;
+    }
+    w_out[idx] += w_in ? w_in[s] : 1.0;
+  }
+  return n_pat;
+}
+
+// ---------------------------------------------------------------------------
+// Fitch parsimony score.
+// masks: uint64 [n_nodes_total?][n_sites] — tip rows only (n_tips rows).
+// ops: int32 [n_ops, 3] postorder rows (parent_tmp, child1, child2) where
+//   ids < n_tips refer to tips, else to previously computed temp rows
+//   (id - n_tips indexes the scratch).
+// w: double [n_sites] pattern weights.
+// Returns the total weighted mutation count.
+// ---------------------------------------------------------------------------
+double pllmod_fitch_score(const uint64_t* tip_masks, int64_t n_tips,
+                          int64_t n_sites, const int32_t* ops, int64_t n_ops,
+                          const double* w) {
+  std::vector<uint64_t> scratch(static_cast<size_t>(n_ops) * n_sites);
+  double score = 0.0;
+  for (int64_t i = 0; i < n_ops; ++i) {
+    int32_t c1 = ops[i * 3 + 1];
+    int32_t c2 = ops[i * 3 + 2];
+    const uint64_t* a = (c1 < n_tips)
+        ? tip_masks + static_cast<size_t>(c1) * n_sites
+        : scratch.data() + static_cast<size_t>(c1 - n_tips) * n_sites;
+    const uint64_t* b = (c2 < n_tips)
+        ? tip_masks + static_cast<size_t>(c2) * n_sites
+        : scratch.data() + static_cast<size_t>(c2 - n_tips) * n_sites;
+    uint64_t* out = scratch.data() + static_cast<size_t>(i) * n_sites;
+    double local = 0.0;
+    for (int64_t s = 0; s < n_sites; ++s) {
+      uint64_t inter = a[s] & b[s];
+      if (inter == 0) {
+        out[s] = a[s] | b[s];
+        local += w[s];
+      } else {
+        out[s] = inter;
+      }
+    }
+    score += local;
+  }
+  return score;
+}
+
+// ---------------------------------------------------------------------------
+// Transfer-distance matrix between two normalized split sets.
+// a: uint64 [na, n_words]; b: uint64 [nb, n_words]; out: int32 [na, nb]
+// d = min(popcount(xor), n_tips - popcount(xor))
+// ---------------------------------------------------------------------------
+void pllmod_transfer_distance_matrix(const uint64_t* a, int64_t na,
+                                     const uint64_t* b, int64_t nb,
+                                     int64_t n_words, int64_t n_tips,
+                                     int32_t* out) {
+  for (int64_t i = 0; i < na; ++i) {
+    const uint64_t* ai = a + i * n_words;
+    for (int64_t j = 0; j < nb; ++j) {
+      const uint64_t* bj = b + j * n_words;
+      int64_t d = 0;
+      for (int64_t k = 0; k < n_words; ++k)
+        d += __builtin_popcountll(ai[k] ^ bj[k]);
+      int64_t dd = n_tips - d;
+      out[i * nb + j] = static_cast<int32_t>(d < dd ? d : dd);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Shared-split count between two sorted-or-unsorted split sets (RF core).
+// Uses a hash set over split bytes. Returns the number of shared splits.
+// ---------------------------------------------------------------------------
+int64_t pllmod_shared_splits(const uint64_t* a, int64_t na,
+                             const uint64_t* b, int64_t nb,
+                             int64_t n_words) {
+  std::unordered_map<std::string, int> set;
+  set.reserve(static_cast<size_t>(na) * 2);
+  std::string key(static_cast<size_t>(n_words) * 8, '\0');
+  for (int64_t i = 0; i < na; ++i) {
+    std::memcpy(&key[0], a + i * n_words, key.size());
+    set.emplace(key, 1);
+  }
+  int64_t shared = 0;
+  for (int64_t j = 0; j < nb; ++j) {
+    std::memcpy(&key[0], b + j * n_words, key.size());
+    auto it = set.find(key);
+    if (it != set.end() && it->second) {
+      it->second = 0;  // count each split once
+      ++shared;
+    }
+  }
+  return shared;
+}
+
+// ---------------------------------------------------------------------------
+// Newick parsing into flat arrays (pll_utree_parse_newick analog).
+//
+// Output convention matches pllmod_tpu.tree.topology.parse_newick:
+//  - tips numbered 0..T-1 in encounter order, inner nodes follow,
+//  - edges (parent, child) with branch lengths,
+//  - labels_buf: tip labels '\0'-separated in tip order.
+// Rooted bifurcations are NOT unrooted here (python wrapper does that).
+// Returns 0 on success, negative error code otherwise.
+// ---------------------------------------------------------------------------
+struct NwState {
+  const char* s;
+  int64_t pos;
+  int64_t len;
+};
+
+static void nw_skip_ws(NwState* st) {
+  while (st->pos < st->len &&
+         (st->s[st->pos] == ' ' || st->s[st->pos] == '\t' ||
+          st->s[st->pos] == '\n' || st->s[st->pos] == '\r'))
+    ++st->pos;
+}
+
+struct NwOut {
+  std::vector<int32_t> edges;       // pairs (parent_tmp, child_tmp)
+  std::vector<double> lengths;
+  std::vector<std::string> tip_labels;
+  std::vector<int32_t> tmp_is_tip;  // per temp node
+  std::vector<int32_t> n_children;
+};
+
+static int64_t nw_node(NwOut* out, int is_tip, const std::string& label) {
+  out->tmp_is_tip.push_back(is_tip);
+  out->n_children.push_back(0);
+  if (is_tip) out->tip_labels.push_back(label);
+  return static_cast<int64_t>(out->tmp_is_tip.size()) - 1;
+}
+
+static int nw_label(NwState* st, std::string* out) {
+  nw_skip_ws(st);
+  if (st->pos >= st->len) return -1;
+  char c = st->s[st->pos];
+  if (c == '\'' || c == '"') {
+    char q = c;
+    ++st->pos;
+    int64_t start = st->pos;
+    while (st->pos < st->len && st->s[st->pos] != q) ++st->pos;
+    if (st->pos >= st->len) return -1;
+    out->assign(st->s + start, st->pos - start);
+    ++st->pos;
+    return 0;
+  }
+  int64_t start = st->pos;
+  while (st->pos < st->len) {
+    c = st->s[st->pos];
+    if (c == '(' || c == ')' || c == ',' || c == ';' || c == ':' ||
+        c == ' ' || c == '\t' || c == '\n' || c == '\r')
+      break;
+    ++st->pos;
+  }
+  if (st->pos == start) return -1;
+  out->assign(st->s + start, st->pos - start);
+  return 0;
+}
+
+static int nw_clade(NwState* st, NwOut* out, int64_t* node, double* blen);
+
+static int nw_children(NwState* st, NwOut* out, int64_t parent) {
+  for (;;) {
+    int64_t child;
+    double blen;
+    if (nw_clade(st, out, &child, &blen)) return -1;
+    out->edges.push_back(static_cast<int32_t>(parent));
+    out->edges.push_back(static_cast<int32_t>(child));
+    out->lengths.push_back(blen);
+    out->n_children[parent]++;
+    nw_skip_ws(st);
+    if (st->pos < st->len && st->s[st->pos] == ',') {
+      ++st->pos;
+      continue;
+    }
+    break;
+  }
+  nw_skip_ws(st);
+  if (st->pos >= st->len || st->s[st->pos] != ')') return -1;
+  ++st->pos;
+  return 0;
+}
+
+static int nw_clade(NwState* st, NwOut* out, int64_t* node, double* blen) {
+  nw_skip_ws(st);
+  if (st->pos >= st->len) return -1;
+  if (st->s[st->pos] == '(') {
+    ++st->pos;
+    *node = nw_node(out, 0, "");
+    if (nw_children(st, out, *node)) return -1;
+    nw_skip_ws(st);
+    // optional inner label (support) — skipped
+    if (st->pos < st->len && st->s[st->pos] != ':' &&
+        st->s[st->pos] != ',' && st->s[st->pos] != ')' &&
+        st->s[st->pos] != ';') {
+      std::string dummy;
+      if (nw_label(st, &dummy)) return -1;
+    }
+  } else {
+    std::string label;
+    if (nw_label(st, &label)) return -1;
+    *node = nw_node(out, 1, label);
+  }
+  *blen = 0.0;
+  nw_skip_ws(st);
+  if (st->pos < st->len && st->s[st->pos] == ':') {
+    ++st->pos;
+    nw_skip_ws(st);
+    char* end = nullptr;
+    *blen = std::strtod(st->s + st->pos, &end);
+    if (end == st->s + st->pos) return -1;
+    st->pos = end - st->s;
+  }
+  return 0;
+}
+
+// Returns 0 ok; fills counts. Caller then calls pllmod_newick_extract.
+static thread_local NwOut* g_last = nullptr;
+static thread_local int64_t g_root = -1;
+
+int pllmod_newick_parse(const char* s, int64_t slen, int64_t* n_tips,
+                        int64_t* n_edges, int64_t* n_nodes,
+                        int64_t* labels_bytes, int64_t* root_children) {
+  NwState st{s, 0, slen};
+  delete g_last;
+  g_last = new NwOut();
+  int64_t root;
+  double blen;
+  if (nw_clade(&st, g_last, &root, &blen)) return -1;
+  nw_skip_ws(&st);
+  if (st.pos >= st.len || st.s[st.pos] != ';') return -2;
+  g_root = root;
+  *n_tips = static_cast<int64_t>(g_last->tip_labels.size());
+  *n_edges = static_cast<int64_t>(g_last->lengths.size());
+  *n_nodes = static_cast<int64_t>(g_last->tmp_is_tip.size());
+  int64_t lb = 0;
+  for (auto& l : g_last->tip_labels) lb += static_cast<int64_t>(l.size()) + 1;
+  *labels_bytes = lb;
+  *root_children = g_last->n_children[root];
+  return 0;
+}
+
+// Extract with final numbering (tips 0.., inners after) exactly like the
+// python parser: tips in encounter order, inner in creation order.
+int pllmod_newick_extract(int32_t* edges_out, double* lengths_out,
+                          char* labels_out, int64_t labels_cap,
+                          int64_t* root_out) {
+  if (!g_last) return -1;
+  NwOut* o = g_last;
+  int64_t n_tmp = static_cast<int64_t>(o->tmp_is_tip.size());
+  int64_t n_tips = static_cast<int64_t>(o->tip_labels.size());
+  std::vector<int32_t> remap(n_tmp);
+  int32_t tip_c = 0, inner_c = static_cast<int32_t>(n_tips);
+  for (int64_t t = 0; t < n_tmp; ++t)
+    remap[t] = o->tmp_is_tip[t] ? tip_c++ : inner_c++;
+  int64_t ne = static_cast<int64_t>(o->lengths.size());
+  for (int64_t e = 0; e < ne; ++e) {
+    edges_out[e * 2] = remap[o->edges[e * 2]];
+    edges_out[e * 2 + 1] = remap[o->edges[e * 2 + 1]];
+    lengths_out[e] = o->lengths[e];
+  }
+  int64_t off = 0;
+  for (auto& l : o->tip_labels) {
+    if (off + static_cast<int64_t>(l.size()) + 1 > labels_cap) return -2;
+    std::memcpy(labels_out + off, l.c_str(), l.size() + 1);
+    off += static_cast<int64_t>(l.size()) + 1;
+  }
+  *root_out = remap[g_root];
+  return 0;
+}
+
+}  // extern "C"

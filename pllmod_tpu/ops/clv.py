@@ -128,3 +128,101 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
 
     (clvs, scalers), _ = lax.scan(step, (init_clvs, init_scalers), ops)
     return clvs, scalers
+
+
+# ---------------------------------------------------------------------------
+# Level-synchronous batched pruning (the TPU-first schedule)
+# ---------------------------------------------------------------------------
+def compile_levels(ops: "np.ndarray", n_tips: int):
+    """Group a post-order ops schedule into dependency levels (host-side).
+
+    All ops in a level depend only on tips and earlier levels, so each
+    level runs as ONE batched tensor op — the SURVEY §7 "level-synchronous
+    pruning: process all nodes of one topology level per kernel launch".
+    For a balanced tree this turns O(n) serial steps into O(log n) batched
+    steps.
+
+    Args:
+      ops: int32 [n_ops, 5] (parent_slot, c1, e1, c2, e2); masked rows -1.
+        Child references follow the update_partials convention
+        (< n_tips = tip, else slot + n_tips).
+    Returns:
+      level_ops int32 [n_levels, width, 5], rows padded with -1.
+    """
+    import numpy as np
+    ops = np.asarray(ops)
+    level_of_slot = {}
+    rows_by_level = {}
+    for row in ops:
+        slot = int(row[0])
+        if slot < 0:
+            continue
+        deps = []
+        for child in (int(row[1]), int(row[3])):
+            if child >= n_tips:
+                deps.append(level_of_slot[child - n_tips])
+        lvl = (max(deps) + 1) if deps else 0
+        level_of_slot[slot] = lvl
+        rows_by_level.setdefault(lvl, []).append(row)
+    if not rows_by_level:
+        return np.full((1, 1, 5), -1, np.int32)
+    n_levels = max(rows_by_level) + 1
+    width = max(len(v) for v in rows_by_level.values())
+    out = np.full((n_levels, width, 5), -1, np.int32)
+    for lvl, rows in rows_by_level.items():
+        out[lvl, :len(rows)] = rows
+    return out
+
+
+def update_partials_levels(partition, P, level_ops, n_slots: int,
+                           init_clvs=None, init_scalers=None):
+    """Level-batched pruning: one vmapped gather/einsum/scatter per level.
+
+    Args:
+      level_ops: int32 [n_levels, width, 5] from :func:`compile_levels`
+      n_slots: CLV slot count (ops may fill fewer than width*levels)
+    Returns:
+      (clvs [n_slots+1, patterns, C, S], scalers [n_slots+1, patterns]) —
+      the +1 row is a scratch slot that masked rows write into.
+    """
+    Ppad = partition.n_patterns_padded
+    C = partition.n_cats
+    S = partition.states
+    dtype = partition.dtype
+
+    if init_clvs is None:
+        clvs = jnp.zeros((n_slots + 1, Ppad, C, S), dtype)
+        scalers = jnp.zeros((n_slots + 1, Ppad), jnp.int32)
+    else:
+        clvs = jnp.concatenate(
+            [init_clvs, jnp.zeros((1, Ppad, C, S), dtype)], axis=0)
+        scalers = jnp.concatenate(
+            [init_scalers, jnp.zeros((1, Ppad), jnp.int32)], axis=0)
+
+    def level_step(carry, ops_lvl):
+        clvs, scalers = carry
+
+        def gather(node):
+            return get_node_clv(partition, clvs, scalers, node)
+
+        c1, s1 = jax.vmap(gather)(ops_lvl[:, 1])      # [W,P,C,S], [W,P]
+        c2, s2 = jax.vmap(gather)(ops_lvl[:, 3])
+        P1 = P[jnp.maximum(ops_lvl[:, 2], 0)]         # [W,C,S,S]
+        P2 = P[jnp.maximum(ops_lvl[:, 4], 0)]
+        left = jnp.einsum("wpcj,wcij->wpci", c1, P1,
+                          preferred_element_type=dtype)
+        right = jnp.einsum("wpcj,wcij->wpci", c2, P2,
+                           preferred_element_type=dtype)
+        clv = left * right
+        m = jnp.max(clv, axis=(2, 3))                 # [W,P]
+        _, e = jnp.frexp(m)
+        e = jnp.where(m > 0, e, 0).astype(jnp.int32)
+        clv = jnp.ldexp(clv, -e[:, :, None, None]).astype(dtype)
+        sc = s1 + s2 + e
+        slots = jnp.where(ops_lvl[:, 0] >= 0, ops_lvl[:, 0], n_slots)
+        clvs = clvs.at[slots].set(clv)
+        scalers = scalers.at[slots].set(sc)
+        return (clvs, scalers), None
+
+    (clvs, scalers), _ = lax.scan(level_step, (clvs, scalers), level_ops)
+    return clvs, scalers

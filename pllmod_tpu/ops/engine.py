@@ -18,7 +18,7 @@ from pllmod_tpu.ops import likelihood as lk_mod
 
 @partial(jax.jit, static_argnums=(3,))
 def loglikelihood(partition, ops, brlens, root_info):
-    """Full-traversal log-likelihood.
+    """Full-traversal log-likelihood (serial-scan schedule).
 
     Args:
       partition: Partition pytree
@@ -34,6 +34,19 @@ def loglikelihood(partition, ops, brlens, root_info):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def loglikelihood_levels(partition, level_ops, brlens, root_info,
+                         n_slots: int):
+    """Level-batched log-likelihood: all nodes of a tree level update in
+    one batched einsum (O(log n) launches on balanced trees instead of
+    O(n) scan steps — the TPU-first schedule)."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials_levels(partition, P, level_ops,
+                                                   n_slots)
+    u, v, e = root_info
+    return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
+
+
 def loglikelihood_with_buffers(partition, ops, brlens, root_info):
     """As :func:`loglikelihood` but also returns (P, clvs, scalers) for
     incremental reuse."""
@@ -44,11 +57,20 @@ def loglikelihood_with_buffers(partition, ops, brlens, root_info):
     return lnl, (P, clvs, scalers)
 
 
-def tree_loglikelihood(partition, tree, brlens=None, root_edge=None):
-    """Convenience host-level wrapper: compile traversal + evaluate."""
+def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
+                       schedule: str = "levels"):
+    """Convenience host-level wrapper: compile traversal + evaluate.
+
+    ``schedule``: "levels" (default, batched per tree level) or "scan"
+    (one node per step — the reference-equivalent serial schedule, kept
+    for kernel-equivalence testing)."""
     ops, root_info = tree.traversal_ops(root_edge)
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
-    return loglikelihood(partition, jnp.asarray(ops), brlens,
-                         tuple(int(x) for x in root_info))
+    ri = tuple(int(x) for x in root_info)
+    if schedule == "levels":
+        level_ops = clv_mod.compile_levels(ops, partition.n_tips)
+        return loglikelihood_levels(partition, jnp.asarray(level_ops),
+                                    brlens, ri, int(ops.shape[0]))
+    return loglikelihood(partition, jnp.asarray(ops), brlens, ri)

@@ -212,8 +212,12 @@ def create_partition(
 def compress_patterns(codes: np.ndarray, weights: np.ndarray):
     """Site-pattern compression: identical alignment columns collapse into
     one pattern with summed weight (libpll ``pll_compress_site_patterns``,
-    SURVEY.md §5 "long-context analog"). Host-side numpy; O(sites log sites).
+    SURVEY.md §5 "long-context analog"). Native C++ hash-dedup when the
+    runtime library is built; numpy fallback otherwise.
     """
+    from pllmod_tpu import native
+    if native.available():
+        return native.compress_patterns(codes, weights)
     cols = np.ascontiguousarray(codes.T)
     view = cols.view([("", cols.dtype)] * cols.shape[1]).ravel()
     uniq, inverse = np.unique(view, return_inverse=True)

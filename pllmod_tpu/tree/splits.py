@@ -125,6 +125,10 @@ def rf_distance(tree1, tree2) -> int:
 
 def rf_distance_splits(s1: np.ndarray, s2: np.ndarray) -> int:
     """RF from two normalized split matrices (pllmod_utree_split_rf_distance)."""
+    from pllmod_tpu import native
+    if native.available() and len(s1) and len(s2):
+        shared = native.shared_splits(s1, s2)
+        return len(s1) + len(s2) - 2 * shared
     a = split_set(s1)
     b = split_set(s2)
     return len(a) + len(b) - 2 * len(a & b)

@@ -57,15 +57,40 @@ def _tip_masks(sequences, charmap):
     return m  # uint64 [tips, sites]
 
 
+def _fitch_ops(tree: Tree) -> np.ndarray:
+    """Postorder pairwise-combine schedule for the native Fitch kernel:
+    rows (unused, childA, childB); ids < n_tips are tips, else scratch
+    row (id − n_tips). Multifurcations chain pairwise."""
+    n_tips = tree.n_tips
+    adj = tree.adjacency()
+    root = next(n for n in range(n_tips, tree.n_nodes) if adj[n])
+    rows = []
+    tmp_of = {}
+    for node, parent, _e in tree.postorder(root):
+        if node < n_tips:
+            tmp_of[node] = node
+            continue
+        kids = [tmp_of[nbr] for nbr, e in adj[node] if nbr != parent]
+        acc = kids[0]
+        for k in kids[1:]:
+            rows.append([0, acc, k])
+            acc = n_tips + len(rows) - 1
+        tmp_of[node] = acc
+    return np.asarray(rows, np.int32).reshape(-1, 3)
+
+
 def parsimony_score(tree: Tree, sequences, charmap,
                     pattern_weights=None) -> int:
     """Fitch parsimony score (pll_parsimony semantics): post-order
     intersection/union over site bitmasks; +weight per empty
-    intersection."""
+    intersection. Uses the native C++ kernel when built."""
     masks = _tip_masks(sequences, charmap)
     n_tips, n_sites = masks.shape
     w = (np.ones(n_sites) if pattern_weights is None
          else np.asarray(pattern_weights, float))
+    from pllmod_tpu import native
+    if native.available():
+        return int(round(native.fitch_score(masks, _fitch_ops(tree), w)))
     adj = tree.adjacency()
     root = next(n for n in range(n_tips, tree.n_nodes) if adj[n])
     node_set = {t: masks[t] for t in range(n_tips)}

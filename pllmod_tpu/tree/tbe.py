@@ -30,6 +30,10 @@ def transfer_distance_matrix(ref_splits: np.ndarray, boot_splits: np.ndarray,
     """
     if len(ref_splits) == 0 or len(boot_splits) == 0:
         return np.zeros((len(ref_splits), len(boot_splits)), np.int64)
+    from pllmod_tpu import native
+    if native.available():
+        return native.transfer_distance_matrix(
+            ref_splits, boot_splits, n_tips).astype(np.int64)
     x = ref_splits[:, None, :] ^ boot_splits[None, :, :]
     d = np.bitwise_count(x).sum(axis=-1).astype(np.int64)
     return np.minimum(d, n_tips - d)

@@ -269,12 +269,51 @@ def parse_newick(newick: str) -> Tree:
     """Parse a Newick string into an unrooted Tree.
 
     Rooted (bifurcating-root) inputs are unrooted by fusing the two root
-    edges into one (libpll convention when wrapping rtrees as utrees)."""
+    edges into one (libpll convention when wrapping rtrees as utrees).
+
+    Uses the native C++ one-pass parser when built (pllmod_tpu.native);
+    pure-python fallback otherwise."""
     try:
+        from pllmod_tpu import native
+        if native.available():
+            try:
+                return _from_native_parse(*native.parse_newick(newick))
+            except ValueError as e:
+                raise TreeError(TREE_ERROR_INVALID_TREE,
+                                f"malformed newick: {e}") from e
         return _parse_newick_inner(newick)
     except (IndexError, ValueError) as e:
         raise TreeError(TREE_ERROR_INVALID_TREE,
                         f"malformed newick: {e}") from e
+
+
+def _from_native_parse(n_tips, edges, lengths, labels, root, root_children,
+                       n_nodes):
+    if n_tips < 3:
+        raise TreeError(TREE_ERROR_INVALID_TREE_SIZE,
+                        f"need >= 3 taxa, got {n_tips}")
+    tree = Tree(n_tips, labels, edges, lengths, n_nodes=n_nodes)
+    if root_children == 2:
+        # unroot: fuse the two root edges (same convention as the python
+        # parser below)
+        (a, ea), (b, eb) = tree.neighbors(root)
+        fused_len = tree.lengths[ea] + tree.lengths[eb]
+        keep = min(ea, eb)
+        drop = max(ea, eb)
+        tree.edge_nodes[keep] = (a, b)
+        tree.lengths[keep] = fused_len
+        last = tree.edge_nodes.shape[0] - 1
+        if drop != last:
+            tree.edge_nodes[drop] = tree.edge_nodes[last]
+            tree.lengths[drop] = tree.lengths[last]
+        tree.edge_nodes = tree.edge_nodes[:last]
+        tree.lengths = tree.lengths[:last]
+        tree.edge_nodes = np.where(tree.edge_nodes > root,
+                                   tree.edge_nodes - 1, tree.edge_nodes)
+        tree.n_nodes -= 1
+        tree.invalidate()
+    tree.check_integrity()
+    return tree
 
 
 def _parse_newick_inner(newick: str) -> Tree:
