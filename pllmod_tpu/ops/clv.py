@@ -133,22 +133,143 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
 # ---------------------------------------------------------------------------
 # Level-synchronous batched pruning (the TPU-first schedule)
 # ---------------------------------------------------------------------------
-def compile_levels(ops: "np.ndarray", n_tips: int):
-    """Group a post-order ops schedule into dependency levels (host-side).
+class LevelSchedule:
+    """Dependency-leveled pruning schedule with CONTIGUOUS slot ranges.
 
     All ops in a level depend only on tips and earlier levels, so each
-    level runs as ONE batched tensor op — the SURVEY §7 "level-synchronous
-    pruning: process all nodes of one topology level per kernel launch".
-    For a balanced tree this turns O(n) serial steps into O(log n) batched
-    steps.
+    level runs as ONE batched tensor op (SURVEY §7 "level-synchronous
+    pruning"). Slots are renumbered level-by-level so every level writes a
+    contiguous block via ``dynamic_update_slice`` — no XLA scatter, which
+    is the difference between roofline and disaster on TPU.
+
+    Attributes:
+      levels: list of int32 [W_l, 5] arrays (parent_slot renumbered,
+        child refs renumbered: < n_tips tip, else n_tips + new_slot)
+      n_slots: total slot count
+      offsets: per-level starting slot
+      remap: int64 [n_slots] old slot -> new slot
+    """
+
+    def __init__(self, ops, n_tips: int):
+        import numpy as np
+        ops = np.asarray(ops)
+        self.n_tips = n_tips
+        level_of_slot: dict[int, int] = {}
+        rows_by_level: dict[int, list] = {}
+        for row in ops:
+            slot = int(row[0])
+            if slot < 0:
+                continue
+            deps = [level_of_slot[int(c) - n_tips]
+                    for c in (row[1], row[3]) if int(c) >= n_tips]
+            lvl = (max(deps) + 1) if deps else 0
+            level_of_slot[slot] = lvl
+            rows_by_level.setdefault(lvl, []).append(row.copy())
+
+        n_old = max(level_of_slot, default=-1) + 1
+        self.remap = np.full(max(n_old, 1), -1, np.int64)
+        new = 0
+        self.offsets = []
+        ordered_levels = []
+        for lvl in sorted(rows_by_level):
+            self.offsets.append(new)
+            rows = rows_by_level[lvl]
+            for r in rows:
+                self.remap[int(r[0])] = new
+                new += 1
+            ordered_levels.append(rows)
+        self.n_slots = new
+        # renumber child refs (children always live in earlier levels)
+        self.levels = []
+        for rows in ordered_levels:
+            arr = np.stack(rows).astype(np.int32)
+            arr[:, 0] = self.remap[arr[:, 0]]
+            for col in (1, 3):
+                inner = arr[:, col] >= n_tips
+                arr[inner, col] = (n_tips +
+                                   self.remap[arr[inner, col] - n_tips])
+            self.levels.append(arr)
+
+    def remap_node(self, node: int) -> int:
+        """Translate an old node reference (tip or n_tips+old_slot)."""
+        if node < self.n_tips:
+            return int(node)
+        return int(self.n_tips + self.remap[node - self.n_tips])
+
+    @property
+    def n_levels(self):
+        return len(self.levels)
+
+
+def gather_node_clvs(partition, clvs, scalers, nodes):
+    """Batched, cond-free CLV gather for a vector of node references.
+
+    nodes int32 [W]; returns ([W, P, C, S], [W, P]). Tip rows come from
+    the code-CLV lookup (PATTERN_TIP analog), inner rows from the slot
+    buffer; both gathers are real gathers (no select over the full
+    buffer — the naive vmap(cond) formulation materializes
+    [W, n_slots, P, C, S] and OOMs).
+    """
+    n_tips = partition.n_tips
+    C = clvs.shape[2]
+    is_tip = nodes < n_tips
+    tip_idx = jnp.where(is_tip, nodes, 0)
+    codes = partition.tip_states[tip_idx]                   # [W, P]
+    tclv = partition.code_clv[codes]                        # [W, P, S]
+    tclv = jnp.broadcast_to(tclv[:, :, None, :],
+                            (*tclv.shape[:2], C, tclv.shape[2]))
+    slot_idx = jnp.where(is_tip, 0, nodes - n_tips)
+    iclv = clvs[slot_idx]                                   # [W, P, C, S]
+    isc = scalers[slot_idx]                                 # [W, P]
+    clv = jnp.where(is_tip[:, None, None, None], tclv, iclv)
+    sc = jnp.where(is_tip[:, None], 0, isc)
+    return clv.astype(partition.dtype), sc
+
+
+def update_partials_sched(partition, P, levels, offsets, n_slots: int,
+                          init_clvs=None, init_scalers=None):
+    """Level-batched pruning over a :class:`LevelSchedule`.
 
     Args:
-      ops: int32 [n_ops, 5] (parent_slot, c1, e1, c2, e2); masked rows -1.
-        Child references follow the update_partials convention
-        (< n_tips = tip, else slot + n_tips).
+      levels: tuple of int32 [W_l, 5] arrays (renumbered)
+      offsets: tuple of ints — starting slot per level
     Returns:
-      level_ops int32 [n_levels, width, 5], rows padded with -1.
+      (clvs [n_slots, patterns, C, S], scalers [n_slots, patterns])
     """
+    Ppad = partition.n_patterns_padded
+    C = partition.n_cats
+    S = partition.states
+    dtype = partition.dtype
+
+    clvs = init_clvs if init_clvs is not None else \
+        jnp.zeros((n_slots, Ppad, C, S), dtype)
+    scalers = init_scalers if init_scalers is not None else \
+        jnp.zeros((n_slots, Ppad), jnp.int32)
+
+    for ops_lvl, off in zip(levels, offsets):
+        c1, s1 = gather_node_clvs(partition, clvs, scalers, ops_lvl[:, 1])
+        c2, s2 = gather_node_clvs(partition, clvs, scalers, ops_lvl[:, 3])
+        P1 = P[ops_lvl[:, 2]]                         # [W,C,S,S]
+        P2 = P[ops_lvl[:, 4]]
+        left = jnp.einsum("wpcj,wcij->wpci", c1, P1,
+                          preferred_element_type=dtype)
+        right = jnp.einsum("wpcj,wcij->wpci", c2, P2,
+                           preferred_element_type=dtype)
+        clv = left * right
+        m = jnp.max(clv, axis=(2, 3))                 # [W,P]
+        _, e = jnp.frexp(m)
+        e = jnp.where(m > 0, e, 0).astype(jnp.int32)
+        clv = jnp.ldexp(clv, -e[:, :, None, None]).astype(dtype)
+        sc = s1 + s2 + e
+        # contiguous block write — levels own disjoint slot ranges
+        clvs = lax.dynamic_update_slice(clvs, clv, (off, 0, 0, 0))
+        scalers = lax.dynamic_update_slice(scalers, sc, (off, 0))
+    return clvs, scalers
+
+
+def compile_levels(ops, n_tips: int):
+    """Back-compat helper: padded [L, W, 5] level array WITHOUT slot
+    renumbering (kept for the test suite's structural checks)."""
     import numpy as np
     ops = np.asarray(ops)
     level_of_slot = {}
@@ -157,10 +278,8 @@ def compile_levels(ops: "np.ndarray", n_tips: int):
         slot = int(row[0])
         if slot < 0:
             continue
-        deps = []
-        for child in (int(row[1]), int(row[3])):
-            if child >= n_tips:
-                deps.append(level_of_slot[child - n_tips])
+        deps = [level_of_slot[int(c) - n_tips]
+                for c in (row[1], row[3]) if int(c) >= n_tips]
         lvl = (max(deps) + 1) if deps else 0
         level_of_slot[slot] = lvl
         rows_by_level.setdefault(lvl, []).append(row)
@@ -172,57 +291,3 @@ def compile_levels(ops: "np.ndarray", n_tips: int):
     for lvl, rows in rows_by_level.items():
         out[lvl, :len(rows)] = rows
     return out
-
-
-def update_partials_levels(partition, P, level_ops, n_slots: int,
-                           init_clvs=None, init_scalers=None):
-    """Level-batched pruning: one vmapped gather/einsum/scatter per level.
-
-    Args:
-      level_ops: int32 [n_levels, width, 5] from :func:`compile_levels`
-      n_slots: CLV slot count (ops may fill fewer than width*levels)
-    Returns:
-      (clvs [n_slots+1, patterns, C, S], scalers [n_slots+1, patterns]) —
-      the +1 row is a scratch slot that masked rows write into.
-    """
-    Ppad = partition.n_patterns_padded
-    C = partition.n_cats
-    S = partition.states
-    dtype = partition.dtype
-
-    if init_clvs is None:
-        clvs = jnp.zeros((n_slots + 1, Ppad, C, S), dtype)
-        scalers = jnp.zeros((n_slots + 1, Ppad), jnp.int32)
-    else:
-        clvs = jnp.concatenate(
-            [init_clvs, jnp.zeros((1, Ppad, C, S), dtype)], axis=0)
-        scalers = jnp.concatenate(
-            [init_scalers, jnp.zeros((1, Ppad), jnp.int32)], axis=0)
-
-    def level_step(carry, ops_lvl):
-        clvs, scalers = carry
-
-        def gather(node):
-            return get_node_clv(partition, clvs, scalers, node)
-
-        c1, s1 = jax.vmap(gather)(ops_lvl[:, 1])      # [W,P,C,S], [W,P]
-        c2, s2 = jax.vmap(gather)(ops_lvl[:, 3])
-        P1 = P[jnp.maximum(ops_lvl[:, 2], 0)]         # [W,C,S,S]
-        P2 = P[jnp.maximum(ops_lvl[:, 4], 0)]
-        left = jnp.einsum("wpcj,wcij->wpci", c1, P1,
-                          preferred_element_type=dtype)
-        right = jnp.einsum("wpcj,wcij->wpci", c2, P2,
-                           preferred_element_type=dtype)
-        clv = left * right
-        m = jnp.max(clv, axis=(2, 3))                 # [W,P]
-        _, e = jnp.frexp(m)
-        e = jnp.where(m > 0, e, 0).astype(jnp.int32)
-        clv = jnp.ldexp(clv, -e[:, :, None, None]).astype(dtype)
-        sc = s1 + s2 + e
-        slots = jnp.where(ops_lvl[:, 0] >= 0, ops_lvl[:, 0], n_slots)
-        clvs = clvs.at[slots].set(clv)
-        scalers = scalers.at[slots].set(sc)
-        return (clvs, scalers), None
-
-    (clvs, scalers), _ = lax.scan(level_step, (clvs, scalers), level_ops)
-    return clvs, scalers

@@ -34,17 +34,35 @@ def loglikelihood(partition, ops, brlens, root_info):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def loglikelihood_levels(partition, level_ops, brlens, root_info,
+@partial(jax.jit, static_argnums=(4, 5))
+def loglikelihood_levels(partition, levels, brlens, offsets, root_info,
                          n_slots: int):
     """Level-batched log-likelihood: all nodes of a tree level update in
-    one batched einsum (O(log n) launches on balanced trees instead of
-    O(n) scan steps — the TPU-first schedule)."""
+    one batched einsum with contiguous block writes (O(log n) launches on
+    balanced trees instead of O(n) scan steps — the TPU-first schedule).
+
+    Args:
+      levels: tuple of int32 [W_l, 5] (from clv.LevelSchedule, renumbered)
+      offsets: tuple of per-level slot offsets
+      root_info: (u, v, e) with u/v already REMAPPED via
+        LevelSchedule.remap_node
+    """
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials_levels(partition, P, level_ops,
-                                                   n_slots)
+    clvs, scalers = clv_mod.update_partials_sched(
+        partition, P, levels, offsets, n_slots)
     u, v, e = root_info
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
+
+
+def compile_schedule(partition, tree, root_edge=None):
+    """Host-side: compile a tree into the level schedule + remapped root
+    info. Returns (levels tuple, offsets tuple, root_info, n_slots)."""
+    ops, root_info = tree.traversal_ops(root_edge)
+    sched = clv_mod.LevelSchedule(ops, partition.n_tips)
+    u, v, e = (int(x) for x in root_info)
+    ri = (sched.remap_node(u), sched.remap_node(v), e)
+    levels = tuple(jnp.asarray(l) for l in sched.levels)
+    return levels, tuple(sched.offsets), ri, sched.n_slots
 
 
 def loglikelihood_with_buffers(partition, ops, brlens, root_info):
@@ -64,13 +82,14 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
     ``schedule``: "levels" (default, batched per tree level) or "scan"
     (one node per step — the reference-equivalent serial schedule, kept
     for kernel-equivalence testing)."""
-    ops, root_info = tree.traversal_ops(root_edge)
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
-    ri = tuple(int(x) for x in root_info)
     if schedule == "levels":
-        level_ops = clv_mod.compile_levels(ops, partition.n_tips)
-        return loglikelihood_levels(partition, jnp.asarray(level_ops),
-                                    brlens, ri, int(ops.shape[0]))
+        levels, offsets, ri, n_slots = compile_schedule(partition, tree,
+                                                        root_edge)
+        return loglikelihood_levels(partition, levels, brlens, offsets,
+                                    ri, n_slots)
+    ops, root_info = tree.traversal_ops(root_edge)
+    ri = tuple(int(x) for x in root_info)
     return loglikelihood(partition, jnp.asarray(ops), brlens, ri)

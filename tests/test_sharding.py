@@ -1,0 +1,83 @@
+"""Site-sharded data parallelism tests on the 8-virtual-device CPU mesh.
+
+The SURVEY §4 requirement the reference never had: site-sharded logL must
+equal single-device logL exactly; gradients and the full training step
+must compile and run under the mesh with XLA-inserted collectives.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.ops import engine
+from pllmod_tpu.parallel import make_mesh, shard_partition, replicate
+from tests import reference_impl as ref
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices())
+
+
+def _case(rng, n_tips=10, n_sites=300):
+    tree = ref.random_binary_tree(rng, n_tips)
+    seqs = ref.random_sequences(rng, n_tips, n_sites)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            subst_rates=rng.uniform(0.5, 2, 6),
+                            freqs=rng.dirichlet([5] * 4),
+                            prop_invar=0.15, dtype=jnp.float64)
+    return tree, part
+
+
+def test_sharded_loglh_matches_single_device(rng, mesh):
+    tree, part = _case(rng)
+    lnl_single = float(engine.tree_loglikelihood(part, tree))
+    sharded = shard_partition(part, mesh)
+    ops, root_info = tree.traversal_ops()
+    ri = tuple(int(x) for x in root_info)
+    with mesh:
+        lnl_sharded = float(engine.loglikelihood(
+            sharded, replicate(jnp.asarray(ops), mesh),
+            replicate(jnp.asarray(tree.lengths, part.dtype), mesh), ri))
+    assert lnl_sharded == pytest.approx(lnl_single, abs=1e-9)
+
+
+def test_sharded_levels_match(rng, mesh):
+    tree, part = _case(rng)
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    lnl_single = float(engine.loglikelihood_levels(
+        part, levels, brl, offsets, ri, n_slots))
+    sharded = shard_partition(part, mesh)
+    with mesh:
+        lnl_sharded = float(engine.loglikelihood_levels(
+            sharded, replicate(levels, mesh), replicate(brl, mesh),
+            offsets, ri, n_slots))
+    assert lnl_sharded == pytest.approx(lnl_single, abs=1e-9)
+
+
+def test_sharded_gradients_match(rng, mesh):
+    tree, part = _case(rng, n_tips=7, n_sites=200)
+    ops, root_info = tree.traversal_ops()
+    ri = tuple(int(x) for x in root_info)
+    ops_j = jnp.asarray(ops)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+
+    def f(p, b):
+        return engine.loglikelihood(p, ops_j, b, ri)
+
+    g_single = jax.grad(f, argnums=1)(part, brl)
+    sharded = shard_partition(part, mesh)
+    with mesh:
+        g_sharded = jax.grad(f, argnums=1)(sharded, replicate(brl, mesh))
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-9)
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver contract: full sharded train step on 8 devices."""
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
