@@ -32,20 +32,20 @@ def main():
 
     n_taxa, n_sites = 128, 16384
     partition, tree = _example(n_taxa=n_taxa, n_sites=n_sites, seed=3)
-    ops, root_info = tree.traversal_ops()
-    root_info = tuple(int(x) for x in root_info)
     brlens = jnp.asarray(tree.lengths, partition.dtype)
-    ops = jnp.asarray(ops)
+    levels, offsets, ri, n_slots = engine.compile_schedule(partition, tree)
 
-    fn = jax.jit(lambda p, o, b: engine.loglikelihood(p, o, b, root_info))
+    def fn(p, b):
+        return engine.loglikelihood_levels(p, levels, b, offsets, ri,
+                                           n_slots)
 
     # warmup/compile
-    fn(partition, ops, brlens).block_until_ready()
+    fn(partition, brlens).block_until_ready()
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        lnl = fn(partition, ops, brlens)
+        lnl = fn(partition, brlens)
     lnl.block_until_ready()
     dt = time.perf_counter() - t0
 

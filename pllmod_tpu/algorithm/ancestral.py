@@ -36,10 +36,11 @@ def ancestral_probabilities(partition, tree, nodes=None):
         adj = tree.adjacency()
         nodes = [n for n in range(tree.n_tips, tree.n_nodes) if adj[n]]
     trav = DirectedTraversal(tree)
-    ops = jnp.asarray(trav.ops)
+    levels, offsets, _eref, n_slots = trav.schedule()
     brlens = jnp.asarray(tree.lengths, partition.dtype)
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    clvs, scalers = clv_mod.update_partials_sched(partition, P, levels,
+                                                  offsets, n_slots)
 
     # per node: (ref of A_{nbr->node}, edge id) for its 3 neighbors
     refs = []
@@ -51,7 +52,7 @@ def ancestral_probabilities(partition, tree, nodes=None):
             if nbr < n_tips:
                 row_r.append(nbr)
             else:
-                row_r.append(n_tips + trav.slot_of[(nbr, u)])
+                row_r.append(n_tips + trav.sched_slot(nbr, u))
             row_e.append(e)
         assert len(row_r) == 3, "ancestral states need a binary tree"
         refs.append(row_r)
@@ -63,22 +64,19 @@ def ancestral_probabilities(partition, tree, nodes=None):
     w = partition.rate_weights
     dtype = partition.dtype
 
-    @jax.jit
-    def node_probs(ref3, edge3):
-        acc = None
-        for k in range(3):
-            A, _s = clv_mod.get_node_clv(partition, clvs, scalers, ref3[k])
-            Pk = P[edge3[k]]
-            term = jnp.einsum("pcj,cij->pci", A, Pk,
-                              preferred_element_type=dtype)
-            acc = term if acc is None else acc * term
-        per_cat = acc * fc[None, :, :]
-        site_state = jnp.einsum("pcs,c->ps", per_cat, w,
-                                preferred_element_type=dtype)
-        norm = jnp.sum(site_state, axis=1, keepdims=True)
-        return site_state / jnp.maximum(norm, 1e-300)
-
-    probs = jax.vmap(node_probs)(refs, edges)
+    acc = None
+    for k in range(3):
+        A, _s = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                         refs[:, k])       # [N,P,C,S]
+        Pk = P[edges[:, k]]                                 # [N,C,S,S]
+        term = jnp.einsum("npcj,ncij->npci", A, Pk,
+                          preferred_element_type=dtype)
+        acc = term if acc is None else acc * term
+    per_cat = acc * fc[None, None, :, :]
+    site_state = jnp.einsum("npcs,c->nps", per_cat, w,
+                            preferred_element_type=dtype)
+    norm = jnp.sum(site_state, axis=2, keepdims=True)
+    probs = site_state / jnp.maximum(norm, 1e-300)
     return nodes, np.asarray(probs)
 
 

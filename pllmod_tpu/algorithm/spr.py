@@ -40,9 +40,10 @@ from pllmod_tpu.optimize.blo import (DirectedTraversal,
 from pllmod_tpu.tree import moves
 
 
-@partial(jax.jit, static_argnames=())
-def _directed_clvs(partition, P, ops):
-    return clv_mod.update_partials(partition, P, ops)
+@partial(jax.jit, static_argnames=("n_slots",))
+def _directed_clvs_sched(partition, P, levels, offsets, n_slots: int):
+    return clv_mod.update_partials_sched(partition, P, levels, offsets,
+                                         n_slots)
 
 
 @jax.jit
@@ -63,7 +64,6 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
     """
     P = partition.prob_matrices(brlens_R)
     clvs, scalers = clv_mod.update_partials(partition, P, ops_R)
-    eigen = partition.eigen()
     dtype = partition.dtype
 
     P_s = partition.prob_matrices(t_s[None])[0]                 # [C,S,S]
@@ -72,21 +72,22 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
     fc = partition.freqs_per_cat()
     w = partition.rate_weights
 
-    def score(ref, hl):
-        A_x, sx = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
-        A_y, sy = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
-        P_h = partition.prob_matrices(hl[None])[0]
-        u_x = jnp.einsum("pcj,cij->pci", A_x, P_h,
+    # gather both sides of every candidate edge at once (cond-free)
+    A_x, sx = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                       edge_ref[:, 0])          # [E,P,C,S]
+    A_y, sy = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                       edge_ref[:, 1])
+    P_h = partition.prob_matrices(half_len)                     # [E,C,S,S]
+    u_x = jnp.einsum("epcj,ecij->epci", A_x, P_h,
+                     preferred_element_type=dtype)
+    u_y = jnp.einsum("epcj,ecij->epci", A_y, P_h,
+                     preferred_element_type=dtype)
+    per_cat = jnp.einsum("pci,ci,epci,epci->epc", s_in, fc, u_x, u_y,
                          preferred_element_type=dtype)
-        u_y = jnp.einsum("pcj,cij->pci", A_y, P_h,
-                         preferred_element_type=dtype)
-        per_cat = jnp.einsum("pci,ci,pci,pci->pc", s_in, fc, u_x, u_y,
-                             preferred_element_type=dtype)
-        site_lk = per_cat @ w
-        lnl = lk_mod._site_lnl(partition, site_lk, sx + sy + scaler_S)
-        return jnp.sum(lnl * partition.pattern_weights)
-
-    lnls = jax.vmap(score)(edge_ref, half_len)
+    site_lk = per_cat @ w                                       # [E,P]
+    lnl = jax.vmap(lambda lk, sc: lk_mod._site_lnl(partition, lk, sc))(
+        site_lk, sx + sy + scaler_S[None, :])
+    lnls = lnl @ partition.pattern_weights
     return jnp.where(edge_mask, lnls, -jnp.inf)
 
 
@@ -109,10 +110,12 @@ def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
     eigen = partition.eigen()
     dtype = partition.dtype
 
-    def one_edge(ref, hl):
-        A_x, sx = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
-        A_y, sy = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
+    A_x_all, sx_all = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                               edge_ref[:, 0])
+    A_y_all, sy_all = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                               edge_ref[:, 1])
 
+    def one_edge(A_x, sx, A_y, sy, hl):
         def coord_newton(t_triple, which):
             ts, tx, ty = t_triple
             # combined CLV of the two fixed directions
@@ -163,7 +166,8 @@ def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
                 t, lnl = coord_newton(t, which)
         return lnl, t[0], t[1], t[2]
 
-    lnls, ts, tx, ty = jax.vmap(one_edge)(edge_ref, half_len)
+    lnls, ts, tx, ty = jax.vmap(one_edge)(A_x_all, sx_all, A_y_all, sy_all,
+                                          half_len)
     neg = jnp.asarray(-jnp.inf, dtype)
     return jnp.where(edge_mask, lnls, neg), ts, tx, ty
 
@@ -268,14 +272,15 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         if cache_version != n_applied:
             trav_full = DirectedTraversal(tree)
-            ops_full = jnp.asarray(trav_full.ops)
+            levels_f, offsets_f, _eref_f, n_slots_f = trav_full.schedule()
             full_clvs = {}
             for i in part_idx:
                 part = treeinfo.partitions[i]
                 brl_full = jnp.asarray(treeinfo.partition_brlens(i),
                                        part.dtype)
                 P_full = part.prob_matrices(brl_full)
-                full_clvs[i] = _directed_clvs(part, P_full, ops_full)
+                full_clvs[i] = _directed_clvs_sched(
+                    part, P_full, levels_f, offsets_f, n_slots_f)
             cache_version = n_applied
 
         # ---- remainder tree R: dissolve junction, drop subtree edges ----
@@ -318,7 +323,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                     (clv_S.shape[0], part.n_cats, part.states))
                 scaler_S = jnp.zeros(clv_S.shape[0], jnp.int32)
             else:
-                slot = trav_full.slot_of[(sub_root, junction)]
+                slot = trav_full.sched_slot(sub_root, junction)
                 clv_S = clvs_f[slot]
                 scaler_S = scalers_f[slot]
 

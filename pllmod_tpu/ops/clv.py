@@ -86,14 +86,21 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
     """Run all pruning ops in sequence (post-order), returning the full CLV
     buffer for inner nodes.
 
+    The step body is branch-free: masked rows (parent_slot == -1) compute
+    harmlessly and write to a scratch slot — a ``lax.cond`` here would
+    make XLA select (i.e. COPY) the entire carry buffer every step, which
+    is the difference between µs and ms per node on TPU.
+
     Args:
       partition: Partition
       P: [edges, C, S, S] transition matrices
       ops: int32 [n_ops, 5]; masked rows have parent_slot == -1
-      init_clvs/init_scalers: optional starting buffers (incremental eval)
+      init_clvs/init_scalers: optional starting buffers (incremental eval),
+        shaped [n_ops(+1), ...] — the +1 scratch row is appended if absent
     Returns:
-      clvs [n_inner, patterns, C, S], scalers [n_inner, patterns] int32
-      where n_inner == n_ops (one CLV slot per op row by construction)
+      clvs [n_ops + 1, patterns, C, S], scalers [n_ops + 1, patterns] —
+      the last row is scratch (masked-op target); slot i of ops row i as
+      usual
     """
     n_inner = ops.shape[0]
     Ppad = partition.n_patterns_padded
@@ -102,29 +109,30 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
     dtype = partition.dtype
 
     if init_clvs is None:
-        init_clvs = jnp.zeros((n_inner, Ppad, C, S), dtype)
+        init_clvs = jnp.zeros((n_inner + 1, Ppad, C, S), dtype)
+    elif init_clvs.shape[0] == n_inner:
+        init_clvs = jnp.concatenate(
+            [init_clvs, jnp.zeros((1, Ppad, C, S), dtype)], axis=0)
     if init_scalers is None:
-        init_scalers = jnp.zeros((n_inner, Ppad), jnp.int32)
+        init_scalers = jnp.zeros((n_inner + 1, Ppad), jnp.int32)
+    elif init_scalers.shape[0] == n_inner:
+        init_scalers = jnp.concatenate(
+            [init_scalers, jnp.zeros((1, Ppad), jnp.int32)], axis=0)
 
     def step(carry, op):
         clvs, scalers = carry
-
-        def do(_):
-            c1, s1 = get_node_clv(partition, clvs, scalers, op[1])
-            c2, s2 = get_node_clv(partition, clvs, scalers, op[3])
-            P1 = lax.dynamic_index_in_dim(P, op[2], axis=0, keepdims=False)
-            P2 = lax.dynamic_index_in_dim(P, op[4], axis=0, keepdims=False)
-            clv = clv_op_compute(c1, c2, P1, P2)
-            clv, e = rescale(clv)
-            sc = s1 + s2 + e
-            slot = op[0]
-            return (lax.dynamic_update_index_in_dim(clvs, clv, slot, axis=0),
-                    lax.dynamic_update_index_in_dim(scalers, sc, slot, axis=0))
-
-        def skip(_):
-            return clvs, scalers
-
-        return lax.cond(op[0] >= 0, do, skip, None), None
+        c1, s1 = gather_node_clvs(partition, clvs, scalers, op[1:2])
+        c2, s2 = gather_node_clvs(partition, clvs, scalers, op[3:4])
+        P1 = lax.dynamic_index_in_dim(P, jnp.maximum(op[2], 0), axis=0,
+                                      keepdims=False)
+        P2 = lax.dynamic_index_in_dim(P, jnp.maximum(op[4], 0), axis=0,
+                                      keepdims=False)
+        clv = clv_op_compute(c1[0], c2[0], P1, P2)
+        clv, e = rescale(clv)
+        sc = s1[0] + s2[0] + e
+        slot = jnp.where(op[0] >= 0, op[0], n_inner)  # scratch if masked
+        return (lax.dynamic_update_index_in_dim(clvs, clv, slot, axis=0),
+                lax.dynamic_update_index_in_dim(scalers, sc, slot, axis=0)), None
 
     (clvs, scalers), _ = lax.scan(step, (init_clvs, init_scalers), ops)
     return clvs, scalers

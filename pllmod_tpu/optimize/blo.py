@@ -114,23 +114,55 @@ class DirectedTraversal:
         self.edge_ref = edge_ref
         self.edge_mask = edge_mask
         self.slot_of = slot_of
+        self._sched = None
+
+    def schedule(self):
+        """Level schedule over the directed ops + remapped edge refs.
+
+        Returns (levels tuple, offsets tuple, edge_ref_remapped, n_slots):
+        the level-batched form of this traversal (contiguous slot blocks;
+        see clv.LevelSchedule)."""
+        if self._sched is None:
+            from pllmod_tpu.ops.clv import LevelSchedule
+            sched = LevelSchedule(self.ops, self.n_tips)
+            edge_ref = self.edge_ref.copy()
+            inner = edge_ref >= self.n_tips
+            edge_ref[inner] = (self.n_tips +
+                               sched.remap[edge_ref[inner] - self.n_tips])
+            self._sched_remap = sched.remap
+            self._sched = (tuple(jnp.asarray(l) for l in sched.levels),
+                           tuple(sched.offsets), jnp.asarray(edge_ref),
+                           sched.n_slots)
+        return self._sched
+
+    def sched_slot(self, node: int, toward: int) -> int:
+        """Directed-CLV slot of (node -> toward) under the level schedule."""
+        self.schedule()
+        return int(self._sched_remap[self.slot_of[(node, toward)]])
 
 
-@partial(jax.jit, static_argnames=("max_newton_iters",))
-def _blo_sweep(partition, ops, edge_ref, edge_mask, brlens,
-               min_brlen, max_brlen, tol, max_newton_iters: int = 10):
+def _edge_sumtables(partition, clvs, scalers, edge_ref, eigen):
+    """Batched sumtables for every edge from directed CLVs (cond-free
+    gathers). Returns (st [E,P,C,S], sc [E,P])."""
+    clv_p, s_p = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          edge_ref[:, 0])
+    clv_c, s_c = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          edge_ref[:, 1])
+    st = jax.vmap(lambda a, b: deriv_mod.sumtable(partition, a, b, eigen))(
+        clv_p, clv_c)
+    return st, s_p + s_c
+
+
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
+               min_brlen, max_brlen, tol, n_slots: int,
+               max_newton_iters: int = 10):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens)."""
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    clvs, scalers = clv_mod.update_partials_sched(partition, P, levels,
+                                                  offsets, n_slots)
     eigen = partition.eigen()
-
-    def gather(ref):
-        clv_p, s_p = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
-        clv_c, s_c = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
-        st = deriv_mod.sumtable(partition, clv_p, clv_c, eigen)
-        return st, s_p + s_c
-
-    st, sc = jax.vmap(gather)(edge_ref)            # [E,P,C,S], [E,P]
+    st, sc = _edge_sumtables(partition, clvs, scalers, edge_ref, eigen)
 
     lnl0_all, _, _ = deriv_mod.edge_derivatives_batch(
         partition, st, sc, brlens, eigen)
@@ -147,24 +179,29 @@ def _blo_sweep(partition, ops, edge_ref, edge_mask, brlens,
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
-@jax.jit
-def _lnl_at(partition, ops, edge_ref, edge_mask, brlens):
+@partial(jax.jit, static_argnames=("n_slots",))
+def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
+            n_slots: int):
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    clvs, scalers = clv_mod.update_partials_sched(partition, P, levels,
+                                                  offsets, n_slots)
     eigen = partition.eigen()
     e = jnp.argmax(edge_mask)
     ref = edge_ref[e]
-    clv_p, s_p = clv_mod.get_node_clv(partition, clvs, scalers, ref[0])
-    clv_c, s_c = clv_mod.get_node_clv(partition, clvs, scalers, ref[1])
-    st = deriv_mod.sumtable(partition, clv_p, clv_c, eigen)
-    lnl, _, _ = deriv_mod.edge_derivatives(partition, st, s_p + s_c,
+    clv_p, s_p = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          ref[:1])
+    clv_c, s_c = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          ref[1:])
+    st = deriv_mod.sumtable(partition, clv_p[0], clv_c[0], eigen)
+    lnl, _, _ = deriv_mod.edge_derivatives(partition, st, s_p[0] + s_c[0],
                                            brlens[e], eigen)
     return lnl
 
 
-@partial(jax.jit, static_argnames=("max_newton_iters",))
-def _blo_sweep_multi(partitions, scalers, ops, edge_ref, edge_mask, brlens,
-                     min_brlen, max_brlen, tol, max_newton_iters: int = 10):
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
+                     edge_mask, brlens, min_brlen, max_brlen, tol,
+                     n_slots: int, max_newton_iters: int = 10):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -181,16 +218,10 @@ def _blo_sweep_multi(partitions, scalers, ops, edge_ref, edge_mask, brlens,
     live_idx = jnp.argmax(edge_mask)
     for part, s in zip(partitions, scalers):
         P = part.prob_matrices(brlens * s)
-        clvs, sclr = clv_mod.update_partials(part, P, ops)
+        clvs, sclr = clv_mod.update_partials_sched(part, P, levels, offsets,
+                                                   n_slots)
         eigen = part.eigen()
-
-        def gather(ref, part=part, clvs=clvs, sclr=sclr, eigen=eigen):
-            clv_p, s_p = clv_mod.get_node_clv(part, clvs, sclr, ref[0])
-            clv_c, s_c = clv_mod.get_node_clv(part, clvs, sclr, ref[1])
-            st = deriv_mod.sumtable(part, clv_p, clv_c, eigen)
-            return st, s_p + s_c
-
-        st, sc = jax.vmap(gather)(edge_ref)
+        st, sc = _edge_sumtables(part, clvs, sclr, edge_ref, eigen)
         st_all.append(st)
         sc_all.append(sc)
         eig_all.append(eigen)
@@ -232,8 +263,7 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     lengths back into ``tree`` unless ``write_back=False``.
     """
     trav = DirectedTraversal(tree)
-    ops = jnp.asarray(trav.ops)
-    edge_ref = jnp.asarray(trav.edge_ref)
+    levels, offsets, edge_ref, n_slots = trav.schedule()
     edge_mask = jnp.asarray(trav.edge_mask)
     dtype = partition.dtype
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
@@ -243,9 +273,9 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     lnl_prev = None
     for _ in range(max_sweeps):
         new_brlens, lnl_here = _blo_sweep(
-            partition, ops, edge_ref, edge_mask, brlens,
+            partition, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype))
+            jnp.asarray(newton_tol, dtype), n_slots)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
@@ -261,7 +291,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         lnl_prev = lnl_here
         brlens = new_brlens
 
-    final_lnl = float(_lnl_at(partition, ops, edge_ref, edge_mask, brlens))
+    final_lnl = float(_lnl_at(partition, levels, offsets, edge_ref,
+                              edge_mask, brlens, n_slots))
     if final_lnl >= best_lnl:
         best_lnl, best_brlens = final_lnl, brlens
     if write_back:
@@ -314,8 +345,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     dtype = parts[0].dtype
 
     trav = DirectedTraversal(tree)
-    ops = jnp.asarray(trav.ops)
-    edge_ref = jnp.asarray(trav.edge_ref)
+    levels, offsets, edge_ref, n_slots = trav.schedule()
     edge_mask = jnp.asarray(trav.edge_mask)
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 
@@ -324,9 +354,9 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     lnl_prev = None
     for _ in range(max_sweeps):
         new_brlens, lnl_here = _blo_sweep_multi(
-            parts, scalers, ops, edge_ref, edge_mask, brlens,
+            parts, scalers, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype))
+            jnp.asarray(newton_tol, dtype), n_slots)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
@@ -344,7 +374,8 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     # final logL at the final iterate (sum over partitions)
     final = 0.0
     for part, s in zip(parts, scalers):
-        final += float(_lnl_at(part, ops, edge_ref, edge_mask, brlens * s))
+        final += float(_lnl_at(part, levels, offsets, edge_ref, edge_mask,
+                               brlens * s, n_slots))
     if final >= best_lnl:
         best_lnl, best_brlens = final, brlens
     tree.lengths = np.asarray(best_brlens, np.float64).copy()

@@ -112,10 +112,11 @@ def test_em_weights_match_direct_ml():
 def test_blo_sweep_lnl_matches_engine(rng):
     tree, part = make_case(rng)
     trav = DirectedTraversal(tree)
+    levels, offsets, edge_ref, n_slots = trav.schedule()
     lnl_ref = float(tree_loglikelihood(part, tree))
-    lnl = float(_lnl_at(part, jnp.asarray(trav.ops), jnp.asarray(trav.edge_ref),
+    lnl = float(_lnl_at(part, levels, offsets, edge_ref,
                         jnp.asarray(trav.edge_mask),
-                        jnp.asarray(tree.lengths, part.dtype)))
+                        jnp.asarray(tree.lengths, part.dtype), n_slots))
     assert lnl == pytest.approx(lnl_ref, abs=1e-8)
 
 
