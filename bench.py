@@ -30,22 +30,36 @@ def main():
     from pllmod_tpu.ops import engine
     from __graft_entry__ import _example
 
+    from pllmod_tpu.ops import pallas_clv
+
     n_taxa, n_sites = 128, 16384
     partition, tree = _example(n_taxa=n_taxa, n_sites=n_sites, seed=3)
+    partition = partition.cache_eigen()
     brlens = jnp.asarray(tree.lengths, partition.dtype)
     levels, offsets, ri, n_slots = engine.compile_schedule(partition, tree)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
 
-    def fn(p, b):
-        return engine.loglikelihood_levels(p, levels, b, offsets, ri,
-                                           n_slots)
-
-    # warmup/compile
-    fn(partition, brlens).block_until_ready()
+    def one(brl):
+        if on_tpu:
+            return pallas_clv.loglikelihood_pallas(
+                partition, levels, brl, offsets, ri, n_slots)
+        return engine.loglikelihood_levels(partition, levels, brl, offsets,
+                                           ri, n_slots)
 
     iters = 10
+
+    # time ON-DEVICE with varying inputs: the runtime memoizes identical
+    # executions and per-call dispatch over the tunnel is ~40ms, so a
+    # host-side loop over identical calls measures neither
+    @jax.jit
+    def many(brl0):
+        def body(i, acc):
+            return acc + one(brl0 * (1.0 + 1e-7 * i))
+        return jax.lax.fori_loop(0, iters, body, 0.0)
+
+    many(brlens).block_until_ready()  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        lnl = fn(partition, brlens)
+    lnl = many(brlens * 1.0001)
     lnl.block_until_ready()
     dt = time.perf_counter() - t0
 

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 from pllmod_tpu.ops import clv as clv_mod
 from pllmod_tpu.optimize.blo import DirectedTraversal
 
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def ancestral_probabilities(partition, tree, nodes=None):
     """Posterior state probabilities at inner nodes.
@@ -70,11 +73,13 @@ def ancestral_probabilities(partition, tree, nodes=None):
                                          refs[:, k])       # [N,P,C,S]
         Pk = P[edges[:, k]]                                 # [N,C,S,S]
         term = jnp.einsum("npcj,ncij->npci", A, Pk,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                      precision=_PREC)
         acc = term if acc is None else acc * term
     per_cat = acc * fc[None, None, :, :]
     site_state = jnp.einsum("npcs,c->nps", per_cat, w,
-                            preferred_element_type=dtype)
+                            preferred_element_type=dtype,
+                      precision=_PREC)
     norm = jnp.sum(site_state, axis=2, keepdims=True)
     probs = site_state / jnp.maximum(norm, 1e-300)
     return nodes, np.asarray(probs)

@@ -213,7 +213,7 @@ def opt_subst_rates(treeinfo, symmetries=None,
         def neg(free, part=part, f=f, expand=expand):
             full = expand(free)
             rates = jnp.broadcast_to(full, part.subst_rates.shape)
-            return -f(part.replace(subst_rates=rates))
+            return -f(part.with_model_params(subst_rates=rates))
 
         vg = jax.jit(jax.value_and_grad(neg))
         cur = np.asarray(part.subst_rates[0])
@@ -230,7 +230,7 @@ def opt_subst_rates(treeinfo, symmetries=None,
             np.full(k - 1, min_rate), np.full(k - 1, max_rate),
             max_iters=200, pgtol=tol)
         full = expand(jnp.asarray(x, part.dtype))
-        treeinfo.partitions[i] = part.replace(
+        treeinfo.partitions[i] = part.with_model_params(
             subst_rates=jnp.broadcast_to(full, part.subst_rates.shape))
         treeinfo.partition_loglh[i] = -float(fv)
         total += -float(fv)
@@ -254,7 +254,7 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
             raw = jnp.concatenate([ratios, ones])
             freqs = raw / jnp.sum(raw)
             freqs = jnp.broadcast_to(freqs, part.freqs.shape)
-            return -f(part.replace(freqs=freqs))
+            return -f(part.with_model_params(freqs=freqs))
 
         vg = jax.jit(jax.value_and_grad(neg))
         cur = np.asarray(part.freqs[0])
@@ -265,7 +265,7 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
             max_iters=200, pgtol=tol)
         raw = np.concatenate([x, [1.0]])
         freqs = raw / raw.sum()
-        treeinfo.partitions[i] = part.replace(
+        treeinfo.partitions[i] = part.with_model_params(
             freqs=jnp.broadcast_to(jnp.asarray(freqs, part.dtype),
                                    part.freqs.shape))
         treeinfo.partition_loglh[i] = -float(fv)
@@ -286,9 +286,11 @@ def _site_cat_likelihood(part, ops_j, brl, ri):
     clv_c, s_c = clv_mod.get_node_clv(part, clvs, scalers, v)
     fc = part.freqs_per_cat()
     right = jnp.einsum("pcj,cij->pci", clv_c, P[e],
-                       preferred_element_type=part.dtype)
+                       preferred_element_type=part.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     per_cat = jnp.einsum("pci,ci,pci->pc", clv_p, fc, right,
-                         preferred_element_type=part.dtype)
+                         preferred_element_type=part.dtype,
+                         precision=jax.lax.Precision.HIGHEST)
     return per_cat, s_p + s_c
 
 

@@ -39,6 +39,9 @@ from pllmod_tpu.optimize.blo import (DirectedTraversal,
                                      optimize_branch_lengths_treeinfo)
 from pllmod_tpu.tree import moves
 
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @partial(jax.jit, static_argnames=("n_slots",))
 def _directed_clvs_sched(partition, P, levels, offsets, n_slots: int):
@@ -68,7 +71,8 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
 
     P_s = partition.prob_matrices(t_s[None])[0]                 # [C,S,S]
     s_in = jnp.einsum("pcj,cij->pci", clv_S, P_s,
-                      preferred_element_type=dtype)             # [Pat,C,S]
+                      preferred_element_type=dtype,
+                      precision=_PREC)             # [Pat,C,S]
     fc = partition.freqs_per_cat()
     w = partition.rate_weights
 
@@ -79,15 +83,19 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
                                        edge_ref[:, 1])
     P_h = partition.prob_matrices(half_len)                     # [E,C,S,S]
     u_x = jnp.einsum("epcj,ecij->epci", A_x, P_h,
-                     preferred_element_type=dtype)
+                     preferred_element_type=dtype,
+                      precision=_PREC)
     u_y = jnp.einsum("epcj,ecij->epci", A_y, P_h,
-                     preferred_element_type=dtype)
+                     preferred_element_type=dtype,
+                      precision=_PREC)
     per_cat = jnp.einsum("pci,ci,epci,epci->epc", s_in, fc, u_x, u_y,
-                         preferred_element_type=dtype)
-    site_lk = per_cat @ w                                       # [E,P]
+                         preferred_element_type=dtype,
+                      precision=_PREC)
+    site_lk = jnp.einsum("epc,c->ep", per_cat, w, precision=_PREC)
     lnl = jax.vmap(lambda lk, sc: lk_mod._site_lnl(partition, lk, sc))(
         site_lk, sx + sy + scaler_S[None, :])
-    lnls = lnl @ partition.pattern_weights
+    lnls = jnp.einsum("ep,p->e", lnl, partition.pattern_weights,
+                      precision=_PREC)
     return jnp.where(edge_mask, lnls, -jnp.inf)
 
 
@@ -123,9 +131,11 @@ def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
                 P1 = partition.prob_matrices(t1[None])[0]
                 P2 = partition.prob_matrices(t2[None])[0]
                 a = jnp.einsum("pcj,cij->pci", c1, P1,
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                      precision=_PREC)
                 b = jnp.einsum("pcj,cij->pci", c2, P2,
-                               preferred_element_type=dtype)
+                               preferred_element_type=dtype,
+                      precision=_PREC)
                 return a * b
 
             if which == 0:   # optimize t_s: edge between clv_S and (x,y)
@@ -248,6 +258,9 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     # batched scoring currently drives one partition at a time and sums
     n_edge_slots = len(tree.edge_nodes)
 
+    for i in part_idx:
+        if treeinfo.partitions[i].eigen_lam is None:
+            treeinfo.partitions[i] = treeinfo.partitions[i].cache_eigen()
     start_lnl = treeinfo.compute_loglh()
     best_lnl = start_lnl
     n_applied = 0

@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
+
 LN2 = 0.6931471805599453
 
 
@@ -65,8 +68,10 @@ def clv_op_compute(c1, c2, P1, P2):
     """One pruning op: clv_p[p,c,i] = (Σ_j P1[c,i,j] c1[p,c,j]) *
     (Σ_j P2[c,i,j] c2[p,c,j]). Shapes: c* [P,C,S], P* [C,S,S]."""
     dtype = c1.dtype
-    left = jnp.einsum("pcj,cij->pci", c1, P1, preferred_element_type=dtype)
-    right = jnp.einsum("pcj,cij->pci", c2, P2, preferred_element_type=dtype)
+    left = jnp.einsum("pcj,cij->pci", c1, P1, preferred_element_type=dtype,
+                      precision=_PREC)
+    right = jnp.einsum("pcj,cij->pci", c2, P2, preferred_element_type=dtype,
+                      precision=_PREC)
     return left * right
 
 
@@ -121,15 +126,19 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
 
     def step(carry, op):
         clvs, scalers = carry
-        c1, s1 = gather_node_clvs(partition, clvs, scalers, op[1:2])
-        c2, s2 = gather_node_clvs(partition, clvs, scalers, op[3:4])
+        # dynamic-slice child access (NOT a gather HLO — XLA lowers
+        # dynamic_index to a fast slice; gathers serialize on TPU)
+        c1, s1 = get_node_clv(partition, clvs, scalers,
+                              jnp.maximum(op[1], 0))
+        c2, s2 = get_node_clv(partition, clvs, scalers,
+                              jnp.maximum(op[3], 0))
         P1 = lax.dynamic_index_in_dim(P, jnp.maximum(op[2], 0), axis=0,
                                       keepdims=False)
         P2 = lax.dynamic_index_in_dim(P, jnp.maximum(op[4], 0), axis=0,
                                       keepdims=False)
-        clv = clv_op_compute(c1[0], c2[0], P1, P2)
+        clv = clv_op_compute(c1, c2, P1, P2)
         clv, e = rescale(clv)
-        sc = s1[0] + s2[0] + e
+        sc = s1 + s2 + e
         slot = jnp.where(op[0] >= 0, op[0], n_inner)  # scratch if masked
         return (lax.dynamic_update_index_in_dim(clvs, clv, slot, axis=0),
                 lax.dynamic_update_index_in_dim(scalers, sc, slot, axis=0)), None
@@ -260,9 +269,11 @@ def update_partials_sched(partition, P, levels, offsets, n_slots: int,
         P1 = P[ops_lvl[:, 2]]                         # [W,C,S,S]
         P2 = P[ops_lvl[:, 4]]
         left = jnp.einsum("wpcj,wcij->wpci", c1, P1,
-                          preferred_element_type=dtype)
+                          preferred_element_type=dtype,
+                      precision=_PREC)
         right = jnp.einsum("wpcj,wcij->wpci", c2, P2,
-                           preferred_element_type=dtype)
+                           preferred_element_type=dtype,
+                      precision=_PREC)
         clv = left * right
         m = jnp.max(clv, axis=(2, 3))                 # [W,P]
         _, e = jnp.frexp(m)

@@ -28,6 +28,9 @@ import jax.numpy as jnp
 
 from pllmod_tpu.ops.clv import LN2
 
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
+
 
 def sumtable(partition, clv_p, clv_c, eigen=None):
     """Per-edge sumtable: st[p, c, k].
@@ -47,9 +50,11 @@ def sumtable(partition, clv_p, clv_c, eigen=None):
     Vinv_c = Vinv[partition.param_indices]           # [C,S,S]
     dtype = partition.dtype
     left = jnp.einsum("pci,ci,cik->pck", clv_p, pi_c, V_c,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=_PREC)
     right = jnp.einsum("ckj,pcj->pck", Vinv_c, clv_c,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                      precision=_PREC)
     return left * right
 
 
@@ -76,10 +81,13 @@ def edge_derivatives(partition, st, scaler, brlen, eigen=None):
     expo = jnp.exp(lr[None] * jnp.asarray(brlen, dtype))   # [1->P? C,S]
     # L, L', L'' per site (scaled space)
     base = st * expo                                  # [P,C,S]
-    L = jnp.einsum("pcs,c->p", base, w, preferred_element_type=dtype)
-    dL = jnp.einsum("pcs,cs,c->p", base, lr, w, preferred_element_type=dtype)
+    L = jnp.einsum("pcs,c->p", base, w, preferred_element_type=dtype,
+                      precision=_PREC)
+    dL = jnp.einsum("pcs,cs,c->p", base, lr, w, preferred_element_type=dtype,
+                      precision=_PREC)
     ddL = jnp.einsum("pcs,cs,c->p", base, lr * lr, w,
-                     preferred_element_type=dtype)
+                     preferred_element_type=dtype,
+                      precision=_PREC)
 
     tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-37, dtype)
     Lsafe = jnp.maximum(L, tiny)

@@ -19,6 +19,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
+
 _FREQ_FLOOR = 1e-16
 
 
@@ -96,7 +99,8 @@ def prob_matrices(eigenvals, eigenvecs, inv_eigenvecs, brlens, rate_cats,
     expo = jnp.exp(eigenvals[None, None, :] * t[:, :, None])  # [E,C,S]
     # P = (V * expo) @ Vinv, batched over E,C
     return jnp.einsum("ik,eck,kj->ecij", eigenvecs, expo, inv_eigenvecs,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=_PREC)
 
 
 def prob_matrices_multi(eigen, brlens, rate_cats, param_indices, prop_invar):
@@ -124,7 +128,8 @@ def prob_matrices_multi(eigen, brlens, rate_cats, param_indices, prop_invar):
     t = brlens[:, None] * (rate_cats.astype(dtype) / (1.0 - pinv_c))[None, :]
     expo = jnp.exp(lam_c[None] * t[:, :, None])  # [E,C,S]
     return jnp.einsum("cik,eck,ckj->ecij", V_c, expo, Vinv_c,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype,
+                      precision=_PREC)
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +189,8 @@ def _prob_matrices_params_jvp(primals, tangents):
     a = lam_c[None] * t[:, :, None]                        # [E,C,S]
     expo = jnp.exp(a)
     P = jnp.einsum("cik,eck,ckj->ecij", V_c, expo, Vinv_c,
-                   preferred_element_type=dtype)
+                   preferred_element_type=dtype,
+                      precision=_PREC)
 
     # dQ per matrix via autodiff of the (non-degenerate-safe) Q builder
     def q_of(rf):
@@ -213,10 +219,12 @@ def _prob_matrices_params_jvp(primals, tangents):
     E_in = (dQ_c[None, :, :, :] * t[:, :, None, None]
             + Q_c[None, :, :, :] * dt[:, :, None, None])
     M = jnp.einsum("cik,eckl,clj->ecij", Vinv_c, E_in, V_c,
-                   preferred_element_type=dtype)
+                   preferred_element_type=dtype,
+                      precision=_PREC)
     F = _dexp_divided_difference(a)                        # [E,C,S,S]
     dP = jnp.einsum("cik,eckl,clj->ecij", V_c, F * M, Vinv_c,
-                    preferred_element_type=dtype)
+                    preferred_element_type=dtype,
+                      precision=_PREC)
     return P, dP
 
 

@@ -17,10 +17,14 @@ scalers are large.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 from pllmod_tpu.ops.clv import LN2, get_node_clv
+
+# TPU matmuls default to bf16 inputs; likelihoods need true f32
+_PREC = jax.lax.Precision.HIGHEST
 
 _TINY = 1e-300
 
@@ -58,10 +62,13 @@ def edge_site_likelihood(partition, clv_p, clv_c, P_edge):
     dtype = partition.dtype
     fc = partition.freqs_per_cat()                             # [C,S]
     right = jnp.einsum("pcj,cij->pci", clv_c, P_edge,
-                       preferred_element_type=dtype)
+                       preferred_element_type=dtype,
+                      precision=_PREC)
     per_cat = jnp.einsum("pci,ci,pci->pc", clv_p, fc, right,
-                         preferred_element_type=dtype)
-    return per_cat @ partition.rate_weights                    # [P]
+                         preferred_element_type=dtype,
+                      precision=_PREC)
+    return jnp.einsum("pc,c->p", per_cat, partition.rate_weights,
+                      precision=_PREC)  # [P]
 
 
 def edge_loglikelihood(partition, clvs, scalers, node_p, node_c, P_edge,
@@ -87,8 +94,10 @@ def root_loglikelihood(partition, clvs, scalers, node, persite: bool = False):
     clv, s = get_node_clv(partition, clvs, scalers, node)
     fc = partition.freqs_per_cat()
     per_cat = jnp.einsum("pci,ci->pc", clv, fc,
-                         preferred_element_type=partition.dtype)
-    site_lk = per_cat @ partition.rate_weights
+                         preferred_element_type=partition.dtype,
+                      precision=_PREC)
+    site_lk = jnp.einsum("pc,c->p", per_cat, partition.rate_weights,
+                         precision=_PREC)
     lnl = _site_lnl(partition, site_lk, s)
     total = jnp.sum(lnl * partition.pattern_weights)
     if persite:

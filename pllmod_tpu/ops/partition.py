@@ -63,6 +63,13 @@ class Partition:
     states: int = struct.field(pytree_node=False)
     n_patterns: int = struct.field(pytree_node=False)       # unpadded count
     gamma_mode: int = struct.field(pytree_node=False, default=GAMMA_RATES_MEAN)
+    # --- cached eigendecomposition (libpll eigen_decomp_valid analog) -------
+    # None = recompute inside the trace (differentiable w.r.t. rates/freqs);
+    # set via cache_eigen() for brlens-only hot paths (eval/BLO/SPR): the
+    # TPU eigh is by far the most expensive op of a likelihood evaluation.
+    eigen_lam: jnp.ndarray | None = None     # [M, S]
+    eigen_V: jnp.ndarray | None = None       # [M, S, S]
+    eigen_Vinv: jnp.ndarray | None = None    # [M, S, S]
 
     # ------------------------------------------------------------------
     @property
@@ -83,17 +90,42 @@ class Partition:
 
     # ------------------------------------------------------------------
     def eigen(self):
-        """Batched eigendecomposition over rate matrices (lazy in the
-        reference via eigen_decomp_valid flags, algo_callback.c:68; here
-        it's recomputed per trace — XLA caches/fuses it)."""
+        """Batched eigendecomposition over rate matrices — the cache if
+        set, else recomputed in-trace (lazy in the reference via
+        eigen_decomp_valid flags, algo_callback.c:68)."""
+        if self.eigen_lam is not None:
+            return self.eigen_lam, self.eigen_V, self.eigen_Vinv
         return eigen_mod.eigen_reversible_batched(self.subst_rates, self.freqs)
+
+    def cache_eigen(self):
+        """Return a partition with the eigendecomposition materialized.
+        Use on hot brlens-only paths (likelihood eval, BLO, SPR): on TPU
+        the eigh dominates a full evaluation otherwise. The cache is
+        cleared automatically by :meth:`with_model_params`."""
+        lam, V, Vinv = eigen_mod.eigen_reversible_batched(
+            self.subst_rates, self.freqs)
+        return self.replace(eigen_lam=lam, eigen_V=V, eigen_Vinv=Vinv)
+
+    def with_model_params(self, subst_rates=None, freqs=None):
+        """Replace rates/freqs AND invalidate the eigen cache."""
+        kw = dict(eigen_lam=None, eigen_V=None, eigen_Vinv=None)
+        if subst_rates is not None:
+            kw["subst_rates"] = subst_rates
+        if freqs is not None:
+            kw["freqs"] = freqs
+        return self.replace(**kw)
 
     def prob_matrices(self, brlens):
         """P-matrices for all edges × categories: [E, C, S, S].
 
-        Uses the degenerate-eigenvalue-safe differentiable path
-        (eigen.prob_matrices_params custom JVP) so autodiff works even for
-        equal-rates models like JC."""
+        Cached-eigen path when available (brlens-differentiable);
+        otherwise the degenerate-eigenvalue-safe fully-differentiable path
+        (eigen.prob_matrices_params custom JVP)."""
+        if self.eigen_lam is not None:
+            return eigen_mod.prob_matrices_multi(
+                (self.eigen_lam, self.eigen_V, self.eigen_Vinv),
+                jnp.asarray(brlens, self.dtype), self.rate_cats,
+                self.param_indices, self.prop_invar)
         return eigen_mod.prob_matrices_params(
             self.subst_rates, self.freqs, jnp.asarray(brlens, self.dtype),
             self.rate_cats, self.param_indices, self.prop_invar)

@@ -262,6 +262,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     Returns (brlens [n_edge_slots], logL) — and writes the optimized
     lengths back into ``tree`` unless ``write_back=False``.
     """
+    if partition.eigen_lam is None:
+        partition = partition.cache_eigen()   # hot path: brlens-only grads
     trav = DirectedTraversal(tree)
     levels, offsets, edge_ref, n_slots = trav.schedule()
     edge_mask = jnp.asarray(trav.edge_mask)
@@ -290,6 +292,19 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                 break
         lnl_prev = lnl_here
         brlens = new_brlens
+
+    # damped polish: Jacobi sweeps can oscillate around the joint optimum
+    # (the coupling the reference's Gauss-Seidel avoids); a few half-step
+    # sweeps from the best iterate settle it
+    for _ in range(4):
+        new_brlens, lnl_here = _blo_sweep(
+            partition, levels, offsets, edge_ref, edge_mask, brlens,
+            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype), n_slots)
+        lnl_here = float(lnl_here)
+        if lnl_here > best_lnl:
+            best_lnl, best_brlens = lnl_here, brlens
+        brlens = 0.5 * (brlens + new_brlens)
 
     final_lnl = float(_lnl_at(partition, levels, offsets, edge_ref,
                               edge_mask, brlens, n_slots))
@@ -336,6 +351,9 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
             total += lnl
         return total
 
+    for i in treeinfo.local_indices():
+        if treeinfo.partitions[i].eigen_lam is None:
+            treeinfo.partitions[i] = treeinfo.partitions[i].cache_eigen()
     parts = tuple(treeinfo.partitions[i] for i in treeinfo.local_indices())
     idxs = list(treeinfo.local_indices())
     if treeinfo.brlen_linkage == BRLEN_SCALED:

@@ -170,7 +170,7 @@ class SubstModel:
             sr = sr.at[matrix_index].set(np.asarray(self.rates, float))
         if self.freqs is not None:
             fq = fq.at[matrix_index].set(np.asarray(self.freqs, float))
-        return partition.replace(subst_rates=sr, freqs=fq)
+        return partition.with_model_params(subst_rates=sr, freqs=fq)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -113,9 +113,9 @@ def set_protein(partition, name: str, model_freqs: bool = True,
     model = info(name)
     sr = partition.subst_rates.at[matrix_index].set(
         np.asarray(model.rates, float))
-    out = partition.replace(subst_rates=sr)
+    out = partition.with_model_params(subst_rates=sr)
     if model_freqs and model.freqs is not None:
-        out = out.replace(freqs=out.freqs.at[matrix_index].set(
+        out = out.with_model_params(freqs=out.freqs.at[matrix_index].set(
             np.asarray(model.freqs, float)))
     return out
 
@@ -131,9 +131,9 @@ def set_protmix(partition, name: str, model_freqs: bool = True):
     out = partition
     for i, comp in enumerate(mix.components):
         sr = out.subst_rates.at[i].set(np.asarray(comp.rates, float))
-        out = out.replace(subst_rates=sr)
+        out = out.with_model_params(subst_rates=sr)
         if model_freqs and comp.freqs is not None:
-            out = out.replace(freqs=out.freqs.at[i].set(
+            out = out.with_model_params(freqs=out.freqs.at[i].set(
                 np.asarray(comp.freqs, float)))
     import jax.numpy as jnp
     pidx = jnp.arange(mix.n_components, dtype=jnp.int32)

@@ -1,0 +1,67 @@
+"""Pallas kernel equivalence (interpret mode on CPU).
+
+The TPU production path must match the XLA engine exactly — the
+scalar-vs-SIMD golden equivalence of the reference (SURVEY §4) applied to
+the hand-written kernel."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.ops import engine
+from pllmod_tpu.ops import pallas_clv
+from tests import reference_impl as ref
+
+
+@pytest.mark.parametrize("n_tips,cats,pinv", [(6, 4, 0.0), (12, 2, 0.2),
+                                              (20, 4, 0.0)])
+def test_pallas_matches_xla(rng, n_tips, cats, pinv):
+    tree = ref.random_binary_tree(rng, n_tips)
+    seqs = ref.random_sequences(rng, n_tips, 100)
+    part = create_partition(seqs, states=4, n_rate_cats=cats, alpha=0.9,
+                            prop_invar=pinv,
+                            subst_rates=rng.uniform(0.5, 2, 6),
+                            freqs=rng.dirichlet([6] * 4),
+                            dtype=jnp.float32)
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    l_xla = float(engine.loglikelihood_levels(part, levels, brl, offsets,
+                                              ri, n_slots))
+    l_pl = float(pallas_clv.loglikelihood_pallas(part, levels, brl, offsets,
+                                                 ri, n_slots, True))
+    assert l_pl == pytest.approx(l_xla, abs=1e-3)
+
+
+def test_pallas_with_cached_eigen(rng):
+    tree = ref.random_binary_tree(rng, 8)
+    seqs = ref.random_sequences(rng, 8, 64)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=1.1,
+                            dtype=jnp.float32)
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    l_plain = float(pallas_clv.loglikelihood_pallas(
+        part, levels, brl, offsets, ri, n_slots, True))
+    cached = part.cache_eigen()
+    l_cached = float(pallas_clv.loglikelihood_pallas(
+        cached, levels, brl, offsets, ri, n_slots, True))
+    assert l_cached == pytest.approx(l_plain, abs=1e-4)
+
+
+def test_cached_eigen_invalidated_on_param_change(rng):
+    """with_model_params must clear the cache — a stale eigendecomposition
+    would silently corrupt every likelihood after a rate change."""
+    tree = ref.random_binary_tree(rng, 6)
+    seqs = ref.random_sequences(rng, 6, 50)
+    part = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.0,
+                            dtype=jnp.float64).cache_eigen()
+    assert part.eigen_lam is not None
+    new_rates = jnp.asarray(np.random.default_rng(0).uniform(
+        0.5, 2, (1, 6)))
+    p2 = part.with_model_params(subst_rates=new_rates)
+    assert p2.eigen_lam is None
+    # and the likelihood reflects the new rates
+    from pllmod_tpu.ops.engine import tree_loglikelihood
+    l_old = float(tree_loglikelihood(part, tree))
+    l_new = float(tree_loglikelihood(p2, tree))
+    assert abs(l_old - l_new) > 1e-6
