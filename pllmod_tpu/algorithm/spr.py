@@ -406,6 +406,36 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     # full branch-length optimization (algo_search.c:1232)
     final_lnl = optimize_branch_lengths_treeinfo(
         treeinfo, **(blo_params or {}))
+
+    # re-evaluate the toplist: apply each saved candidate move with BLO and
+    # keep the best topology seen (algo_search.c:1271-1418)
+    if toplist:
+        best_topo = treeinfo.get_topology()
+        best_final = final_lnl
+        for entry in toplist:
+            u, v = (int(x) for x in tree.edge_nodes[entry.prune_edge])
+            if u < 0 or entry.junction not in (u, v):
+                continue  # stale after applied SPRs
+            if tree.edge_nodes[entry.regraft_edge, 0] < 0:
+                continue
+            snap = treeinfo.get_topology()
+            try:
+                moves.spr(tree, entry.prune_edge, entry.regraft_edge,
+                          junction=entry.junction)
+            except Exception:
+                continue
+            treeinfo.tree.invalidate()
+            lnl_try = optimize_branch_lengths_treeinfo(
+                treeinfo, max_sweeps=8, tolerance=1e-3)
+            if lnl_try > best_final + epsilon:
+                best_final = lnl_try
+                best_topo = treeinfo.get_topology()
+                n_applied += 1
+            treeinfo.set_topology(snap)
+        treeinfo.set_topology(best_topo)
+        if best_final > final_lnl:
+            final_lnl = optimize_branch_lengths_treeinfo(
+                treeinfo, **(blo_params or {}))
     # consistency: final logL must not be (much) worse than tracked best
     # (reference asserts |logL − best| < 1e-6 after restoring best topology)
     return final_lnl, n_applied, toplist

@@ -54,6 +54,32 @@ def loglikelihood_levels(partition, levels, brlens, offsets, root_info,
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
+@partial(jax.jit, static_argnums=(4,))
+def loglikelihood_asc(partition, asc_partition, ops, brlens, root_info):
+    """Log-likelihood with Lewis-type ascertainment-bias correction
+    (libpll PLL_ATTRIB_AB_FLAG analog):
+
+        lnL = Σ_p w_p ln L_p − (Σ_p w_p) · ln(1 − Σ_j L_const_j)
+
+    where ``asc_partition`` = :func:`pllmod_tpu.ops.partition.
+    make_asc_partition` holds the S constant-site patterns.
+    """
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    u, v, e = root_info
+    total, lnl_sites = lk_mod.edge_loglikelihood(
+        partition, clvs, scalers, u, v, P[e], persite=True)
+
+    aP = asc_partition.prob_matrices(brlens)
+    aclvs, ascalers = clv_mod.update_partials(asc_partition, aP, ops)
+    _, lnl_const = lk_mod.edge_loglikelihood(
+        asc_partition, aclvs, ascalers, u, v, aP[e], persite=True)
+    sel = asc_partition.pattern_weights          # 1 on the S patterns
+    p_const = jnp.sum(jnp.exp(lnl_const) * sel)
+    W = jnp.sum(partition.pattern_weights)
+    return total - W * jnp.log1p(-p_const)
+
+
 def compile_schedule(partition, tree, root_edge=None):
     """Host-side: compile a tree into the level schedule + remapped root
     info. Returns (levels tuple, offsets tuple, root_info, n_slots)."""

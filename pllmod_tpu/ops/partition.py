@@ -241,6 +241,41 @@ def create_partition(
     )
 
 
+def make_asc_partition(partition) -> Partition:
+    """Companion partition of the S constant-site patterns, for Lewis-type
+    ascertainment-bias correction (libpll PLL_ATTRIB_AB_FLAG: the reference
+    allocates ``sites + states`` dummy sites, treeinfo.c:333-335).
+
+    Pattern j has every tip in state j; evaluating the same tree on it
+    yields the probabilities L_j of observing a constant column, and the
+    corrected log-likelihood is ``Σ_p w_p [ln L_p − ln(1 − Σ_j L_j)]``
+    (Lewis 2001).
+    """
+    S = partition.states
+    pad = partition.n_patterns_padded  # keep mesh-divisible padding
+    codes = np.zeros((partition.n_tips, pad), np.int32)
+    # code_clv rows for pure states may not exist in the observed code
+    # table; build a dedicated pure-state table: code j+1 = state j,
+    # code 0 = gap (padding)
+    n_codes = S + 1
+    code_clv = np.zeros((n_codes, S))
+    code_clv[0] = 1.0
+    for j in range(S):
+        code_clv[j + 1, j] = 1.0
+        codes[:, j] = j + 1
+    w = np.zeros(pad)
+    w[:S] = 1.0  # acts as a selector, not a weight
+    inv_ind = np.zeros((pad, S))
+    return partition.replace(
+        tip_states=jnp.asarray(codes),
+        code_clv=jnp.asarray(code_clv, partition.dtype),
+        pattern_weights=jnp.asarray(w, partition.dtype),
+        inv_indicator=jnp.asarray(inv_ind, partition.dtype),
+        # ASC correction is defined for the variable-rates process only
+        prop_invar=jnp.zeros_like(partition.prop_invar),
+    )
+
+
 def compress_patterns(codes: np.ndarray, weights: np.ndarray):
     """Site-pattern compression: identical alignment columns collapse into
     one pattern with summed weight (libpll ``pll_compress_site_patterns``,

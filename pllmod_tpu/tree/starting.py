@@ -224,6 +224,98 @@ def parsimony_stepwise(labels, sequences, charmap, seed: int | None = None,
     return tree, score
 
 
+def parsimony_spr_round(tree: Tree, sequences, charmap,
+                        pattern_weights=None, epsilon: int = 0):
+    """One parsimony SPR round (pll_fastparsimony_stepwise_spr_round
+    analog): for every prunable subtree, score re-insertion into every
+    remainder edge via directed Fitch sets, apply the best move when it
+    lowers the exact Fitch score.
+
+    Returns (tree, score, n_applied). The tree is modified in place.
+    """
+    from pllmod_tpu.tree import moves as moves_mod
+
+    masks = _tip_masks(sequences, charmap)
+    n_sites = masks.shape[1]
+    w = (np.ones(n_sites) if pattern_weights is None
+         else np.asarray(pattern_weights, float))
+    score = parsimony_score(tree, sequences, charmap, pattern_weights)
+    n_applied = 0
+
+    # candidate list up-front (stable edge ids survive applied moves)
+    cands = []
+    for e, (u, v) in enumerate(tree.edge_nodes):
+        u, v = int(u), int(v)
+        if u < 0:
+            continue
+        for junction in (u, v):
+            if not tree.is_tip(junction):
+                cands.append((e, junction))
+
+    for prune_edge, junction in cands:
+        u, v = (int(x) for x in tree.edge_nodes[prune_edge])
+        if u < 0 or junction not in (u, v):
+            continue
+        nbrs = [(n, e) for n, e in tree.neighbors(junction)
+                if e != prune_edge]
+        if len(nbrs) != 2:
+            continue
+        sub_root = u if junction == v else v
+        # subtree Fitch set from the full tree's directed sets
+        up_full = _directed_fitch_sets(tree, masks)
+        S_set = (masks[sub_root] if tree.is_tip(sub_root)
+                 else up_full[(sub_root, junction)])
+
+        # remainder tree
+        sub_nodes = moves_mod.subtree_nodes(tree, prune_edge, sub_root)
+        R = tree.copy()
+        moves_mod.prune(R, junction, keep_edge=prune_edge)
+        R.edge_nodes[prune_edge] = (-1, -1)
+        for e2, (x, y) in enumerate(R.edge_nodes):
+            if x >= 0 and int(x) in sub_nodes and int(y) in sub_nodes:
+                R.edge_nodes[e2] = (-1, -1)
+        R.invalidate()
+        try:
+            up_R = _directed_fitch_sets(R, masks)
+        except Exception:
+            continue
+
+        best_cost = None
+        best_edge = None
+        adj_j = {e for _, e in tree.neighbors(junction)}
+        for e2, (x, y) in enumerate(R.edge_nodes):
+            x, y = int(x), int(y)
+            if x < 0 or e2 in adj_j:
+                continue
+            a = up_R.get((x, y))
+            b = up_R.get((y, x))
+            if a is None or b is None:
+                continue
+            inter = a & b
+            edge_set = np.where(inter == 0, a | b, inter)
+            cost = float((w * ((edge_set & S_set) == 0)).sum())
+            if best_cost is None or cost < best_cost:
+                best_cost, best_edge = cost, e2
+
+        if best_edge is None:
+            continue
+        # verify with the exact score; apply only on real improvement
+        snap = tree.snapshot()
+        try:
+            moves_mod.spr(tree, prune_edge, best_edge, junction=junction)
+        except Exception:
+            tree.restore(snap)
+            continue
+        new_score = parsimony_score(tree, sequences, charmap,
+                                    pattern_weights)
+        if new_score + epsilon < score:
+            score = new_score
+            n_applied += 1
+        else:
+            tree.restore(snap)
+    return tree, score, n_applied
+
+
 def parsimony_tree_multi(labels, msas_and_charmaps, seed=None,
                          default_brlen: float = 0.1):
     """Multi-partition parsimony starting tree: greedy stepwise addition

@@ -84,3 +84,35 @@ def test_parsimony_multi_partition(rng):
     assert t.is_binary()
     assert score == (parsimony_score(t, seqs1, cm.DNA)
                      + parsimony_score(t, seqs2, cm.AA))
+
+
+def test_parsimony_spr_round_improves(rng):
+    from pllmod_tpu.tree.starting import parsimony_spr_round
+    n, sites = 12, 150
+    base1 = rng.choice(list("ACGT"), sites)
+    base2 = base1.copy()
+    flip = rng.random(sites) < 0.4
+    base2[flip] = rng.choice(list("ACGT"), flip.sum())
+    seqs = []
+    for i in range(n):
+        src = base1 if i < n // 2 else base2
+        s = src.copy()
+        mut = rng.random(sites) < 0.04
+        s[mut] = rng.choice(list("ACGT"), mut.sum())
+        seqs.append("".join(s))
+    labels = [f"t{i}" for i in range(n)]
+    # start from a random tree: SPR round should reduce the score
+    t = random_tree(labels, seed=2)
+    s0 = parsimony_score(t, seqs, cm.DNA)
+    t, s1, applied = parsimony_spr_round(t, seqs, cm.DNA)
+    t.check_integrity()
+    assert s1 <= s0
+    assert applied > 0
+    assert s1 == parsimony_score(t, seqs, cm.DNA)
+    # iterating converges at or below the stepwise-addition score
+    for _ in range(4):
+        t, s2, applied = parsimony_spr_round(t, seqs, cm.DNA)
+        if applied == 0:
+            break
+    pt, ps = parsimony_stepwise(labels, seqs, cm.DNA, seed=3)
+    assert s2 <= ps * 1.1 + 3
