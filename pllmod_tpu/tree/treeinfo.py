@@ -69,6 +69,9 @@ class TreeInfo:
         # active-partition scoping (treeinfo.c:354-369); -1 = all
         self.active_partition = -1
         self.partition_loglh = np.zeros(n)
+        # CLV-op counters (treeinfo->counter analog, treeinfo.c:1017)
+        from pllmod_tpu.profile import Counters
+        self.counters = Counters()
 
     # ------------------------------------------------------------------
     @property
@@ -127,13 +130,17 @@ class TreeInfo:
         ops, root_info = self.tree.traversal_ops()
         ri = tuple(int(x) for x in root_info)
         ops_j = jnp.asarray(ops)
+        n_inner = int((ops[:, 0] >= 0).sum())
         total = 0.0
-        for i in self.local_indices():
-            part = self.partitions[i]
-            brl = jnp.asarray(self.partition_brlens(i), part.dtype)
-            lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
-            self.partition_loglh[i] = lnl
-            total += lnl
+        from pllmod_tpu.profile import timed
+        with timed(self.counters):
+            for i in self.local_indices():
+                part = self.partitions[i]
+                brl = jnp.asarray(self.partition_brlens(i), part.dtype)
+                lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
+                self.partition_loglh[i] = lnl
+                self.counters.add_traversal(n_inner, part.n_patterns_padded)
+                total += lnl
         return total
 
     # -- brlen-scaler normalization (treeinfo.c:1101-1197) ----------------
