@@ -57,7 +57,9 @@ def main():
             return acc + one(brl0 * (1.0 + 1e-7 * i))
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
-    many(brlens).block_until_ready()  # compile
+    many(brlens).block_until_ready()           # compile
+    many(brlens * 1.00005).block_until_ready()  # first-exec warmup (~40ms
+    # one-time penalty on the axon runtime; steady state is what matters)
     t0 = time.perf_counter()
     lnl = many(brlens * 1.0001)
     lnl.block_until_ready()

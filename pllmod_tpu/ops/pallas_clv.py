@@ -156,6 +156,93 @@ def _child_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
     return fn(idx3, clvs_csp, scalers, tip_codes, codetab, Pbd_lvl)
 
 
+def _make_child2_kernel(n_codes: int):
+    """Second-child pass FUSED with the combine: reads the first pass's
+    (left, s1) blocks, computes right = P_bd @ c2 in-register, multiplies,
+    rescales and writes the final level block — one fewer full round-trip
+    of level data through HBM than kernel+XLA-combine."""
+
+    def _kernel(idx_ref,              # prefetch: [W, 3] int32
+                clvs_ref, sc_ref, codes_ref, codetab_ref, Pbd_ref,
+                left_ref, s1_ref,
+                out_clv_ref, out_sc_ref):
+        w = pl.program_id(0)
+        CS = clvs_ref.shape[1]
+        T = clvs_ref.shape[2]
+        is_tip = idx_ref[w, 1] == 1
+
+        codes = codes_ref[0]
+        acc = jnp.zeros((CS, T), jnp.float32)
+        for k in range(n_codes):
+            col = codetab_ref[:, k][:, None]
+            acc = acc + jnp.where(codes == k, col, 0.0)
+
+        c2 = jnp.where(is_tip, acc, clvs_ref[0])
+        s2 = jnp.where(is_tip, jnp.zeros_like(sc_ref[0]), sc_ref[0])
+        right = jax.lax.dot_general(
+            Pbd_ref[0], c2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        prod = left_ref[0] * right
+
+        m = jnp.max(prod, axis=0, keepdims=True)               # [1, T]
+        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+        e = ((mi >> 23) & 0xFF) - 126
+        e = jnp.where(m > 0, e, 0)
+        e = jnp.clip(e, -125, 127)
+        scale = jax.lax.bitcast_convert_type(
+            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+        out_clv_ref[0] = prod * scale
+        out_sc_ref[0] = s1_ref[0] + s2 + e
+
+    return _kernel
+
+
+def _child2_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
+                 left, s1, n_codes: int, interpret: bool):
+    """Fused second-child pass for one level."""
+    n_slots, CS, P = clvs_csp.shape
+    W = idx3.shape[0]
+    TILE_P = min(P, 8192)
+    nP = P // TILE_P
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(W, nP),
+        in_specs=[
+            pl.BlockSpec((1, CS, TILE_P),
+                         lambda w, p, idx: (idx[w, 0], 0, p)),
+            pl.BlockSpec((1, 1, TILE_P),
+                         lambda w, p, idx: (idx[w, 0], 0, p)),
+            pl.BlockSpec((1, 1, TILE_P),
+                         lambda w, p, idx: (idx[w, 2], 0, p)),
+            pl.BlockSpec(codetab.shape, lambda w, p, idx: (0, 0)),
+            pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
+            pl.BlockSpec((1, CS, TILE_P), lambda w, p, idx: (w, 0, p)),
+            pl.BlockSpec((1, 1, TILE_P), lambda w, p, idx: (w, 0, p)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CS, TILE_P), lambda w, p, idx: (w, 0, p)),
+            pl.BlockSpec((1, 1, TILE_P), lambda w, p, idx: (w, 0, p)),
+        ],
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"))
+    fn = pl.pallas_call(
+        _make_child2_kernel(n_codes),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((W, CS, P), jnp.float32),
+            jax.ShapeDtypeStruct((W, 1, P), scalers.dtype),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    return fn(idx3, clvs_csp, scalers, tip_codes, codetab, Pbd_lvl,
+              left, s1)
+
+
 def _make_combined_kernel(n_codes: int):
     """Combined two-child kernel (one call per level). The second CLV
     input must be a COPY of the buffer (two index-mapped views of one
@@ -342,9 +429,13 @@ def update_partials_pallas(partition, P, levels, offsets, n_slots: int,
         idx = _level_idx(partition, ops_lvl)
         P1 = Pbd[ops_lvl[:, 2]]
         P2 = Pbd[ops_lvl[:, 4]]
-        clvs, scalers = level_update_combined(
-            clvs, scalers, idx, tip_codes, codetab, P1, P2, off, n_codes,
-            interpret=interpret)
+        left, s1 = _child_pass(clvs, scalers, idx[:, (0, 2, 4)],
+                               tip_codes, codetab, P1, n_codes, interpret)
+        lvl_clv, lvl_sc = _child2_pass(clvs, scalers, idx[:, (1, 3, 5)],
+                                       tip_codes, codetab, P2, left, s1,
+                                       n_codes, interpret)
+        clvs = lax.dynamic_update_slice(clvs, lvl_clv, (off, 0, 0))
+        scalers = lax.dynamic_update_slice(scalers, lvl_sc, (off, 0, 0))
     return clvs, scalers
 
 
