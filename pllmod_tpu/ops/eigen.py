@@ -236,6 +236,29 @@ def _materialize(dx, x):
     return dx
 
 
+def prob_matrices_expm_multi(rates_m, freqs_m, brlens, rate_cats,
+                             param_indices, prop_invar):
+    """General (non-reversible-capable) P-matrices via batched matrix
+    exponentials: the fallback when Q cannot be symmetrized (custom
+    non-reversible models). Differentiable; O(S^3 log t) per matrix.
+
+    Same signature/semantics as :func:`prob_matrices_params`.
+    """
+    Q = jax.vmap(lambda r, f: build_q(r, jnp.maximum(f, _FREQ_FLOOR)))(
+        rates_m, freqs_m)                             # [M,S,S]
+    dtype = Q.dtype
+    Q_c = Q[param_indices]                            # [C,S,S]
+    pinv_c = jnp.asarray(prop_invar, dtype)[param_indices]
+    rc = rate_cats.astype(dtype) / (1.0 - pinv_c)     # [C]
+    brlens = jnp.asarray(brlens, dtype)
+    t = brlens[:, None] * rc[None, :]                 # [E,C]
+
+    def one(ti, Qi):
+        return jax.scipy.linalg.expm(Qi * ti)
+
+    return jax.vmap(lambda te: jax.vmap(one)(te, Q_c))(t)  # [E,C,S,S]
+
+
 def prob_matrices_expm(rates, freqs, brlens, rate_cats, prop_invar=0.0):
     """General (possibly non-reversible) fallback via matrix exponential."""
     Q = build_q(rates, jnp.maximum(freqs, _FREQ_FLOOR))

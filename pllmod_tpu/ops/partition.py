@@ -63,6 +63,10 @@ class Partition:
     states: int = struct.field(pytree_node=False)
     n_patterns: int = struct.field(pytree_node=False)       # unpadded count
     gamma_mode: int = struct.field(pytree_node=False, default=GAMMA_RATES_MEAN)
+    # reversible=False switches P-matrices to the expm path (custom
+    # non-reversible models); the eigendecomposition-based fast paths
+    # (sumtable BLO) are unavailable then
+    reversible: bool = struct.field(pytree_node=False, default=True)
     # --- cached eigendecomposition (libpll eigen_decomp_valid analog) -------
     # None = recompute inside the trace (differentiable w.r.t. rates/freqs);
     # set via cache_eigen() for brlens-only hot paths (eval/BLO/SPR): the
@@ -93,6 +97,12 @@ class Partition:
         """Batched eigendecomposition over rate matrices — the cache if
         set, else recomputed in-trace (lazy in the reference via
         eigen_decomp_valid flags, algo_callback.c:68)."""
+        if not self.reversible:
+            from pllmod_tpu.common import PllModError, ERROR_UNSUPPORTED
+            raise PllModError(
+                ERROR_UNSUPPORTED,
+                "eigendecomposition paths (sumtable BLO) require a "
+                "reversible model; use autodiff-based optimization")
         if self.eigen_lam is not None:
             return self.eigen_lam, self.eigen_V, self.eigen_Vinv
         return eigen_mod.eigen_reversible_batched(self.subst_rates, self.freqs)
@@ -120,7 +130,13 @@ class Partition:
 
         Cached-eigen path when available (brlens-differentiable);
         otherwise the degenerate-eigenvalue-safe fully-differentiable path
-        (eigen.prob_matrices_params custom JVP)."""
+        (eigen.prob_matrices_params custom JVP); expm for non-reversible
+        models."""
+        if not self.reversible:
+            return eigen_mod.prob_matrices_expm_multi(
+                self.subst_rates, self.freqs,
+                jnp.asarray(brlens, self.dtype), self.rate_cats,
+                self.param_indices, self.prop_invar)
         if self.eigen_lam is not None:
             return eigen_mod.prob_matrices_multi(
                 (self.eigen_lam, self.eigen_V, self.eigen_Vinv),
@@ -163,6 +179,7 @@ def create_partition(
     pattern_pad: int = 128,
     dtype=jnp.float32,
     gamma_mode: int = GAMMA_RATES_MEAN,
+    reversible: bool = True,
 ) -> Partition:
     """Build a Partition from raw sequences (list of str/bytes, equal length).
 
@@ -238,6 +255,7 @@ def create_partition(
         states=states,
         n_patterns=n_patterns,
         gamma_mode=gamma_mode,
+        reversible=reversible,
     )
 
 

@@ -105,3 +105,21 @@ def test_duplicate_sites_equal_weighted_patterns(rng):
     l1 = float(tree_loglikelihood(p1, tree))
     l2 = float(tree_loglikelihood(p2, tree))
     assert l2 == pytest.approx(l1, abs=1e-8)
+
+
+def test_nonreversible_partition_matches_reversible_for_gtr(rng):
+    """For a reversible GTR, the expm path must agree with the eigen path
+    (non-reversible wiring sanity)."""
+    from pllmod_tpu.common import PllModError
+    tree = ref.random_binary_tree(rng, 6)
+    seqs = ref.random_sequences(rng, 6, 50)
+    kw = dict(states=4, n_rate_cats=3, alpha=0.9,
+              subst_rates=rng.uniform(0.5, 2, 6),
+              freqs=rng.dirichlet([5] * 4), dtype=jnp.float64)
+    p_rev = create_partition(seqs, **kw)
+    p_gen = create_partition(seqs, reversible=False, **kw)
+    l_rev = float(tree_loglikelihood(p_rev, tree))
+    l_gen = float(tree_loglikelihood(p_gen, tree))
+    assert l_gen == pytest.approx(l_rev, abs=1e-8)
+    with pytest.raises(PllModError):
+        p_gen.eigen()
