@@ -81,3 +81,30 @@ def test_dryrun_multichip_entrypoint():
     """The driver contract: full sharded train step on 8 devices."""
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sharded_blo_sweep_matches(rng, mesh):
+    """BLO sweeps under the site mesh must equal single-device sweeps —
+    the Newton-derivative reduce is the reference's critical collective
+    (pll_optimize.c:1270-1286)."""
+    from pllmod_tpu.optimize.blo import DirectedTraversal, _blo_sweep
+    tree, part = _case(rng, n_tips=8, n_sites=200)
+    part = part.cache_eigen()
+    trav = DirectedTraversal(tree)
+    levels, offsets, edge_ref, n_slots = trav.schedule()
+    edge_mask = jnp.asarray(trav.edge_mask)
+    brl = jnp.asarray(np.clip(tree.lengths, 1e-4, 100.0), part.dtype)
+    args = (jnp.asarray(1e-4, part.dtype), jnp.asarray(100.0, part.dtype),
+            jnp.asarray(1e-6, part.dtype))
+    new_single, lnl_single = _blo_sweep(part, levels, offsets, edge_ref,
+                                        edge_mask, brl, *args, n_slots)
+    sharded = shard_partition(part, mesh)
+    with mesh:
+        new_sh, lnl_sh = _blo_sweep(
+            sharded, replicate(levels, mesh), offsets,
+            replicate(edge_ref, mesh), replicate(edge_mask, mesh),
+            replicate(brl, mesh), *(replicate(a, mesh) for a in args),
+            n_slots)
+    assert float(lnl_sh) == pytest.approx(float(lnl_single), abs=1e-9)
+    np.testing.assert_allclose(np.asarray(new_sh), np.asarray(new_single),
+                               atol=1e-10)
