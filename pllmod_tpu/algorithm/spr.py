@@ -100,69 +100,89 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
 
 
 @jax.jit
-def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
-                                 t_s, edge_ref, edge_mask, half_len,
-                                 min_brlen, max_brlen):
+def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
+                                 clv_S_tup, scaler_S_tup, t_s, edge_ref,
+                                 edge_mask, half_len, min_brlen, max_brlen):
     """Thorough-mode batched scoring: per candidate edge, optimize the
     three attachment branch lengths (subtree, x-side, y-side) by
     coordinate-wise Newton from sumtables (the reference's radius-1
-    triplet BLO, algo_search.c:792-807, batched over ALL candidates).
+    triplet BLO, algo_search.c:792-807) — batched over ALL candidates and
+    summed over partitions with the brlen-scaler chain rule
+    (df·s, ddf·s², pll_optimize.c:1249-1267).
 
+    Args:
+      partitions: tuple of Partition pytrees
+      part_scalers: tuple of per-partition brlen scalers (SCALED mode)
+      clv_S_tup/scaler_S_tup: per-partition pruned-subtree root CLVs
     Returns (lnl [E], t_s_opt [E], t_x_opt [E], t_y_opt [E]).
     """
     from pllmod_tpu.ops import derivatives as deriv_mod
     from pllmod_tpu.optimize.newton import minimize_newton_multi
 
-    P = partition.prob_matrices(brlens_R)
-    clvs, scalers = clv_mod.update_partials(partition, P, ops_R)
-    eigen = partition.eigen()
-    dtype = partition.dtype
+    dtype = partitions[0].dtype
+    per_part = []
+    eigens = []
+    for part, psc in zip(partitions, part_scalers):
+        P = part.prob_matrices(brlens_R * psc)
+        clvs, scalers = clv_mod.update_partials(part, P, ops_R)
+        A_x, sx = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           edge_ref[:, 0])
+        A_y, sy = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           edge_ref[:, 1])
+        per_part.append((A_x, sx, A_y, sy))
+        eigens.append(part.eigen())
 
-    A_x_all, sx_all = clv_mod.gather_node_clvs(partition, clvs, scalers,
-                                               edge_ref[:, 0])
-    A_y_all, sy_all = clv_mod.gather_node_clvs(partition, clvs, scalers,
-                                               edge_ref[:, 1])
-
-    def one_edge(A_x, sx, A_y, sy, hl):
+    def one_edge(batched, hl):
+        # batched: tuple over partitions of (A_x, sx, A_y, sy) for ONE edge
         def coord_newton(t_triple, which):
             ts, tx, ty = t_triple
-            # combined CLV of the two fixed directions
-            def comb(c1, t1, c2, t2):
-                P1 = partition.prob_matrices(t1[None])[0]
-                P2 = partition.prob_matrices(t2[None])[0]
-                a = jnp.einsum("pcj,cij->pci", c1, P1,
-                               preferred_element_type=dtype,
-                      precision=_PREC)
-                b = jnp.einsum("pcj,cij->pci", c2, P2,
-                               preferred_element_type=dtype,
-                      precision=_PREC)
-                return a * b
+            sts, scs = [], []
+            for (part, psc, eigen, (A_x, sx, A_y, sy),
+                 clv_S, scaler_S) in zip(partitions, part_scalers, eigens,
+                                         batched, clv_S_tup, scaler_S_tup):
+                def comb(c1, t1, c2, t2, part=part, psc=psc):
+                    P1 = part.prob_matrices((t1 * psc)[None])[0]
+                    P2 = part.prob_matrices((t2 * psc)[None])[0]
+                    a = jnp.einsum("pcj,cij->pci", c1, P1,
+                                   preferred_element_type=dtype,
+                                   precision=_PREC)
+                    b = jnp.einsum("pcj,cij->pci", c2, P2,
+                                   preferred_element_type=dtype,
+                                   precision=_PREC)
+                    return a * b
 
-            if which == 0:   # optimize t_s: edge between clv_S and (x,y)
-                B = comb(A_x, tx, A_y, ty)
-                st = deriv_mod.sumtable(partition, B, clv_S, eigen)
-                sc = sx + sy + scaler_S
-                t0 = ts
-            elif which == 1:  # optimize t_x
-                B = comb(clv_S, ts, A_y, ty)
-                st = deriv_mod.sumtable(partition, B, A_x, eigen)
-                sc = sx + sy + scaler_S
-                t0 = tx
-            else:            # optimize t_y
-                B = comb(clv_S, ts, A_x, tx)
-                st = deriv_mod.sumtable(partition, B, A_y, eigen)
-                sc = sx + sy + scaler_S
-                t0 = ty
+                if which == 0:   # t_s: edge between clv_S and (x, y)
+                    B = comb(A_x, tx, A_y, ty)
+                    st = deriv_mod.sumtable(part, B, clv_S, eigen)
+                elif which == 1:  # t_x
+                    B = comb(clv_S, ts, A_y, ty)
+                    st = deriv_mod.sumtable(part, B, A_x, eigen)
+                else:            # t_y
+                    B = comb(clv_S, ts, A_x, tx)
+                    st = deriv_mod.sumtable(part, B, A_y, eigen)
+                sts.append(st)
+                scs.append(sx + sy + scaler_S)
+            t0 = (ts, tx, ty)[which]
 
             def deriv(t):
-                _, df, ddf = deriv_mod.edge_derivatives(partition, st, sc, t,
-                                                        eigen)
-                return df, ddf
+                df_tot = jnp.zeros_like(t)
+                ddf_tot = jnp.zeros_like(t)
+                for part, psc, eigen, st, sc in zip(partitions, part_scalers,
+                                                    eigens, sts, scs):
+                    _, df, ddf = deriv_mod.edge_derivatives(
+                        part, st, sc, t * psc, eigen)
+                    df_tot = df_tot + df * psc
+                    ddf_tot = ddf_tot + ddf * psc * psc
+                return df_tot, ddf_tot
 
             t_new = minimize_newton_multi(deriv, t0, min_brlen, max_brlen,
                                           tol=1e-4, max_iters=6)
-            lnl, _, _ = deriv_mod.edge_derivatives(partition, st, sc, t_new,
-                                                   eigen)
+            lnl = jnp.asarray(0.0, dtype)
+            for part, psc, eigen, st, sc in zip(partitions, part_scalers,
+                                                eigens, sts, scs):
+                l, _, _ = deriv_mod.edge_derivatives(part, st, sc,
+                                                     t_new * psc, eigen)
+                lnl = lnl + l
             if which == 0:
                 return (t_new, tx, ty), lnl
             if which == 1:
@@ -176,8 +196,7 @@ def _score_all_regrafts_thorough(partition, ops_R, brlens_R, clv_S, scaler_S,
                 t, lnl = coord_newton(t, which)
         return lnl, t[0], t[1], t[2]
 
-    lnls, ts, tx, ty = jax.vmap(one_edge)(A_x_all, sx_all, A_y_all, sy_all,
-                                          half_len)
+    lnls, ts, tx, ty = jax.vmap(one_edge)(tuple(per_part), half_len)
     neg = jnp.asarray(-jnp.inf, dtype)
     return jnp.where(edge_mask, lnls, neg), ts, tx, ty
 
@@ -323,41 +342,53 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         edge_ref = jnp.asarray(trav_R.edge_ref)
         mask &= trav_R.edge_mask
 
-        total_scores = None
         triplets = None
-        use_thorough = thorough and len(part_idx) == 1
-        for i in part_idx:
-            part = treeinfo.partitions[i]
-            clvs_f, scalers_f = full_clvs[i]
-            if tree.is_tip(sub_root):
-                clv_S = clv_mod.tip_clv(part, sub_root)
-                clv_S = jnp.broadcast_to(
-                    clv_S[:, None, :],
-                    (clv_S.shape[0], part.n_cats, part.states))
-                scaler_S = jnp.zeros(clv_S.shape[0], jnp.int32)
-            else:
-                slot = trav_full.sched_slot(sub_root, junction)
-                clv_S = clvs_f[slot]
-                scaler_S = scalers_f[slot]
 
-            brl_R = jnp.asarray(
-                np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1),
-                part.dtype)
-            t_s0 = jnp.asarray(float(tree.lengths[prune_edge]), part.dtype)
-            halves = jnp.asarray(R.lengths / 2.0, part.dtype)
-            if use_thorough:
-                scores, ts, tx, ty = _score_all_regrafts_thorough(
-                    part, ops_R_j, brl_R, clv_S, scaler_S, t_s0,
-                    edge_ref, jnp.asarray(mask), halves,
-                    jnp.asarray(1e-4, part.dtype),
-                    jnp.asarray(100.0, part.dtype))
-                triplets = (np.array(ts), np.array(tx), np.array(ty))
+        def subtree_clv(part, clvs_f, scalers_f):
+            if tree.is_tip(sub_root):
+                cS = clv_mod.tip_clv(part, sub_root)
+                cS = jnp.broadcast_to(
+                    cS[:, None, :], (cS.shape[0], part.n_cats, part.states))
+                return cS, jnp.zeros(cS.shape[0], jnp.int32)
+            slot = trav_full.sched_slot(sub_root, junction)
+            return clvs_f[slot], scalers_f[slot]
+
+        dtype0 = treeinfo.partitions[part_idx[0]].dtype
+        brl_R = jnp.asarray(
+            np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1), dtype0)
+        t_s0 = jnp.asarray(float(tree.lengths[prune_edge]), dtype0)
+        halves = jnp.asarray(R.lengths / 2.0, dtype0)
+        mask_j = jnp.asarray(mask)
+
+        if thorough:
+            parts = tuple(treeinfo.partitions[i] for i in part_idx)
+            if treeinfo.brlen_linkage == 1:  # SCALED
+                pscs = tuple(float(treeinfo.brlen_scalers[i])
+                             for i in part_idx)
             else:
+                pscs = tuple(1.0 for _ in part_idx)
+            cS_tup, sS_tup = [], []
+            for i in part_idx:
+                cS, sS = subtree_clv(treeinfo.partitions[i], *full_clvs[i])
+                cS_tup.append(cS)
+                sS_tup.append(sS)
+            scores, ts, tx, ty = _score_all_regrafts_thorough(
+                parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
+                t_s0, edge_ref, mask_j, halves,
+                jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0))
+            triplets = (np.array(ts), np.array(tx), np.array(ty))
+            total_scores = np.array(scores, np.float64)
+        else:
+            total_scores = None
+            for i in part_idx:
+                part = treeinfo.partitions[i]
+                cS, sS = subtree_clv(part, *full_clvs[i])
                 scores = _score_all_regrafts(
-                    part, ops_R_j, brl_R, clv_S, scaler_S, t_s0,
-                    edge_ref, jnp.asarray(mask), halves)
-            s = np.array(scores, np.float64)  # writable copy off-device
-            total_scores = s if total_scores is None else total_scores + s
+                    part, ops_R_j, brl_R, cS, sS, t_s0,
+                    edge_ref, mask_j, halves)
+                sarr = np.array(scores, np.float64)
+                total_scores = sarr if total_scores is None \
+                    else total_scores + sarr
 
         if total_scores is None:
             continue

@@ -208,3 +208,38 @@ def test_spr_round_recovers_topology(rng):
             break
     assert total_applied > 0
     assert lnl >= lnl_true - 1e-2
+
+
+def test_spr_round_multipartition_thorough(rng):
+    """Thorough SPR with two partitions: summed derivatives drive the
+    triplet optimization; the round must improve a perturbed tree."""
+    true_tree = ref.random_binary_tree(rng, 8, 0.05, 0.3)
+    rates = np.array([1.0, 3.0, 1.0, 1.0, 3.0, 1.0])
+    freqs = np.full(4, 0.25)
+    seqs1 = simulate(rng, true_tree, rates, freqs, 1.0, 600)
+    seqs2 = simulate(rng, true_tree, rates, freqs, 0.6, 400)
+    p1 = create_partition(seqs1, states=4, n_rate_cats=2, alpha=1.0,
+                          subst_rates=rates, freqs=freqs, dtype=jnp.float64)
+    p2 = create_partition(seqs2, states=4, n_rate_cats=2, alpha=0.6,
+                          subst_rates=rates, freqs=freqs, dtype=jnp.float64)
+
+    bad = true_tree.copy()
+    for _ in range(100):
+        e = int(rng.integers(len(bad.edge_nodes)))
+        if bad.edge_nodes[e, 0] < 0:
+            continue
+        j = int(bad.edge_nodes[e, rng.integers(2)])
+        if bad.is_tip(j):
+            continue
+        try:
+            moves.spr(bad, e, int(rng.integers(len(bad.edge_nodes))),
+                      junction=j)
+            break
+        except Exception:
+            continue
+    ti = TreeInfo(bad, [p1, p2])
+    from pllmod_tpu.algorithm import opt_brlen
+    l_bad = opt_brlen(ti)
+    lnl, n_applied, _ = spr_round(ti, radius_min=1, radius_max=6,
+                                  thorough=True)
+    assert lnl >= l_bad - 1e-6
