@@ -31,3 +31,12 @@ Layer map (mirrors SURVEY.md section 1):
 __version__ = "0.1.0"
 
 from pllmod_tpu import common  # noqa: F401
+
+# convenience top-level API (heavier modules import lazily underneath)
+from pllmod_tpu.ops.partition import (  # noqa: F401
+    Partition,
+    create_partition,
+    make_asc_partition,
+)
+from pllmod_tpu.ops.engine import tree_loglikelihood  # noqa: F401
+from pllmod_tpu.tree import Tree, TreeInfo, RTree, Constraint  # noqa: F401
