@@ -135,6 +135,31 @@ class RTree:
 
     # ------------------------------------------------------------------
     @classmethod
+    def from_unrooted(cls, tree, root_edge: int,
+                      position: float = 0.5) -> "RTree":
+        """Root an unrooted tree on an edge (pllmod_utree_root_inplace /
+        outgroup rooting, pll_tree.c:531-701): a new root node splits
+        ``root_edge`` at ``position`` of its length."""
+        u, v = (int(x) for x in tree.edge_nodes[root_edge])
+        n_nodes = tree.n_nodes
+        root = n_nodes
+        parent = np.full(n_nodes + 1, -1, np.int32)
+        lengths = np.zeros(n_nodes + 1)
+        # orient everything away from the new root
+        for side, frac in ((u, position), (v, 1.0 - position)):
+            stack = [(side, root,
+                      tree.lengths[root_edge] * frac, root_edge)]
+            while stack:
+                node, par, blen, pedge = stack.pop()
+                parent[node] = par
+                lengths[node] = blen
+                for nbr, e in tree.neighbors(node):
+                    if e == pedge or nbr == par:
+                        continue
+                    stack.append((nbr, node, tree.lengths[e], e))
+        return cls(tree.n_tips, tree.labels, parent, lengths, root)
+
+    @classmethod
     def from_newick(cls, newick: str) -> "RTree":
         """Parse a rooted Newick (root must be a bifurcation)."""
         from pllmod_tpu.tree.topology import _tokenize

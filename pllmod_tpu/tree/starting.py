@@ -224,6 +224,40 @@ def parsimony_stepwise(labels, sequences, charmap, seed: int | None = None,
     return tree, score
 
 
+def extend_tree_random(tree: Tree, new_labels, seed: int | None = None,
+                       default_brlen: float = 0.1) -> Tree:
+    """Insert additional taxa into an existing tree at random edges
+    (pllmod_utree_extend_random, pll_tree.c:703-981). Returns a NEW tree;
+    new tips get ids after the existing ones."""
+    rng = np.random.default_rng(seed)
+    old_n = tree.n_tips
+    n_new = len(new_labels)
+    labels = list(tree.labels) + list(new_labels)
+    # shift inner node ids up by n_new so tips stay contiguous
+    en = tree.edge_nodes.copy()
+    en[en >= old_n] += n_new
+    edges = [list(map(int, r)) for r in en if r[0] >= 0]
+    lengths = [float(l) for r, l in zip(en, tree.lengths) if r[0] >= 0]
+    next_inner = tree.n_nodes + n_new
+    for k in range(n_new):
+        tip = old_n + k
+        e = int(rng.integers(len(edges)))
+        u, v = edges[e]
+        w = next_inner
+        next_inner += 1
+        half = lengths[e] / 2.0
+        edges[e] = [u, w]
+        lengths[e] = half
+        edges.append([w, v])
+        lengths.append(half)
+        edges.append([tip, w])
+        lengths.append(default_brlen)
+    out = Tree(old_n + n_new, labels, np.array(edges, np.int32),
+               np.array(lengths), n_nodes=next_inner)
+    out.check_integrity()
+    return out
+
+
 def parsimony_spr_round(tree: Tree, sequences, charmap,
                         pattern_weights=None, epsilon: int = 0):
     """One parsimony SPR round (pll_fastparsimony_stepwise_spr_round

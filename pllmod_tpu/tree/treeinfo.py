@@ -143,6 +143,20 @@ class TreeInfo:
                 total += lnl
         return total
 
+    # -- ancestral states (treeinfo.c:1558-1718) --------------------------
+    def compute_ancestral(self, nodes=None):
+        """Marginal ancestral state probabilities per partition
+        (pllmod_treeinfo_compute_ancestral). Returns a list of
+        (nodes, probs [n_nodes, patterns, states]) per local partition."""
+        from pllmod_tpu.algorithm.ancestral import ancestral_probabilities
+        out = []
+        for i in self.local_indices():
+            t = self.tree.copy()
+            t.lengths = np.asarray(self.partition_brlens(i))
+            out.append(ancestral_probabilities(self.partitions[i], t,
+                                               nodes=nodes))
+        return out
+
     # -- brlen-scaler normalization (treeinfo.c:1101-1197) ----------------
     def normalize_brlen_scalers(self) -> None:
         """Rescale so the pattern-weight-weighted mean scaler is 1, pushing

@@ -115,3 +115,43 @@ def test_rtree_to_unrooted_matches():
     ut.check_integrity()
     expect = Tree.from_newick("((a:0.1,b:0.2):1.1,c:0.4,d:0.5);")
     assert rf_distance(ut, expect) == 0
+
+
+def test_extend_tree_random(rng):
+    from pllmod_tpu.tree.starting import extend_tree_random
+    t = ref.random_binary_tree(rng, 8)
+    t2 = extend_tree_random(t, ["x1", "x2", "x3"], seed=4)
+    assert t2.n_tips == 11
+    assert t2.is_binary()
+    assert t2.labels[8:] == ["x1", "x2", "x3"]
+    # restricting to the original taxa recovers the original topology
+    from pllmod_tpu.tree.constraint import Constraint
+    cons = Constraint(t, t2.labels)
+    assert cons.check_tree(t2)
+
+
+def test_root_unrooted_at_edge(rng):
+    t = ref.random_binary_tree(rng, 8)
+    e = next(i for i, r in enumerate(t.edge_nodes) if r[0] >= 0)
+    rt = RTree.from_unrooted(t, e, position=0.3)
+    rt.check_integrity()
+    assert rt.n_tips == 8
+    # unrooting recovers the original topology and total length
+    back = rt.to_unrooted()
+    assert rf_distance(t, back) == 0
+    np.testing.assert_allclose(sorted(back.lengths), sorted(t.lengths),
+                               atol=1e-12)
+
+
+def test_treeinfo_compute_ancestral(rng):
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.ops.partition import create_partition
+    t = ref.random_binary_tree(rng, 6)
+    seqs = ref.random_sequences(rng, 6, 50, gap_frac=0.0)
+    import jax.numpy as jnp
+    p = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.0,
+                         compress=False, dtype=jnp.float64)
+    ti = TreeInfo(t, [p])
+    (nodes, probs), = ti.compute_ancestral()
+    assert probs.shape[0] == len(nodes) == t.n_inner
+    np.testing.assert_allclose(probs.sum(-1)[:, :50], 1.0, atol=1e-10)
