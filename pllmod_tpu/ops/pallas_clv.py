@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 # TPU matmuls default to bf16 inputs; likelihoods need true f32
 _PREC = jax.lax.Precision.HIGHEST
 
+# pattern-tile size for the level kernels (overridable for tuning)
+_TILE_OVERRIDE = 8192
+
 
 # ---------------------------------------------------------------------------
 # layout converters
@@ -119,7 +122,7 @@ def _child_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
     """P_bd @ child for all W rows of one level (one buffer use per call)."""
     n_slots, CS, P = clvs_csp.shape
     W = idx3.shape[0]
-    TILE_P = min(P, 8192)
+    TILE_P = min(P, _TILE_OVERRIDE)
     nP = P // TILE_P
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -203,7 +206,7 @@ def _child2_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
     """Fused second-child pass for one level."""
     n_slots, CS, P = clvs_csp.shape
     W = idx3.shape[0]
-    TILE_P = min(P, 8192)
+    TILE_P = min(P, _TILE_OVERRIDE)
     nP = P // TILE_P
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -297,7 +300,7 @@ def level_update_combined(clvs_csp, scalers, idx, tip_codes, codetab,
     and ~4x faster than two single-child calls."""
     n_slots, CS, P = clvs_csp.shape
     W = idx.shape[0]
-    TILE_P = min(P, 8192)
+    TILE_P = min(P, _TILE_OVERRIDE)
     nP = P // TILE_P
     # full-buffer copy for child-2 gathers: empirically the ONLY variant
     # XLA schedules at full DMA speed (prefix slices and mirror buffers
