@@ -102,15 +102,26 @@ def loglikelihood_with_buffers(partition, ops, brlens, root_info):
 
 
 def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
-                       schedule: str = "levels"):
+                       schedule: str = "auto"):
     """Convenience host-level wrapper: compile traversal + evaluate.
 
-    ``schedule``: "levels" (default, batched per tree level) or "scan"
-    (one node per step — the reference-equivalent serial schedule, kept
-    for kernel-equivalence testing)."""
+    ``schedule``: "auto" (pallas kernel on TPU f32, serial scan
+    elsewhere), "pallas", "levels" (level-batched XLA) or "scan" (one
+    node per step — the reference-equivalent serial schedule, kept for
+    kernel-equivalence testing)."""
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
+    if schedule == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        schedule = ("pallas" if on_tpu and partition.dtype == jnp.float32
+                    else "scan")
+    if schedule == "pallas":
+        from pllmod_tpu.ops import pallas_clv
+        levels, offsets, ri, n_slots = compile_schedule(partition, tree,
+                                                        root_edge)
+        return pallas_clv.loglikelihood_pallas(partition, levels, brlens,
+                                               offsets, ri, n_slots)
     if schedule == "levels":
         levels, offsets, ri, n_slots = compile_schedule(partition, tree,
                                                         root_edge)

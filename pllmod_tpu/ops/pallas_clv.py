@@ -42,6 +42,16 @@ _PREC = jax.lax.Precision.HIGHEST
 _TILE_OVERRIDE = 8192
 
 
+def _pick_tile(P: int) -> int:
+    """Largest multiple of 128 that divides P and is <= _TILE_OVERRIDE
+    (P is always a multiple of 128; the grid must tile P exactly)."""
+    cap = min(P, _TILE_OVERRIDE)
+    for t in range(cap - cap % 128, 127, -128):
+        if P % t == 0:
+            return t
+    return 128
+
+
 # ---------------------------------------------------------------------------
 # layout converters
 # ---------------------------------------------------------------------------
@@ -122,7 +132,7 @@ def _child_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
     """P_bd @ child for all W rows of one level (one buffer use per call)."""
     n_slots, CS, P = clvs_csp.shape
     W = idx3.shape[0]
-    TILE_P = min(P, _TILE_OVERRIDE)
+    TILE_P = _pick_tile(P)
     nP = P // TILE_P
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -206,7 +216,7 @@ def _child2_pass(clvs_csp, scalers, idx3, tip_codes, codetab, Pbd_lvl,
     """Fused second-child pass for one level."""
     n_slots, CS, P = clvs_csp.shape
     W = idx3.shape[0]
-    TILE_P = min(P, _TILE_OVERRIDE)
+    TILE_P = _pick_tile(P)
     nP = P // TILE_P
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -300,7 +310,7 @@ def level_update_combined(clvs_csp, scalers, idx, tip_codes, codetab,
     and ~4x faster than two single-child calls."""
     n_slots, CS, P = clvs_csp.shape
     W = idx.shape[0]
-    TILE_P = min(P, _TILE_OVERRIDE)
+    TILE_P = _pick_tile(P)
     nP = P // TILE_P
     # full-buffer copy for child-2 gathers: empirically the ONLY variant
     # XLA schedules at full DMA speed (prefix slices and mirror buffers

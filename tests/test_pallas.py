@@ -65,3 +65,26 @@ def test_cached_eigen_invalidated_on_param_change(rng):
     l_old = float(tree_loglikelihood(part, tree))
     l_new = float(tree_loglikelihood(p2, tree))
     assert abs(l_old - l_new) > 1e-6
+
+
+def test_pallas_nondivisible_tile(rng):
+    """Padded pattern counts that don't divide the tile cap (e.g. 65*128)
+    must still tile exactly (regression: grid previously dropped the
+    remainder)."""
+    from pllmod_tpu.ops.pallas_clv import _pick_tile
+    assert 8320 % _pick_tile(8320) == 0
+    assert _pick_tile(16384) == 8192
+    assert _pick_tile(128) == 128
+    tree = ref.random_binary_tree(rng, 5)
+    seqs = ref.random_sequences(rng, 5, 300)
+    part = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.0,
+                            compress=False, pattern_pad=384,
+                            dtype=jnp.float32)
+    assert part.n_patterns_padded == 384  # 3*128: not a power of two
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    l_xla = float(engine.loglikelihood_levels(part, levels, brl, offsets,
+                                              ri, n_slots))
+    l_pl = float(pallas_clv.loglikelihood_pallas(part, levels, brl, offsets,
+                                                 ri, n_slots, True))
+    assert l_pl == pytest.approx(l_xla, abs=1e-3)
