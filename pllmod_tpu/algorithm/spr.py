@@ -91,9 +91,8 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
     per_cat = jnp.einsum("pci,ci,epci,epci->epc", s_in, fc, u_x, u_y,
                          preferred_element_type=dtype,
                       precision=_PREC)
-    site_lk = jnp.einsum("epc,c->ep", per_cat, w, precision=_PREC)
     lnl = jax.vmap(lambda lk, sc: lk_mod._site_lnl(partition, lk, sc))(
-        site_lk, sx + sy + scaler_S[None, :])
+        per_cat, sx + sy + scaler_S[None, :])
     lnls = jnp.einsum("ep,p->e", lnl, partition.pattern_weights,
                       precision=_PREC)
     return jnp.where(edge_mask, lnls, -jnp.inf)
@@ -362,7 +361,8 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         if thorough:
             parts = tuple(treeinfo.partitions[i] for i in part_idx)
-            if treeinfo.brlen_linkage == 1:  # SCALED
+            from pllmod_tpu.common import BRLEN_SCALED
+            if treeinfo.brlen_linkage == BRLEN_SCALED:
                 pscs = tuple(float(treeinfo.brlen_scalers[i])
                              for i in part_idx)
             else:

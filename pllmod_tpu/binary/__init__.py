@@ -2,6 +2,7 @@
 
 from pllmod_tpu.binary.binary import (  # noqa: F401
     BinaryFile,
+    attach_skeleton,
     ACCESS_SEQUENTIAL,
     ACCESS_RANDOM,
     BLOCK_PARTITION,

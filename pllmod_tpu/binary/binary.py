@@ -218,7 +218,10 @@ class BinaryFile:
 
     def load_partition(self, block_id: int, skeleton: bool = False):
         """Load a partition. ``skeleton=True`` skips the big per-site
-        arrays (LOAD_SKELETON mode) and returns a dict of model params."""
+        arrays (reference PLLMOD_BIN_ATTRIB_PARTITION_LOAD_SKELETON,
+        pll_binary.c:204-516) and returns a Partition *shell*: model
+        parameters populated, per-site arrays zero-width. Re-attach site
+        data from a live partition with :func:`attach_skeleton`."""
         import jax.numpy as jnp
         from pllmod_tpu.ops.partition import Partition
         _, _, attrs, data = self._load_block(block_id, BLOCK_PARTITION)
@@ -226,7 +229,23 @@ class BinaryFile:
                  "pattern_weights"} if skeleton else None)
         named = _unpack_arrays(data, skip)
         if skeleton:
-            return named
+            meta = named["meta"]
+            n_tips, states = int(meta[0]), int(meta[1])
+            dtype = jnp.asarray(named["freqs"]).dtype
+            return Partition(
+                tip_states=jnp.zeros((n_tips, 0), jnp.int32),
+                code_clv=jnp.ones((1, states), dtype),
+                pattern_weights=jnp.zeros((0,), dtype),
+                inv_indicator=jnp.zeros((0, states), dtype),
+                subst_rates=jnp.asarray(named["subst_rates"]),
+                freqs=jnp.asarray(named["freqs"]),
+                rate_cats=jnp.asarray(named["rate_cats"]),
+                rate_weights=jnp.asarray(named["rate_weights"]),
+                prop_invar=jnp.asarray(named["prop_invar"]),
+                alpha=jnp.asarray(named["alpha"]),
+                param_indices=jnp.asarray(named["param_indices"]),
+                n_tips=n_tips, states=states,
+                n_patterns=0, gamma_mode=int(meta[3]))
         if not attrs:
             raise BinaryError(BINARY_ERROR_MISSING_BLOCK,
                               "partition dumped without tip data")
@@ -246,6 +265,7 @@ class BinaryFile:
             n_tips=int(meta[0]), states=int(meta[1]),
             n_patterns=int(meta[2]), gamma_mode=int(meta[3]))
 
+    # ------------------------------------------------------------------
     # -- CLV dump/load (pll_binary.c:517-884) --------------------------
     def dump_clv(self, block_id: int, clv, scaler=None):
         named = {"clv": np.asarray(clv)}
@@ -289,3 +309,24 @@ class BinaryFile:
     def get_block_map(self):
         """pllmod_binary_get_map analog."""
         return list(self.block_map)
+
+
+def attach_skeleton(skeleton, source):
+    """Re-attach per-site data to a skeleton-loaded partition shell.
+
+    The reference's LOAD_SKELETON mode allocates pointer shells that the
+    caller later points at live buffers (pll_binary.c:204-516); here the
+    site arrays (tip states, code table, weights, invariant indicator) are
+    copied from ``source`` — typically the partition rebuilt from the MSA —
+    while the *checkpointed* model parameters win.
+    """
+    if (skeleton.n_tips != source.n_tips
+            or skeleton.states != source.states):
+        raise BinaryError(BINARY_ERROR_BLOCK_MISMATCH,
+                          "skeleton/source dimension mismatch")
+    return skeleton.replace(
+        tip_states=source.tip_states,
+        code_clv=source.code_clv,
+        pattern_weights=source.pattern_weights,
+        inv_indicator=source.inv_indicator,
+        n_patterns=source.n_patterns)

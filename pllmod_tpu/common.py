@@ -11,6 +11,21 @@ matched on codes keeps a stable contract.
 
 from __future__ import annotations
 
+def is_tpu(device=None) -> bool:
+    """True when the default (or given) JAX device is TPU-class hardware.
+
+    The single shared platform check used by every engine-selection site
+    (the libpll ``PLL_ATTRIB_ARCH_*`` dispatch analog). NOTE: real TPUs can
+    register under vendor platform names (e.g. the remote "axon" runtime
+    here), so testing ``platform == "tpu"`` misses them; anything that is
+    neither CPU nor GPU is treated as TPU-class.
+    """
+    import jax
+    d = device if device is not None else jax.devices()[0]
+    plat = d.platform.lower()
+    return plat not in ("cpu", "gpu", "cuda", "rocm", "metal")
+
+
 # ---------------------------------------------------------------------------
 # Branch-length linkage across partitions (pllmod_common.h:25-27)
 # ---------------------------------------------------------------------------

@@ -73,19 +73,24 @@ def edge_derivatives(partition, st, scaler, brlen, eigen=None):
         eigen = partition.eigen()
     lam = eigen[0][partition.param_indices]          # [C,S]
     dtype = partition.dtype
-    pinv = partition.pinv_mix()
-    rc = partition.rate_cats / (1.0 - pinv)          # [C]
+    # per-category p-inv (reference indexes prop_invar[params_indices[c]]
+    # inside the category loop, not matrix 0)
+    pinv_c = partition.prop_invar[partition.param_indices]   # [C]
+    rc = partition.rate_cats / (1.0 - pinv_c)        # [C]
     lr = lam * rc[:, None]                           # [C,S] effective rates
-    w = partition.rate_weights
+    # fold the per-category (1-p_c) factor into the mixture weights:
+    #   A(t) = Σ_c w_c (1-p_c) L_c(t)
+    w_eff = partition.rate_weights * (1.0 - pinv_c)
 
     expo = jnp.exp(lr[None] * jnp.asarray(brlen, dtype))   # [1->P? C,S]
-    # L, L', L'' per site (scaled space)
+    # A, A', A'' per site (scaled space)
     base = st * expo                                  # [P,C,S]
-    L = jnp.einsum("pcs,c->p", base, w, preferred_element_type=dtype,
+    L = jnp.einsum("pcs,c->p", base, w_eff, preferred_element_type=dtype,
                       precision=_PREC)
-    dL = jnp.einsum("pcs,cs,c->p", base, lr, w, preferred_element_type=dtype,
+    dL = jnp.einsum("pcs,cs,c->p", base, lr, w_eff,
+                    preferred_element_type=dtype,
                       precision=_PREC)
-    ddL = jnp.einsum("pcs,cs,c->p", base, lr * lr, w,
+    ddL = jnp.einsum("pcs,cs,c->p", base, lr * lr, w_eff,
                      preferred_element_type=dtype,
                       precision=_PREC)
 
@@ -93,14 +98,16 @@ def edge_derivatives(partition, st, scaler, brlen, eigen=None):
     Lsafe = jnp.maximum(L, tiny)
 
     # p-inv mixture in log space (overflow-safe under arbitrary scaling):
-    #   M(t) = (1-p) L(t) 2^s + p Linv;  frac = (1-p) L 2^s / M in [0,1]
-    #   (log M)'  = frac * L'/L
-    #   (log M)'' = frac * L''/L - (frac * L'/L)^2
-    inv_term = partition.inv_indicator @ partition.freqs[0]  # [P]
-    ln_var = jnp.log(Lsafe) + scaler.astype(dtype) * LN2
-    ln_a = jnp.log1p(-pinv) + ln_var
-    ln_b = jnp.where((pinv > 0) & (inv_term > 0),
-                     jnp.log(jnp.maximum(pinv * inv_term, tiny)), -jnp.inf)
+    #   M(t) = A(t) 2^s + B,  B = Σ_c w_c p_c I_c (constant in t)
+    #   frac = A 2^s / M ∈ [0,1]
+    #   (log M)'  = frac * A'/A
+    #   (log M)'' = frac * A''/A - (frac * A'/A)^2
+    inv_pc = jnp.einsum("ps,cs->pc", partition.inv_indicator,
+                        partition.freqs_per_cat(), precision=_PREC)  # [P,C]
+    B = jnp.einsum("pc,c->p", inv_pc,
+                   partition.rate_weights * pinv_c, precision=_PREC)
+    ln_a = jnp.log(Lsafe) + scaler.astype(dtype) * LN2
+    ln_b = jnp.where(B > 0, jnp.log(jnp.maximum(B, tiny)), -jnp.inf)
     site_lnl = jnp.logaddexp(ln_a, ln_b)
     frac = jnp.exp(ln_a - site_lnl)                  # variable-part fraction
 

@@ -113,8 +113,8 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
     if schedule == "auto":
-        on_tpu = jax.devices()[0].platform == "tpu"
-        schedule = ("pallas" if on_tpu and partition.dtype == jnp.float32
+        from pllmod_tpu.common import is_tpu
+        schedule = ("pallas" if is_tpu() and partition.dtype == jnp.float32
                     else "scan")
     if schedule == "pallas":
         from pllmod_tpu.ops import pallas_clv

@@ -95,6 +95,29 @@ def compute_gamma_cats(alpha, n_cats: int, mode: int = GAMMA_RATES_MEAN):
     return k * (cdf_full[1:] - cdf_full[:-1])
 
 
+def compute_gamma_cats_host(alpha, n_cats: int, mode: int = GAMMA_RATES_MEAN):
+    """Host-side float64 category rates (numpy/scipy), for partition
+    construction: requesting f64 inside a default-f32 device runtime would
+    silently truncate the one quantity that feeds every P-matrix. Same
+    discretization as :func:`compute_gamma_cats`; agrees to ~1e-12.
+    """
+    import numpy as np
+    from scipy.special import gammainc as sp_gammainc
+    from scipy.special import gammaincinv as sp_gammaincinv
+    alpha = float(alpha)
+    k = n_cats
+    if k == 1:
+        return np.ones(1)
+    if mode == GAMMA_RATES_MEDIAN:
+        ps = (2.0 * np.arange(k) + 1.0) / (2.0 * k)
+        med = sp_gammaincinv(alpha, ps) / alpha
+        return med * (k / med.sum())
+    ps = np.arange(1, k) / k
+    bounds = sp_gammaincinv(alpha, ps)
+    cdf_full = np.concatenate([[0.0], sp_gammainc(alpha + 1.0, bounds), [1.0]])
+    return k * np.diff(cdf_full)
+
+
 def invariant_sites_mask(tip_code_masks, tip_states):
     """Per-site invariant-state bitmask: AND over tips of state bitmasks.
 

@@ -29,46 +29,62 @@ _PREC = jax.lax.Precision.HIGHEST
 _TINY = 1e-300
 
 
-def _site_lnl(partition, site_lk, scaler):
-    """Combine scaled variable-site likelihood with the p-inv term.
+def _site_lnl(partition, per_cat_lk, scaler):
+    """Combine scaled per-category site likelihoods with the p-inv term.
 
-    site_lk: [P] (scaled by 2^-scaler), scaler: [P] int
-    returns per-site log-likelihood [P]."""
+    ``per_cat_lk``: [P, C] scaled per-category likelihoods (BEFORE
+    rate-weight mixing), ``scaler``: [P] int. Returns per-site logL [P].
+
+    The p-inv and frequency terms are indexed per category through
+    ``param_indices`` (the reference indexes ``prop_invar`` / ``frequencies``
+    by ``params_indices[c]`` inside the category loop — libpll
+    core_likelihood; NOT matrix 0), so mixtures with per-matrix pinv/freqs
+    (e.g. LG4X+I) are exact:
+
+        L_site = Σ_c w_c [ (1-p_c)·L_c·2^s + p_c·I_c ],
+        I_c = Σ_{s ∈ invariant set} π_c[s]
+
+    computed overflow-safely as
+        logaddexp( ln Σ_c w_c (1-p_c) L_c_scaled + s·ln2,
+                   ln Σ_c w_c p_c I_c ).
+    """
     dtype = partition.dtype
-    pinv = partition.pinv_mix()
+    w = partition.rate_weights                                   # [C]
+    pinv_c = partition.prop_invar[partition.param_indices]       # [C]
     tiny = jnp.asarray(_TINY if dtype == jnp.float64 else 1e-37, dtype)
-    ln_var = jnp.log(jnp.maximum(site_lk, tiny)) + scaler.astype(dtype) * LN2
 
-    inv_term = partition.inv_indicator @ partition.freqs[0]     # [P]
+    A = jnp.einsum("pc,c->p", per_cat_lk, w * (1.0 - pinv_c),
+                   precision=_PREC)
+    ln_var = jnp.log(jnp.maximum(A, tiny)) + scaler.astype(dtype) * LN2
 
     def with_pinv(_):
-        ln_a = jnp.log1p(-pinv) + ln_var
-        ln_b = jnp.log(jnp.maximum(pinv, tiny)) + \
-            jnp.log(jnp.maximum(inv_term, tiny))
-        ln_b = jnp.where(inv_term > 0, ln_b, -jnp.inf)
-        return jnp.logaddexp(ln_a, ln_b)
+        inv_pc = jnp.einsum("ps,cs->pc", partition.inv_indicator,
+                            partition.freqs_per_cat(),
+                            precision=_PREC)                     # [P,C]
+        B = jnp.einsum("pc,c->p", inv_pc, w * pinv_c, precision=_PREC)
+        ln_b = jnp.where(B > 0, jnp.log(jnp.maximum(B, tiny)), -jnp.inf)
+        return jnp.logaddexp(ln_var, ln_b)
 
     def without(_):
         return ln_var
 
-    return lax.cond(pinv > 0, with_pinv, without, None)
+    return lax.cond(jnp.max(pinv_c) > 0, with_pinv, without, None)
 
 
 def edge_site_likelihood(partition, clv_p, clv_c, P_edge):
-    """Scaled per-site likelihood across an edge (before p-inv mixing).
+    """Scaled per-site per-category likelihood across an edge (before
+    rate-weight / p-inv mixing; those happen in :func:`_site_lnl`).
 
-    L[p] = Σ_c w_c Σ_i π_i clv_p[p,c,i] Σ_j P[c,i,j] clv_c[p,c,j]
+    L[p,c] = Σ_i π_c[i] clv_p[p,c,i] Σ_j P[c,i,j] clv_c[p,c,j]
     """
     dtype = partition.dtype
     fc = partition.freqs_per_cat()                             # [C,S]
     right = jnp.einsum("pcj,cij->pci", clv_c, P_edge,
                        preferred_element_type=dtype,
                       precision=_PREC)
-    per_cat = jnp.einsum("pci,ci,pci->pc", clv_p, fc, right,
-                         preferred_element_type=dtype,
-                      precision=_PREC)
-    return jnp.einsum("pc,c->p", per_cat, partition.rate_weights,
-                      precision=_PREC)  # [P]
+    return jnp.einsum("pci,ci,pci->pc", clv_p, fc, right,
+                      preferred_element_type=dtype,
+                      precision=_PREC)                         # [P,C]
 
 
 def edge_loglikelihood(partition, clvs, scalers, node_p, node_c, P_edge,
@@ -79,8 +95,8 @@ def edge_loglikelihood(partition, clvs, scalers, node_p, node_c, P_edge,
     """
     clv_p, s_p = get_node_clv(partition, clvs, scalers, node_p)
     clv_c, s_c = get_node_clv(partition, clvs, scalers, node_c)
-    site_lk = edge_site_likelihood(partition, clv_p, clv_c, P_edge)
-    lnl = _site_lnl(partition, site_lk, s_p + s_c)
+    per_cat = edge_site_likelihood(partition, clv_p, clv_c, P_edge)
+    lnl = _site_lnl(partition, per_cat, s_p + s_c)
     total = jnp.sum(lnl * partition.pattern_weights)
     if persite:
         return total, lnl
@@ -96,9 +112,7 @@ def root_loglikelihood(partition, clvs, scalers, node, persite: bool = False):
     per_cat = jnp.einsum("pci,ci->pc", clv, fc,
                          preferred_element_type=partition.dtype,
                       precision=_PREC)
-    site_lk = jnp.einsum("pc,c->p", per_cat, partition.rate_weights,
-                         precision=_PREC)
-    lnl = _site_lnl(partition, site_lk, s)
+    lnl = _site_lnl(partition, per_cat, s)
     total = jnp.sum(lnl * partition.pattern_weights)
     if persite:
         return total, lnl

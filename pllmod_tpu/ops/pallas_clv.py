@@ -481,10 +481,7 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
     per_cat = jnp.einsum("cip,ci,cip->cp", clv_p, fc, right,
                          preferred_element_type=dtype,
                       precision=_PREC)
-    site_lk = jnp.einsum("cp,c->p", per_cat, partition.rate_weights,
-                         preferred_element_type=dtype,
-                      precision=_PREC)
-    lnl = lk_mod._site_lnl(partition, site_lk, s_p + s_c)
+    lnl = lk_mod._site_lnl(partition, per_cat.T, s_p + s_c)
     return jnp.sum(lnl * partition.pattern_weights)
 
 

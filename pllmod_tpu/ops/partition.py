@@ -157,9 +157,16 @@ class Partition:
         return self.freqs[self.param_indices]       # [C, S]
 
     def pinv_mix(self):
-        """Scalar p-inv used in the site-likelihood mixture (libpll uses the
-        per-param_index prop_invar; identical across a partition in practice)."""
+        """Scalar p-inv convenience (matrix 0) — used only as an optimizer
+        starting point. The likelihood/derivative paths index
+        ``prop_invar[param_indices]`` per category (see
+        :func:`pllmod_tpu.ops.likelihood._site_lnl`)."""
         return self.prop_invar[0]
+
+    def pinv_per_cat(self):
+        """Per-category proportion of invariant sites: prop_invar indexed by
+        param_indices (libpll core_likelihood indexing)."""
+        return self.prop_invar[self.param_indices]
 
 
 def create_partition(
@@ -233,9 +240,11 @@ def create_partition(
 
     alpha_arr = jnp.asarray(float("nan") if alpha is None else alpha, dtype)
     if n_rate_cats > 1 and alpha is not None:
-        cats = gamma_mod.compute_gamma_cats(
-            jnp.asarray(alpha, jnp.float64), n_rate_cats, gamma_mode)
-        cats = jnp.asarray(cats, dtype)
+        # host-side float64 discretization: asking the device for f64 under
+        # a default-f32 runtime silently truncates category rates
+        cats = jnp.asarray(
+            gamma_mod.compute_gamma_cats_host(alpha, n_rate_cats, gamma_mode),
+            dtype)
     else:
         cats = jnp.ones(n_rate_cats, dtype)
 

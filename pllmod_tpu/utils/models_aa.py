@@ -65,6 +65,11 @@ def info(name: str) -> SubstModel:
     data = _lookup(key)
     if data is not None:
         rates, freqs = data
+        # several published frequency vectors do not sum exactly to 1
+        # (e.g. rtREV.dat sums to 0.998); normalize so Q is a proper
+        # generator and the stationary distribution is exact.
+        freqs = np.asarray(freqs, float)
+        freqs = freqs / freqs.sum()
         return SubstModel(name.upper(), 20, rates, freqs, None, None)
     if exists(name):
         raise UtilError(

@@ -68,10 +68,18 @@ def test_skeleton_load(case, tmp_path):
     bf = BinaryFile.open(path)
     sk = bf.load_partition(1, skeleton=True)
     bf.close()
-    assert "tip_states" not in sk          # big arrays skipped
-    np.testing.assert_allclose(sk["subst_rates"],
+    # skeleton = Partition shell: model params live, site arrays zero-width
+    assert sk.tip_states.shape == (part.n_tips, 0)
+    assert sk.n_patterns == 0
+    np.testing.assert_allclose(np.asarray(sk.subst_rates),
                                np.asarray(part.subst_rates))
-    assert int(sk["meta"][0]) == part.n_tips
+    assert sk.n_tips == part.n_tips and sk.states == part.states
+    # re-attaching site data restores a fully working partition
+    from pllmod_tpu.binary import attach_skeleton
+    full = attach_skeleton(sk, part)
+    np.testing.assert_array_equal(np.asarray(full.tip_states),
+                                  np.asarray(part.tip_states))
+    assert full.n_patterns == part.n_patterns
 
 
 def test_clv_block(case, tmp_path):

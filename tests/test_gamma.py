@@ -52,3 +52,16 @@ def test_gamma_grad_finite():
     fd = (f(0.7 + eps) - f(0.7 - eps)) / (2 * eps)
     assert np.isfinite(float(g))
     np.testing.assert_allclose(float(g), fd, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", [GAMMA_RATES_MEAN, GAMMA_RATES_MEDIAN])
+@pytest.mark.parametrize("alpha", [0.1, 0.5, 1.0, 3.3, 25.0])
+def test_gamma_host_matches_device(alpha, mode):
+    """Host float64 discretization (used at partition construction to avoid
+    the silent f64->f32 truncation inside a default-f32 device runtime)
+    must match the jittable path; f32 cast stays within 1e-7."""
+    host = gamma.compute_gamma_cats_host(alpha, 4, mode)
+    dev = np.asarray(gamma.compute_gamma_cats(jnp.float64(alpha), 4, mode))
+    np.testing.assert_allclose(host, dev, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(host.astype(np.float32), dev.astype(np.float32),
+                               rtol=1e-7, atol=1e-7)

@@ -68,7 +68,7 @@ def test_multi_models():
         model_info("MULTI99_GTR")  # >64 states
 
 
-@pytest.mark.parametrize("name", ["DAYHOFF", "JTT", "WAG", "LG"])
+@pytest.mark.parametrize("name", sorted(models_aa.aa_data.MATRICES))
 def test_aa_matrices_valid(name):
     m = model_info(name)
     assert m.states == 20
@@ -88,8 +88,20 @@ def test_aa_registry_names():
     assert models_aa.count() == 37
     assert models_aa.exists("Q.PFAM")
     assert models_aa.exists_protmix("LG4X")
-    with pytest.raises(UtilError, match="not yet bundled"):
-        model_info("MTART")
+    # every registry name resolves to a real table (models_aa.c:28-75);
+    # PROTGTR is the free-rate model (rates=None)
+    for name in models_aa.names():
+        m = model_info(name)
+        if name == "PROTGTR":
+            assert m.rates is None
+        else:
+            assert m.rates.shape == (190,)
+    # both mixtures fully resolve
+    for mix in ("LG4M", "LG4X"):
+        mm = models_aa.info_protmix(mix)
+        assert len(mm.components) == 4
+    with pytest.raises(UtilError, match="not found"):
+        model_info("NOSUCHAA")
 
 
 def test_paml_dat_roundtrip():
