@@ -39,14 +39,20 @@ def main():
     levels, offsets, ri, n_slots = engine.compile_schedule(partition, tree)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
 
+    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(partition, tree)
+
     def one(brl):
         if on_tpu:
-            return pallas_clv.loglikelihood_pallas(
-                partition, levels, brl, offsets, ri, n_slots)
+            return pallas_clv.loglikelihood_fused(
+                partition, idx8, brl, e1, e2, rif, n_slots_f)
         return engine.loglikelihood_levels(partition, levels, brl, offsets,
                                            ri, n_slots)
 
-    iters = 10
+    # 100 on-device iterations: the axon runtime's per-dispatch fixed cost
+    # (~0.2-40 ms, run-to-run inconsistent) must be amortized to measure
+    # the marginal per-evaluation rate — the quantity that matters inside
+    # optimization loops
+    iters = 100
 
     # time ON-DEVICE with varying inputs: the runtime memoizes identical
     # executions and per-call dispatch over the tunnel is ~40ms, so a

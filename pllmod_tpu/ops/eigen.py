@@ -97,10 +97,33 @@ def prob_matrices(eigenvals, eigenvecs, inv_eigenvecs, brlens, rate_cats,
     # t[e,c] = brlen_e * r_c
     t = brlens[:, None] * scale[None, :]
     expo = jnp.exp(eigenvals[None, None, :] * t[:, :, None])  # [E,C,S]
-    # P = (V * expo) @ Vinv, batched over E,C
-    return jnp.einsum("ik,eck,kj->ecij", eigenvecs, expo, inv_eigenvecs,
-                      preferred_element_type=dtype,
-                      precision=_PREC)
+    C = t.shape[1]
+    V_c = jnp.broadcast_to(eigenvecs[None], (C,) + eigenvecs.shape)
+    Vinv_c = jnp.broadcast_to(inv_eigenvecs[None], (C,) + eigenvecs.shape)
+    return _propagate(expo, V_c, Vinv_c)
+
+
+def _propagate(expo, V_c, Vinv_c):
+    """P[e,c] = V_c · diag(expo[e,c]) · Vinv_c as ONE [E,CS]@[CS,C·S²]
+    matmul against the precomputed basis B[(c,k),(c,i,j)] = V[c,i,k] ·
+    Vinv[c,k,j].
+
+    The naive batched einsum ("cik,eck,ckj->ecij") lowers on TPU to
+    E·C separate padded [S,S] MXU matmuls (~2.7 ms/eval for 253 edges of
+    DNA+Γ4 — dominating the whole likelihood); this form is a handful of
+    tiny fused ops + one small matmul (~µs)."""
+    E, C, S = expo.shape
+    dtype = V_c.dtype
+    # basis M[c,k,i,j] = V[c,i,k] * Vinv[c,k,j]
+    M = jnp.einsum("cik,ckj->ckij", V_c, Vinv_c,
+                   preferred_element_type=dtype, precision=_PREC)
+    B = jnp.zeros((C, S, C, S * S), dtype)
+    for c in range(C):
+        B = B.at[c, :, c, :].set(M[c].reshape(S, S * S))
+    B = B.reshape(C * S, C * S * S)
+    P = jnp.einsum("ek,kn->en", expo.reshape(E, C * S), B,
+                   preferred_element_type=dtype, precision=_PREC)
+    return P.reshape(E, C, S, S)
 
 
 def prob_matrices_multi(eigen, brlens, rate_cats, param_indices, prop_invar):
@@ -127,9 +150,7 @@ def prob_matrices_multi(eigen, brlens, rate_cats, param_indices, prop_invar):
     brlens = jnp.asarray(brlens, dtype)
     t = brlens[:, None] * (rate_cats.astype(dtype) / (1.0 - pinv_c))[None, :]
     expo = jnp.exp(lam_c[None] * t[:, :, None])  # [E,C,S]
-    return jnp.einsum("cik,eck,ckj->ecij", V_c, expo, Vinv_c,
-                      preferred_element_type=dtype,
-                      precision=_PREC)
+    return _propagate(expo, V_c, Vinv_c)
 
 
 # ---------------------------------------------------------------------------

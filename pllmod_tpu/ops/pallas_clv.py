@@ -485,6 +485,293 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
     return jnp.sum(lnl * partition.pattern_weights)
 
 
+# ---------------------------------------------------------------------------
+# Fused whole-traversal kernel ("megakernel"): the ENTIRE pruning pass in
+# ONE pallas call.
+#
+# Design (vs the per-level kernels above):
+# - grid = (n_inner, n_pattern_tiles), both dimensions "arbitrary"
+#   (sequential), nodes ordered level-by-level.
+# - The CLV slot buffer is a pallas OUTPUT in ANY memory space: the kernel
+#   manually DMAs child blocks out of it and result blocks into it. Manual
+#   copies sidestep the two-index-mapped-views alias pathology entirely —
+#   no full-buffer copy per level, no left/s1 HBM round trip, no
+#   dynamic_update_slice pass, and one kernel launch instead of 2/level.
+# - Tip children are DMA'd as int32 code rows (16-80x less traffic than
+#   expanded CLVs) and expanded in-VMEM via a one-hot MXU matmul.
+# - RAW hazard between levels: each step's result is written with one of
+#   two rotating write semaphores and o_scr buffers; before a buffer is
+#   reused its previous write is awaited, so AT MOST TWO writes are ever
+#   outstanding. The first step of each level ("fence") drains both — all
+#   earlier levels' writes are then complete before any read of them.
+#
+# Traffic per evaluation ~= one read of every inner CLV + tip codes + one
+# write of every inner CLV — within 2x of the HBM roofline for the whole
+# likelihood (reference hot loop: pll_update_partials, SURVEY §3.1).
+# ---------------------------------------------------------------------------
+def _pick_tile_fused(P: int, CS: int) -> int:
+    """Largest 128-multiple tile dividing P with ~6 [CS,T] f32 scratch
+    buffers under a ~6 MB VMEM budget."""
+    budget = 6 * 1024 * 1024
+    cap = max(128, min(P, budget // (6 * CS * 4)))
+    for t in range(cap - cap % 128, 127, -128):
+        if P % t == 0:
+            return t
+    return 128
+
+
+def _make_fused_kernel(n_codes: int, nW: int, nP: int):
+    def _kernel(idx_ref,               # prefetch [nW, 8] int32
+                tip_codes_ref,         # ANY [n_tips, 1, P] int32
+                codetab_ref,           # VMEM [CS, n_codes_pad] f32
+                P1_ref, P2_ref,        # VMEM blocks [1, CS, CS]
+                clvs_ref, sc_ref,      # ANY outputs (read+written manually)
+                c_scr, codes_scr, s_scr, o_scr, os_scr,
+                rsem, wsem, wssem, cnt):
+        w = pl.program_id(0)
+        p = pl.program_id(1)
+        CS = o_scr.shape[1]
+        T = o_scr.shape[2]
+        step = w * nP + p
+        par = jax.lax.rem(step, jnp.asarray(2, step.dtype))
+        oth = 1 - par
+
+        @pl.when(step == 0)
+        def _():
+            cnt[0] = 0
+            cnt[1] = 0
+
+        slot1 = idx_ref[w, 0]
+        slot2 = idx_ref[w, 1]
+        is_tip1 = idx_ref[w, 2] == 1
+        is_tip2 = idx_ref[w, 3] == 1
+        tip1 = idx_ref[w, 4]
+        tip2 = idx_ref[w, 5]
+        out_slot = idx_ref[w, 6]
+        fence = idx_ref[w, 7] == 1
+
+        def drain(q):
+            @pl.when(cnt[q] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    o_scr.at[q], clvs_ref.at[0, :, pl.ds(0, T)],
+                    wsem.at[q]).wait()
+                pltpu.make_async_copy(
+                    os_scr.at[q], sc_ref.at[0, :, pl.ds(0, T)],
+                    wssem.at[q]).wait()
+                cnt[q] = 0
+
+        # free this step's write buffers; at a level boundary also drain
+        # the other slot so ALL previous-level writes land before reads
+        drain(par)
+
+        @pl.when(fence & (p == 0))
+        def _():
+            drain(oth)
+
+        def start_read(k, sem, slot, is_tip, tip):
+            @pl.when(is_tip)
+            def _():
+                pltpu.make_async_copy(
+                    tip_codes_ref.at[tip, :, pl.ds(p * T, T)],
+                    codes_scr.at[k], rsem.at[sem]).start()
+
+            @pl.when(jnp.logical_not(is_tip))
+            def _():
+                pltpu.make_async_copy(
+                    clvs_ref.at[slot, :, pl.ds(p * T, T)],
+                    c_scr.at[k], rsem.at[sem]).start()
+                pltpu.make_async_copy(
+                    sc_ref.at[slot, :, pl.ds(p * T, T)],
+                    s_scr.at[k], rsem.at[sem + 1]).start()
+
+        def wait_read(k, sem, slot, is_tip, tip):
+            @pl.when(is_tip)
+            def _():
+                pltpu.make_async_copy(
+                    tip_codes_ref.at[tip, :, pl.ds(p * T, T)],
+                    codes_scr.at[k], rsem.at[sem]).wait()
+
+            @pl.when(jnp.logical_not(is_tip))
+            def _():
+                pltpu.make_async_copy(
+                    clvs_ref.at[slot, :, pl.ds(p * T, T)],
+                    c_scr.at[k], rsem.at[sem]).wait()
+                pltpu.make_async_copy(
+                    sc_ref.at[slot, :, pl.ds(p * T, T)],
+                    s_scr.at[k], rsem.at[sem + 1]).wait()
+
+        start_read(0, 0, slot1, is_tip1, tip1)
+        start_read(1, 2, slot2, is_tip2, tip2)
+        wait_read(0, 0, slot1, is_tip1, tip1)
+        wait_read(1, 2, slot2, is_tip2, tip2)
+
+        def expand(k, is_tip):
+            # one-hot MXU expansion: codetab [CS, n_codes] @ onehot
+            # [n_codes, T]; runs only on tip steps (pl.when), overwriting
+            # the (unused) clv scratch slot
+            @pl.when(is_tip)
+            def _():
+                codes = codes_scr[k]                        # [1, T] int32
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_codes, T), 0)
+                onehot = (iota == codes).astype(jnp.float32)
+                c_scr[k] = jax.lax.dot_general(
+                    codetab_ref[:, :n_codes], onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+        expand(0, is_tip1)
+        expand(1, is_tip2)
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        s1 = jnp.where(is_tip1, zero_s, s_scr[0])
+        s2 = jnp.where(is_tip2, zero_s, s_scr[1])
+        left = jax.lax.dot_general(
+            P1_ref[0], c_scr[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        right = jax.lax.dot_general(
+            P2_ref[0], c_scr[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        prod = left * right
+
+        # exact power-of-two rescale (identical to the XLA engines)
+        m = jnp.max(prod, axis=0, keepdims=True)            # [1, T]
+        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+        e = ((mi >> 23) & 0xFF) - 126
+        e = jnp.where(m > 0, e, 0)
+        e = jnp.clip(e, -125, 127)
+        scale = jax.lax.bitcast_convert_type(
+            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+        o_scr[par] = prod * scale
+        os_scr[par] = s1 + s2 + e
+
+        pltpu.make_async_copy(
+            o_scr.at[par], clvs_ref.at[out_slot, :, pl.ds(p * T, T)],
+            wsem.at[par]).start()
+        pltpu.make_async_copy(
+            os_scr.at[par], sc_ref.at[out_slot, :, pl.ds(p * T, T)],
+            wssem.at[par]).start()
+        cnt[par] = 1
+
+        @pl.when(step == nW * nP - 1)
+        def _():
+            drain(par)
+            drain(oth)
+
+    return _kernel
+
+
+def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
+                          interpret: bool = False):
+    """Whole-traversal pruning in one pallas call.
+
+    Args:
+      idx8: int32 [n_inner, 8] from :func:`compile_fused`
+        (slot1, slot2, is_tip1, is_tip2, tip1, tip2, out_slot, fence)
+      e1/e2: int32 [n_inner] child edge ids (index P)
+    Returns (clvs_csp [n_slots, CS, Ppad] f32,
+             scalers [n_slots, 1, Ppad] int32).
+    """
+    Ppad = partition.n_patterns_padded
+    CS = partition.n_cats * partition.states
+    Pbd = block_diag_pmats(P.astype(jnp.float32))
+    codetab, n_codes = _code_table(partition)
+    tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
+    nW = idx8.shape[0]
+    TILE_P = _pick_tile_fused(Ppad, CS)
+    nP = Ppad // TILE_P
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nW, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),          # tip_codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
+            pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
+            pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # c_scr
+            pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # codes_scr
+            pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # s_scr
+            pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # o_scr
+            pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # os_scr
+            pltpu.SemaphoreType.DMA((4,)),                 # rsem
+            pltpu.SemaphoreType.DMA((2,)),                 # wsem
+            pltpu.SemaphoreType.DMA((2,)),                 # wssem
+            pltpu.SMEM((2,), jnp.int32),                   # cnt
+        ],
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    fn = pl.pallas_call(
+        _make_fused_kernel(n_codes, nW, nP),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slots, CS, Ppad), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, 1, Ppad), jnp.int32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    return fn(idx8, tip_codes, codetab, Pbd[e1], Pbd[e2])
+
+
+def compile_fused(partition, tree, root_edge=None):
+    """Host-side: compile a tree into the fused-kernel index arrays.
+
+    Returns (idx8 [n_inner, 8], e1, e2, root_info, n_slots); root refs
+    remapped via the LevelSchedule as in engine.compile_schedule."""
+    from pllmod_tpu.ops import clv as clv_mod
+    ops, root_info = tree.traversal_ops(root_edge)
+    sched = clv_mod.LevelSchedule(ops, partition.n_tips)
+    n_tips = partition.n_tips
+    rows, e1s, e2s = [], [], []
+    for li, (arr, off) in enumerate(zip(sched.levels, sched.offsets)):
+        W = arr.shape[0]
+        c1, c2 = arr[:, 1], arr[:, 3]
+        it1 = (c1 < n_tips).astype(np.int32)
+        it2 = (c2 < n_tips).astype(np.int32)
+        row = np.stack([
+            np.where(it1 == 1, 0, c1 - n_tips),
+            np.where(it2 == 1, 0, c2 - n_tips),
+            it1, it2,
+            np.where(it1 == 1, c1, 0),
+            np.where(it2 == 1, c2, 0),
+            off + np.arange(W),
+            np.concatenate([[1 if li > 0 else 0], np.zeros(W - 1, int)]),
+        ], axis=1)
+        rows.append(row)
+        e1s.append(arr[:, 2])
+        e2s.append(arr[:, 4])
+    idx8 = jnp.asarray(np.concatenate(rows).astype(np.int32))
+    e1 = jnp.asarray(np.concatenate(e1s).astype(np.int32))
+    e2 = jnp.asarray(np.concatenate(e2s).astype(np.int32))
+    u, v, e = (int(x) for x in root_info)
+    ri = (sched.remap_node(u), sched.remap_node(v), e)
+    return idx8, e1, e2, ri, sched.n_slots
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
+                        n_slots: int, interpret: bool = False):
+    """Full-tree logL through the fused whole-traversal kernel."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
+                                          n_slots, interpret=interpret)
+    u, v, e = root_info
+    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P[e])
+
+
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def loglikelihood_pallas(partition, levels, brlens, offsets, root_info,
                          n_slots: int, interpret: bool = False):

@@ -33,6 +33,51 @@ def test_pallas_matches_xla(rng, n_tips, cats, pinv):
     assert l_pl == pytest.approx(l_xla, abs=1e-3)
 
 
+@pytest.mark.parametrize("n_tips,cats,pinv,sites", [(6, 4, 0.0, 100),
+                                                    (12, 2, 0.2, 100),
+                                                    (20, 4, 0.1, 300)])
+def test_fused_matches_xla(rng, n_tips, cats, pinv, sites):
+    """Whole-traversal megakernel (one pallas call, manual DMA) must match
+    the level-batched XLA engine on the same f32 partition."""
+    tree = ref.random_binary_tree(rng, n_tips)
+    seqs = ref.random_sequences(rng, n_tips, sites)
+    part = create_partition(seqs, states=4, n_rate_cats=cats, alpha=0.9,
+                            prop_invar=pinv,
+                            subst_rates=rng.uniform(0.5, 2, 6),
+                            freqs=rng.dirichlet([6] * 4),
+                            dtype=jnp.float32)
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    l_xla = float(engine.loglikelihood_levels(part, levels, brl, offsets,
+                                              ri, n_slots))
+    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(part, tree)
+    l_fused = float(pallas_clv.loglikelihood_fused(
+        part, idx8, brl, e1, e2, rif, n_slots_f, True))
+    assert l_fused == pytest.approx(l_xla, abs=1e-3)
+
+
+def test_fused_caterpillar(rng):
+    """Maximally unbalanced (caterpillar) tree: every level has W=1, the
+    fence fires on every node — stresses the RAW-hazard protocol."""
+    n = 10
+    newick = "(t0:0.1," + "".join(
+        f"(t{i}:0.1," for i in range(1, n - 1)) + f"t{n-1}:0.1" + \
+        ")" * (n - 2) + ");"
+    from pllmod_tpu.tree.topology import Tree
+    tree = Tree.from_newick(newick)
+    seqs = ref.random_sequences(rng, n, 130)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float32)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    levels, offsets, ri, n_slots = engine.compile_schedule(part, tree)
+    l_xla = float(engine.loglikelihood_levels(part, levels, brl, offsets,
+                                              ri, n_slots))
+    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(part, tree)
+    l_fused = float(pallas_clv.loglikelihood_fused(
+        part, idx8, brl, e1, e2, rif, n_slots_f, True))
+    assert l_fused == pytest.approx(l_xla, abs=1e-3)
+
+
 def test_pallas_with_cached_eigen(rng):
     tree = ref.random_binary_tree(rng, 8)
     seqs = ref.random_sequences(rng, 8, 64)
