@@ -40,14 +40,32 @@ from pllmod_tpu.ops import clv as clv_mod
 from pllmod_tpu.ops import likelihood as lk_mod
 
 
-def _loglh_fn(treeinfo, idx):
+def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     """A jitted partition-logL closure: partition -> logL (topology and
-    branch lengths fixed at current treeinfo state)."""
+    branch lengths fixed at current treeinfo state). On TPU f32 this
+    routes through the fused Pallas megakernel (pll_optimize.c's inner
+    loops served by the fast CLV kernels); elsewhere the serial scan.
+
+    ``need_grad=True`` forces the XLA engine: the Pallas kernel has no
+    VJP, and the analytic-gradient optimizers (rates/freqs/alpha+pinv/
+    free rates) differentiate through the returned closure."""
+    part0 = treeinfo.partitions[idx]
+    brl = jnp.asarray(treeinfo.partition_brlens(idx), part0.dtype)
+    if not need_grad and engine_mod.use_fast_kernel(part0):
+        from pllmod_tpu.ops import pallas_clv
+        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+            part0, treeinfo.tree)
+
+        interp = engine_mod.fast_kernel_interpret()
+
+        def f(part):
+            return pallas_clv.loglikelihood_fused(part, idx8, brl, e1, e2,
+                                                  ri, n_slots, interp)
+
+        return f
     ops, root_info = treeinfo.tree.traversal_ops()
     ri = tuple(int(x) for x in root_info)
     ops_j = jnp.asarray(ops)
-    part0 = treeinfo.partitions[idx]
-    brl = jnp.asarray(treeinfo.partition_brlens(idx), part0.dtype)
 
     def f(part):
         return engine_mod.loglikelihood(part, ops_j, brl, ri)
@@ -68,11 +86,19 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
         if not (treeinfo.params_to_optimize[i] & mask_bit):
             continue
         part = treeinfo.partitions[i]
+        # alpha/pinv/scaler leave rates+freqs fixed: cache the eigendecomp
+        # once so TPU Brent iterations skip the (dominant) eigh
+        if part.reversible and part.eigen_lam is None:
+            part = part.cache_eigen()
+            treeinfo.partitions[i] = part
         f = _loglh_fn(treeinfo, i)
 
         @jax.jit
         def obj(xs, part=part, f=f):
-            return jax.vmap(lambda x: -f(make_partition(part, x)))(xs)
+            # unrolled (not vmapped): the TPU path is a pallas kernel with
+            # manual DMA — no batching rule; xs is tiny (one per problem)
+            return -jnp.stack([f(make_partition(part, xs[k]))
+                               for k in range(xs.shape[0])])
 
         x0 = jnp.asarray([get_x0(part)], part.dtype)
         x_opt, f_opt = minimize_brent_multi(
@@ -122,13 +148,32 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
         if not (treeinfo.params_to_optimize[i] & PARAM_BRANCH_LEN_SCALER):
             continue
         part = treeinfo.partitions[i]
+        if part.reversible and part.eigen_lam is None:
+            part = part.cache_eigen()
+            treeinfo.partitions[i] = part
         base = jnp.asarray(treeinfo.tree.lengths, part.dtype)
 
-        @jax.jit
-        def obj(xs, part=part, base=base):
-            return jax.vmap(
-                lambda s: -engine_mod.loglikelihood(part, ops_j, base * s,
-                                                    ri))(xs)
+        if engine_mod.use_fast_kernel(part):
+            from pllmod_tpu.ops import pallas_clv
+            idx8, e1, e2, rif, n_slots = pallas_clv.compile_fused(
+                part, treeinfo.tree)
+
+            interp = engine_mod.fast_kernel_interpret()
+
+            @jax.jit
+            def obj(xs, part=part, base=base, idx8=idx8, e1=e1, e2=e2,
+                    rif=rif, n_slots=n_slots, interp=interp):
+                return -jnp.stack([
+                    pallas_clv.loglikelihood_fused(
+                        part, idx8, base * xs[k], e1, e2, rif, n_slots,
+                        interp)
+                    for k in range(xs.shape[0])])
+        else:
+            @jax.jit
+            def obj(xs, part=part, base=base):
+                return jax.vmap(
+                    lambda s: -engine_mod.loglikelihood(part, ops_j,
+                                                        base * s, ri))(xs)
 
         x0 = jnp.asarray([treeinfo.brlen_scalers[i]], part.dtype)
         x_opt, f_opt = minimize_brent_multi(
@@ -150,7 +195,7 @@ def opt_alpha_pinv(treeinfo, tol=1e-4):
         if not ((mask & PARAM_ALPHA) and (mask & PARAM_PINV)):
             continue
         part = treeinfo.partitions[i]
-        f = _loglh_fn(treeinfo, i)
+        f = _loglh_fn(treeinfo, i, need_grad=True)
 
         @jax.jit
         def neg(x, part=part, f=f):
@@ -201,7 +246,7 @@ def opt_subst_rates(treeinfo, symmetries=None,
         k = len(uniq)
         if k < 2:
             continue
-        f = _loglh_fn(treeinfo, i)
+        f = _loglh_fn(treeinfo, i, need_grad=True)
         remap_j = jnp.asarray(remap)
 
         def expand(free, part=part, remap_j=remap_j, pinned=pinned, k=k):
@@ -246,7 +291,7 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
             continue
         part = treeinfo.partitions[i]
         s = part.states
-        f = _loglh_fn(treeinfo, i)
+        f = _loglh_fn(treeinfo, i, need_grad=True)
 
         @jax.jit
         def neg(ratios, part=part, f=f):
@@ -311,7 +356,7 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
             continue
         part = treeinfo.partitions[i]
         brl = jnp.asarray(treeinfo.partition_brlens(i), part.dtype)
-        f = _loglh_fn(treeinfo, i)
+        f = _loglh_fn(treeinfo, i, need_grad=True)
         prev = -np.inf
         for _ in range(max_rounds):
             if mask & PARAM_RATE_WEIGHTS:

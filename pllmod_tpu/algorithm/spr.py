@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.ops import engine as engine_mod
 from pllmod_tpu.ops import likelihood as lk_mod
 from pllmod_tpu.optimize.blo import (DirectedTraversal,
                                      optimize_branch_lengths_treeinfo)
@@ -49,9 +50,42 @@ def _directed_clvs_sched(partition, P, levels, offsets, n_slots: int):
                                          n_slots)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("n_slots", "interpret"))
+def _fused_clvs_std(partition, P, idx8, e1, e2, n_slots: int,
+                    interpret: bool):
+    from pllmod_tpu.ops import pallas_clv
+    return pallas_clv.update_partials_fused_std(partition, P, idx8, e1, e2,
+                                                n_slots, interpret)
+
+
+def _fused_R_args(partition, ops_R, trav_full):
+    """Precompiled fused-kernel schedule kwargs for the remainder-tree
+    scorers. Padded to the full op-table shape with a FIXED slot count so
+    every prune candidate reuses one compiled executable."""
+    from pllmod_tpu.ops import pallas_clv
+    idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(
+        partition, ops_R, pad_to=len(ops_R),
+        n_slots_min=len(trav_full.ops) + 2)
+    return dict(fused_idx=(idx8, e1, e2), fused_nslots=n_slots,
+                fused_interp=engine_mod.fast_kernel_interpret())
+
+
+def _build_clvs(partition, P, ops_R, fused):
+    """Remainder-tree CLVs: fused Pallas megakernel on TPU f32 (VERDICT:
+    SPR CLV work through pallas_clv), masked-scan XLA engine elsewhere.
+    ``fused`` = (idx8, e1, e2) from compile_fused_ops, or None."""
+    if fused is None:
+        return clv_mod.update_partials(partition, P, ops_R)
+    from pllmod_tpu.ops import pallas_clv
+    idx8, e1, e2, n_slots, interp = fused
+    return pallas_clv.update_partials_fused_std(partition, P, idx8, e1, e2,
+                                                n_slots, interp)
+
+
+@partial(jax.jit, static_argnames=("fused_nslots", "fused_interp"))
 def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
-                        edge_ref, edge_mask, half_len):
+                        edge_ref, edge_mask, half_len, fused_idx=None,
+                        fused_nslots=None, fused_interp=False):
     """logL of placing the pruned subtree into every edge of R at once.
 
     Args:
@@ -66,7 +100,9 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
       lnl [n_edge_slots] (−inf on masked edges)
     """
     P = partition.prob_matrices(brlens_R)
-    clvs, scalers = clv_mod.update_partials(partition, P, ops_R)
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    clvs, scalers = _build_clvs(partition, P, ops_R, fused)
     dtype = partition.dtype
 
     P_s = partition.prob_matrices(t_s[None])[0]                 # [C,S,S]
@@ -98,10 +134,12 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
     return jnp.where(edge_mask, lnls, -jnp.inf)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("fused_nslots", "fused_interp"))
 def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
                                  clv_S_tup, scaler_S_tup, t_s, edge_ref,
-                                 edge_mask, half_len, min_brlen, max_brlen):
+                                 edge_mask, half_len, min_brlen, max_brlen,
+                                 fused_idx=None, fused_nslots=None,
+                                 fused_interp=False):
     """Thorough-mode batched scoring: per candidate edge, optimize the
     three attachment branch lengths (subtree, x-side, y-side) by
     coordinate-wise Newton from sumtables (the reference's radius-1
@@ -121,9 +159,11 @@ def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
     dtype = partitions[0].dtype
     per_part = []
     eigens = []
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
     for part, psc in zip(partitions, part_scalers):
         P = part.prob_matrices(brlens_R * psc)
-        clvs, scalers = clv_mod.update_partials(part, P, ops_R)
+        clvs, scalers = _build_clvs(part, P, ops_R, fused)
         A_x, sx = clv_mod.gather_node_clvs(part, clvs, scalers,
                                            edge_ref[:, 0])
         A_y, sy = clv_mod.gather_node_clvs(part, clvs, scalers,
@@ -305,13 +345,27 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             trav_full = DirectedTraversal(tree)
             levels_f, offsets_f, _eref_f, n_slots_f = trav_full.schedule()
             full_clvs = {}
+            full_fast = {}
+            fused_full = None
             for i in part_idx:
                 part = treeinfo.partitions[i]
                 brl_full = jnp.asarray(treeinfo.partition_brlens(i),
                                        part.dtype)
                 P_full = part.prob_matrices(brl_full)
-                full_clvs[i] = _directed_clvs_sched(
-                    part, P_full, levels_f, offsets_f, n_slots_f)
+                if engine_mod.use_fast_kernel(part):
+                    from pllmod_tpu.ops import pallas_clv
+                    if fused_full is None:
+                        fused_full = pallas_clv.compile_fused_ops(
+                            part, trav_full.ops)
+                    fi, fe1, fe2, fns = fused_full
+                    full_clvs[i] = _fused_clvs_std(
+                        part, P_full, fi, fe1, fe2, fns,
+                        engine_mod.fast_kernel_interpret())
+                    full_fast[i] = True
+                else:
+                    full_clvs[i] = _directed_clvs_sched(
+                        part, P_full, levels_f, offsets_f, n_slots_f)
+                    full_fast[i] = False
             cache_version = n_applied
 
         # ---- remainder tree R: dissolve junction, drop subtree edges ----
@@ -343,13 +397,16 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         triplets = None
 
-        def subtree_clv(part, clvs_f, scalers_f):
+        def subtree_clv(part, clvs_f, scalers_f, fast=False):
             if tree.is_tip(sub_root):
                 cS = clv_mod.tip_clv(part, sub_root)
                 cS = jnp.broadcast_to(
                     cS[:, None, :], (cS.shape[0], part.n_cats, part.states))
                 return cS, jnp.zeros(cS.shape[0], jnp.int32)
-            slot = trav_full.sched_slot(sub_root, junction)
+            # fused buffers keep DirectedTraversal's own slot numbering;
+            # the level-batched buffers use the remapped schedule slots
+            slot = (trav_full.slot_of[(sub_root, junction)] if fast
+                    else trav_full.sched_slot(sub_root, junction))
             return clvs_f[slot], scalers_f[slot]
 
         dtype0 = treeinfo.partitions[part_idx[0]].dtype
@@ -369,23 +426,30 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 pscs = tuple(1.0 for _ in part_idx)
             cS_tup, sS_tup = [], []
             for i in part_idx:
-                cS, sS = subtree_clv(treeinfo.partitions[i], *full_clvs[i])
+                cS, sS = subtree_clv(treeinfo.partitions[i], *full_clvs[i],
+                                     fast=full_fast[i])
                 cS_tup.append(cS)
                 sS_tup.append(sS)
+            fargs = _fused_R_args(parts[0], ops_R, trav_full) \
+                if all(full_fast[i] for i in part_idx) else {}
             scores, ts, tx, ty = _score_all_regrafts_thorough(
                 parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
                 t_s0, edge_ref, mask_j, halves,
-                jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0))
+                jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0),
+                **fargs)
             triplets = (np.array(ts), np.array(tx), np.array(ty))
             total_scores = np.array(scores, np.float64)
         else:
             total_scores = None
             for i in part_idx:
                 part = treeinfo.partitions[i]
-                cS, sS = subtree_clv(part, *full_clvs[i])
+                cS, sS = subtree_clv(part, *full_clvs[i],
+                                     fast=full_fast[i])
+                fargs = _fused_R_args(part, ops_R, trav_full) \
+                    if full_fast[i] else {}
                 scores = _score_all_regrafts(
                     part, ops_R_j, brl_R, cS, sS, t_s0,
-                    edge_ref, mask_j, halves)
+                    edge_ref, mask_j, halves, **fargs)
                 sarr = np.array(scores, np.float64)
                 total_scores = sarr if total_scores is None \
                     else total_scores + sarr

@@ -101,21 +101,47 @@ def loglikelihood_with_buffers(partition, ops, brlens, root_info):
     return lnl, (P, clvs, scalers)
 
 
+# None = auto (TPU + f32); True/False = forced (tests force True on CPU,
+# where the kernel runs in interpret mode)
+FORCE_FAST_KERNEL: bool | None = None
+
+
+def use_fast_kernel(partition) -> bool:
+    """True when the fused Pallas megakernel is the right engine: TPU-class
+    device + f32 partition (the kernel's rescaling is f32-exponent based)."""
+    if FORCE_FAST_KERNEL is not None:
+        return FORCE_FAST_KERNEL and partition.dtype == jnp.float32
+    from pllmod_tpu.common import is_tpu
+    return is_tpu() and partition.dtype == jnp.float32
+
+
+def fast_kernel_interpret() -> bool:
+    """Interpret mode for the fused kernel when forced onto CPU (tests)."""
+    from pllmod_tpu.common import is_tpu
+    return not is_tpu()
+
+
 def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
                        schedule: str = "auto"):
     """Convenience host-level wrapper: compile traversal + evaluate.
 
-    ``schedule``: "auto" (pallas kernel on TPU f32, serial scan
-    elsewhere), "pallas", "levels" (level-batched XLA) or "scan" (one
-    node per step — the reference-equivalent serial schedule, kept for
-    kernel-equivalence testing)."""
+    ``schedule``: "auto" (fused Pallas megakernel on TPU f32, serial scan
+    elsewhere), "fused" (whole-traversal megakernel), "pallas" (per-level
+    kernels, kept for comparison), "levels" (level-batched XLA) or "scan"
+    (one node per step — the reference-equivalent serial schedule, kept
+    for kernel-equivalence testing)."""
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
     if schedule == "auto":
-        from pllmod_tpu.common import is_tpu
-        schedule = ("pallas" if is_tpu() and partition.dtype == jnp.float32
-                    else "scan")
+        schedule = "fused" if use_fast_kernel(partition) else "scan"
+    if schedule == "fused":
+        from pllmod_tpu.ops import pallas_clv
+        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(partition,
+                                                             tree, root_edge)
+        return pallas_clv.loglikelihood_fused(partition, idx8, brlens,
+                                              e1, e2, ri, n_slots,
+                                              fast_kernel_interpret())
     if schedule == "pallas":
         from pllmod_tpu.ops import pallas_clv
         levels, offsets, ri, n_slots = compile_schedule(partition, tree,

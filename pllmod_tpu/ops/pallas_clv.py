@@ -41,6 +41,20 @@ _PREC = jax.lax.Precision.HIGHEST
 # pattern-tile size for the level kernels (overridable for tuning)
 _TILE_OVERRIDE = 8192
 
+# MXU precision for the kernels' child dots. HIGHEST = exact f32 (6
+# bf16 passes); HIGH = 3 passes (~16-bit operands, ~1e-5 relative CLV
+# error — measured logL deviation on the flagship config is documented in
+# PERF_NOTES.md). The one-hot tip-expansion dots always run 1-pass
+# (operands are exactly 0/1 in bf16, and the MXU accumulates in f32).
+_DOT_PREC = jax.lax.Precision.HIGHEST
+_EXPAND_PREC = jax.lax.Precision.DEFAULT
+
+
+def set_dot_precision(prec):
+    """Set the kernel matmul precision (jax.lax.Precision or string)."""
+    global _DOT_PREC
+    _DOT_PREC = jax.lax.Precision(prec) if isinstance(prec, str) else prec
+
 
 def _pick_tile(P: int) -> int:
     """Largest multiple of 128 that divides P and is <= _TILE_OVERRIDE
@@ -620,7 +634,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
                     codetab_ref[:, :n_codes], onehot,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=_EXPAND_PREC)
 
         expand(0, is_tip1)
         expand(1, is_tip2)
@@ -631,11 +645,11 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
         left = jax.lax.dot_general(
             P1_ref[0], c_scr[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_DOT_PREC)
         right = jax.lax.dot_general(
             P2_ref[0], c_scr[1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=_DOT_PREC)
         prod = left * right
 
         # exact power-of-two rescale (identical to the XLA engines)
@@ -688,14 +702,14 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         num_scalar_prefetch=1,
         grid=(nW, nP),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),          # tip_codes
+            pl.BlockSpec(memory_space=pl.ANY),          # tip_codes
             pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
             pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
             pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # c_scr
@@ -724,6 +738,88 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         interpret=interpret,
     )
     return fn(idx8, tip_codes, codetab, Pbd[e1], Pbd[e2])
+
+
+def compile_fused_ops(partition, ops, pad_to: int | None = None,
+                      n_slots_min: int | None = None):
+    """Compile an ARBITRARY pruning-op list (including directed-CLV
+    schedules from BLO/SPR and masked/padded op tables) for the fused
+    megakernel, PRESERVING the original slot numbering — the kernel's
+    manual DMA writes don't need contiguous slots, so downstream code
+    that indexes the returned buffer by the op table's own slot ids
+    (gather_node_clvs, edge_ref) works unchanged.
+
+    Rows are emitted in dependency-level order with fence flags; masked
+    rows (parent_slot < 0) and padding rows (up to ``pad_to``) become
+    dummy tip/tip ops writing to a scratch slot. Returns
+    (idx8 [pad_to or n_live, 8], e1, e2, n_slots) with n_slots =
+    max_slot + 2 (last slot = scratch).
+    """
+    ops = np.asarray(ops)
+    n_tips = partition.n_tips
+    live = ops[ops[:, 0] >= 0]
+    if live.size == 0:
+        raise ValueError("no live ops")
+    level_of: dict[int, int] = {}
+    rows_by_level: dict[int, list] = {}
+    for row in live:
+        deps = [level_of[int(c) - n_tips]
+                for c in (row[1], row[3]) if int(c) >= n_tips]
+        lvl = (max(deps) + 1) if deps else 0
+        level_of[int(row[0])] = lvl
+        rows_by_level.setdefault(lvl, []).append(row)
+    n_slots = int(live[:, 0].max()) + 2        # +1 scratch for dummies
+    if n_slots_min is not None:
+        # fixed buffer size across varying op tables (e.g. SPR remainder
+        # trees of different sizes) so the jitted consumer never retraces
+        n_slots = max(n_slots, n_slots_min)
+    rows8, e1s, e2s = [], [], []
+    for li, lvl in enumerate(sorted(rows_by_level)):
+        arr = np.stack(rows_by_level[lvl]).astype(np.int64)
+        c1, c2 = arr[:, 1], arr[:, 3]
+        it1 = (c1 < n_tips).astype(np.int64)
+        it2 = (c2 < n_tips).astype(np.int64)
+        W = arr.shape[0]
+        fence = np.zeros(W, np.int64)
+        if li > 0:
+            fence[0] = 1
+        rows8.append(np.stack([
+            np.where(it1 == 1, 0, c1 - n_tips),
+            np.where(it2 == 1, 0, c2 - n_tips),
+            it1, it2,
+            np.where(it1 == 1, c1, 0), np.where(it2 == 1, c2, 0),
+            arr[:, 0], fence,
+        ], axis=1))
+        e1s.append(arr[:, 2])
+        e2s.append(arr[:, 4])
+    idx8 = np.concatenate(rows8)
+    e1 = np.concatenate(e1s)
+    e2 = np.concatenate(e2s)
+    if pad_to is not None and pad_to > idx8.shape[0]:
+        npad = pad_to - idx8.shape[0]
+        dummy = np.zeros((npad, 8), np.int64)
+        dummy[:, 2] = dummy[:, 3] = 1            # tip/tip children
+        dummy[:, 6] = n_slots - 1                # scratch slot
+        idx8 = np.concatenate([idx8, dummy])
+        e1 = np.concatenate([e1, np.zeros(npad, np.int64)])
+        e2 = np.concatenate([e2, np.zeros(npad, np.int64)])
+    return (jnp.asarray(idx8.astype(np.int32)),
+            jnp.asarray(e1.astype(np.int32)),
+            jnp.asarray(e2.astype(np.int32)), n_slots)
+
+
+def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,
+                              interpret: bool = False):
+    """Fused-kernel pruning returning STANDARD-layout buffers
+    ([n_slots, Ppad, C, S] f32 CLVs + [n_slots, Ppad] scalers) — a
+    drop-in for :func:`pllmod_tpu.ops.clv.update_partials` on op tables
+    compiled by :func:`compile_fused_ops`. Conversion from the kernel's
+    CS×P layout costs one transpose pass over the buffer."""
+    clvs_csp, scalers = update_partials_fused(partition, P, idx8, e1, e2,
+                                              n_slots, interpret=interpret)
+    C, S = partition.n_cats, partition.states
+    clvs = csp_to_standard(clvs_csp, C, S).astype(partition.dtype)
+    return clvs, scalers[:, 0, :]
 
 
 def compile_fused(partition, tree, root_edge=None):
@@ -769,6 +865,480 @@ def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
     clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
                                           n_slots, interpret=interpret)
     u, v, e = root_info
+    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P[e])
+
+
+def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
+                               P_edge):
+    """As :func:`root_loglikelihood_csp` but with TRACED node refs, so a
+    topology change (new root placement after an SPR move) does not
+    trigger a recompile. Tip expansion uses a one-hot matmul instead of a
+    gather (CLAUDE.md: gather HLO is slow on TPU)."""
+    from pllmod_tpu.ops import likelihood as lk_mod
+    n_tips = partition.n_tips
+    C = partition.n_cats
+    S = partition.states
+    Ppad = partition.n_patterns_padded
+    dtype = partition.dtype
+    n_codes = partition.code_clv.shape[0]
+
+    def fetch(ref):
+        def tip(_):
+            codes = jax.lax.dynamic_index_in_dim(
+                partition.tip_states, jnp.clip(ref, 0, n_tips - 1), 0,
+                keepdims=False)                                   # [P]
+            onehot = (codes[None, :] ==
+                      jnp.arange(n_codes)[:, None]).astype(dtype)
+            t = jnp.einsum("ks,kp->sp", partition.code_clv.astype(dtype),
+                           onehot, precision=_PREC)               # [S,P]
+            clv = jnp.broadcast_to(t[None], (C, S, Ppad))
+            return clv, jnp.zeros(Ppad, jnp.int32)
+
+        def inner(_):
+            slot = jnp.clip(ref - n_tips, 0, clvs_csp.shape[0] - 1)
+            clv = jax.lax.dynamic_index_in_dim(
+                clvs_csp, slot, 0, keepdims=False).reshape(C, S, Ppad)
+            sc = jax.lax.dynamic_index_in_dim(
+                scalers, slot, 0, keepdims=False)[0]
+            return clv.astype(dtype), sc
+        return jax.lax.cond(ref < n_tips, tip, inner, None)
+
+    clv_p, s_p = fetch(ref_p)
+    clv_c, s_c = fetch(ref_c)
+    fc = partition.freqs_per_cat()
+    right = jnp.einsum("cjp,cij->cip", clv_c, P_edge.astype(dtype),
+                       preferred_element_type=dtype, precision=_PREC)
+    per_cat = jnp.einsum("cip,ci,cip->cp", clv_p, fc, right,
+                         preferred_element_type=dtype, precision=_PREC)
+    lnl = lk_mod._site_lnl(partition, per_cat.T, s_p + s_c)
+    return jnp.sum(lnl * partition.pattern_weights)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
+                            n_slots: int, interpret: bool = False):
+    """Fused-kernel logL with DYNAMIC root info: ``root_refs`` is an int32
+    [3] array (ref_p, ref_c, root_edge). Changing topology (new idx8/e1/
+    e2/root_refs of the same shapes) reuses the compiled executable —
+    the per-move cost during tree search is data upload only."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
+                                          n_slots, interpret=interpret)
+    P_root = jax.lax.dynamic_index_in_dim(P, root_refs[2], 0,
+                                          keepdims=False)
+    return root_loglikelihood_csp_dyn(partition, clvs, scalers,
+                                      root_refs[0], root_refs[1], P_root)
+
+
+# ---------------------------------------------------------------------------
+# Node-packed megakernel: G = 128//CS nodes per grid step.
+#
+# The single-node kernel's dots are [CS,CS]@[CS,T] with CS=16 for DNA+Γ4 —
+# the MXU pads K to 128, wasting 8x of the systolic array (measured: the
+# dots dominate the kernel). Packing G level-mates into one
+# block-diagonal [G·CS, G·CS] matrix makes every child application a FULL
+# [128,128]@[128,T] MXU matmul. Group members write a CONTIGUOUS slot
+# range, so each step issues ONE result DMA; reads stay per-member
+# (children scatter across earlier levels). Levels are padded to a
+# multiple of G with dummy tip nodes whose outputs land in padding slots
+# that are never read.
+#
+# Buffers are 2D row-major: clvs [n_slots_pad·CS, P], scalers
+# [n_slots_pad, P] — slot s owns rows [s·CS, (s+1)·CS).
+# ---------------------------------------------------------------------------
+def _pick_tile_packed(P: int, GM: int) -> int:
+    """~8 [GM,T] f32 buffers under a ~8 MB budget."""
+    budget = 8 * 1024 * 1024
+    cap = max(128, min(P, budget // (8 * GM * 4)))
+    for t in range(cap - cap % 128, 127, -128):
+        if P % t == 0:
+            return t
+    return 128
+
+
+def _make_packed_kernel(n_codes: int, G: int, CS: int, nG: int, nP: int):
+    GM = G * CS
+
+    def _kernel(idxm_ref,              # prefetch [nG*G, 6] int32
+                idxg_ref,              # prefetch [nG, 4] int32
+                tip_codes_ref,         # ANY [n_tips, 1, P] int32
+                bigtab_ref,            # VMEM [GM, G*n_codes] f32
+                P1_ref, P2_ref,        # VMEM blocks [1, GM, GM]
+                clvs_ref, sc_ref,      # ANY outputs [n_slots_pad*CS, P]/[n_slots_pad, P]
+                c_scr, codes_scr, s_scr, o_scr, os_scr,
+                rsem, rssem, wsem, wssem, cnt):
+        grp = pl.program_id(0)
+        p = pl.program_id(1)
+        T = o_scr.shape[2]
+        step = grp * nP + p
+        par = jax.lax.rem(step, jnp.asarray(2, step.dtype))
+        oth = 1 - par
+
+        @pl.when(step == 0)
+        def _():
+            cnt[0] = 0
+            cnt[1] = 0
+
+        out_base = idxg_ref[grp, 0]
+        fence = idxg_ref[grp, 1] == 1
+        any_tip = (idxg_ref[grp, 2] == 1, idxg_ref[grp, 3] == 1)
+
+        def drain(q):
+            @pl.when(cnt[q] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    o_scr.at[q], clvs_ref.at[pl.ds(0, GM), pl.ds(0, T)],
+                    wsem.at[q]).wait()
+                pltpu.make_async_copy(
+                    os_scr.at[q], sc_ref.at[pl.ds(0, G), :, pl.ds(0, T)],
+                    wssem.at[q]).wait()
+                cnt[q] = 0
+
+        drain(par)
+
+        @pl.when(fence & (p == 0))
+        def _():
+            drain(oth)
+
+        # -- per-member reads (side k, member g static) ------------------
+        def member(k, g):
+            row = grp * G + g
+            slot = idxm_ref[row, 2 * k]
+            is_tip = idxm_ref[row, 2 * k + 1] == 1
+            tip = idxm_ref[row, 4 + k]
+            return slot, is_tip, tip
+
+        def rd(k, g, start):
+            slot, is_tip, tip = member(k, g)
+
+            @pl.when(is_tip)
+            def _():
+                c = pltpu.make_async_copy(
+                    tip_codes_ref.at[tip, :, pl.ds(p * T, T)],
+                    codes_scr.at[k, g], rsem.at[k, g])
+                c.start() if start else c.wait()
+
+            @pl.when(jnp.logical_not(is_tip))
+            def _():
+                c = pltpu.make_async_copy(
+                    clvs_ref.at[pl.ds(slot * CS, CS), pl.ds(p * T, T)],
+                    c_scr.at[k, pl.ds(g * CS, CS), :], rsem.at[k, g])
+                c.start() if start else c.wait()
+                c2 = pltpu.make_async_copy(
+                    sc_ref.at[slot, :, pl.ds(p * T, T)],
+                    s_scr.at[k, g], rssem.at[k, g])
+                c2.start() if start else c2.wait()
+
+        def rd_contig(k, start):
+            """Whole-side gather: the consumer-driven level reordering
+            makes a group's side-k children a consecutive slot run for
+            most groups — one [GM, T] DMA + one [G, 1, T] scaler DMA."""
+            s0 = idxg_ref[grp, 5 + 2 * k]
+            c = pltpu.make_async_copy(
+                clvs_ref.at[pl.ds(s0 * CS, GM), pl.ds(p * T, T)],
+                c_scr.at[k], rsem.at[k, 0])
+            c.start() if start else c.wait()
+            c2 = pltpu.make_async_copy(
+                sc_ref.at[pl.ds(s0, G), :, pl.ds(p * T, T)],
+                s_scr.at[k], rssem.at[k, 0])
+            c2.start() if start else c2.wait()
+
+        contig = (idxg_ref[grp, 4] == 1, idxg_ref[grp, 6] == 1)
+        for start in (True, False):
+            for k in (0, 1):
+                @pl.when(contig[k])
+                def _(k=k, start=start):
+                    rd_contig(k, start)
+
+                @pl.when(jnp.logical_not(contig[k]))
+                def _(k=k, start=start):
+                    for g in range(G):
+                        rd(k, g, start)
+
+        # -- tip expansion: block-diag codetab (kron(I_G, codetab)) @
+        #    one-hot of the G code rows — one MXU dot per side, gated on
+        #    the group having any tip on that side -----------------------
+        for k in (0, 1):
+            @pl.when(any_tip[k])
+            def _(k=k):
+                codes = codes_scr[k, :, 0, :]                # [G, T] int32
+                bcodes = jnp.repeat(codes, n_codes, axis=0)  # [G*nc, T]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (G * n_codes, T), 0)
+                onehot = (bcodes == jax.lax.rem(
+                    iota, jnp.asarray(n_codes, jnp.int32))).astype(
+                        jnp.float32)
+                exp_all = jax.lax.dot_general(
+                    bigtab_ref[...], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_EXPAND_PREC)                  # [GM, T]
+                for g in range(G):
+                    _, is_tip, _ = member(k, g)
+
+                    @pl.when(is_tip)
+                    def _(g=g):
+                        c_scr[k, g * CS:(g + 1) * CS, :] = \
+                            exp_all[g * CS:(g + 1) * CS, :]
+
+        left = jax.lax.dot_general(
+            P1_ref[0], c_scr[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PREC)
+        right = jax.lax.dot_general(
+            P2_ref[0], c_scr[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_DOT_PREC)
+        prod = left * right                                   # [GM, T]
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        for g in range(G):
+            blk = prod[g * CS:(g + 1) * CS, :]
+            m = jnp.max(blk, axis=0, keepdims=True)           # [1, T]
+            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+            e = ((mi >> 23) & 0xFF) - 126
+            e = jnp.where(m > 0, e, 0)
+            e = jnp.clip(e, -125, 127)
+            scale = jax.lax.bitcast_convert_type(
+                ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+            o_scr[par, g * CS:(g + 1) * CS, :] = blk * scale
+            _, it1, _ = member(0, g)
+            _, it2, _ = member(1, g)
+            s1 = jnp.where(it1, zero_s, s_scr[0, g])
+            s2 = jnp.where(it2, zero_s, s_scr[1, g])
+            os_scr[par, g] = s1 + s2 + e
+
+        pltpu.make_async_copy(
+            o_scr.at[par],
+            clvs_ref.at[pl.ds(out_base * CS, GM), pl.ds(p * T, T)],
+            wsem.at[par]).start()
+        pltpu.make_async_copy(
+            os_scr.at[par],
+            sc_ref.at[pl.ds(out_base, G), :, pl.ds(p * T, T)],
+            wssem.at[par]).start()
+        cnt[par] = 1
+
+        @pl.when(step == nG * nP - 1)
+        def _():
+            drain(par)
+            drain(oth)
+
+    return _kernel
+
+
+def _group_blockdiag(Pbd_sel, nG: int, G: int, CS: int):
+    """[nG*G, CS, CS] -> block-diagonal [nG, G*CS, G*CS]."""
+    blk = Pbd_sel.reshape(nG, G, CS, CS)
+    Z = jnp.zeros((nG, G, CS, G, CS), Pbd_sel.dtype)
+    for g in range(G):
+        Z = Z.at[:, g, :, g, :].set(blk[:, g])
+    return Z.reshape(nG, G * CS, G * CS)
+
+
+def update_partials_packed(partition, P, packed, interpret: bool = False):
+    """Whole-traversal pruning, G nodes per grid step (one pallas call).
+
+    ``packed`` is the host-compiled :class:`PackedSchedule`. Returns
+    (clvs2d [n_slots_pad*CS, Ppad] f32, scalers2d [n_slots_pad, Ppad]
+    int32)."""
+    Ppad = partition.n_patterns_padded
+    C, S = partition.n_cats, partition.states
+    CS = C * S
+    G, nG = packed.G, packed.nG
+    GM = G * CS
+    Pbd = block_diag_pmats(P.astype(jnp.float32))
+    codetab, n_codes = _code_table(partition)
+    # kron(I_G, codetab[:, :n_codes])
+    eye = jnp.eye(G, dtype=jnp.float32)
+    bigtab = jnp.einsum("ab,ck->acbk", eye,
+                        codetab[:, :n_codes]).reshape(GM, G * n_codes)
+    tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
+    P1G = _group_blockdiag(Pbd[packed.e1], nG, G, CS)
+    P2G = _group_blockdiag(Pbd[packed.e2], nG, G, CS)
+    TILE_P = _pick_tile_packed(Ppad, GM)
+    nP = Ppad // TILE_P
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nG, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # tip_codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),           # bigtab
+            pl.BlockSpec((1, GM, GM), lambda g, p, i1, i2: (g, 0, 0)),
+            pl.BlockSpec((1, GM, GM), lambda g, p, i1, i2: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, GM, TILE_P), jnp.float32),        # c_scr
+            pltpu.VMEM((2, G, 1, TILE_P), jnp.int32),        # codes_scr
+            pltpu.VMEM((2, G, 1, TILE_P), jnp.int32),        # s_scr
+            pltpu.VMEM((2, GM, TILE_P), jnp.float32),        # o_scr
+            pltpu.VMEM((2, G, 1, TILE_P), jnp.int32),        # os_scr
+            pltpu.SemaphoreType.DMA((2, G)),                 # rsem
+            pltpu.SemaphoreType.DMA((2, G)),                 # rssem
+            pltpu.SemaphoreType.DMA((2,)),                   # wsem
+            pltpu.SemaphoreType.DMA((2,)),                   # wssem
+            pltpu.SMEM((2,), jnp.int32),                     # cnt
+        ],
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    fn = pl.pallas_call(
+        _make_packed_kernel(n_codes, G, CS, nG, nP),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((packed.n_slots_pad * CS, Ppad),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((packed.n_slots_pad, 1, Ppad),
+                                 jnp.int32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    return fn(packed.idxm, packed.idxg, tip_codes, bigtab, P1G, P2G)
+
+
+class PackedSchedule:
+    """Host-compiled G-packed level schedule (see update_partials_packed).
+
+    Attributes: G, nG, idxm [nG*G, 6] (slot1, is_tip1, slot2, is_tip2,
+    tip1, tip2), idxg [nG, 4] (out_base_slot, fence, any_tip1, any_tip2),
+    e1/e2 [nG*G] child edge ids (dummies -> edge 0), n_slots_pad,
+    root_info (refs remapped to PADDED slots), pad_remap (old level-slot
+    -> padded slot)."""
+
+    def __init__(self, partition, tree, root_edge=None, group: int = 0):
+        from pllmod_tpu.ops import clv as clv_mod
+        ops, root_info = tree.traversal_ops(root_edge)
+        sched = clv_mod.LevelSchedule(ops, partition.n_tips)
+        n_tips = partition.n_tips
+        CS = partition.n_cats * partition.states
+        G = group or max(1, 128 // CS)
+        self.G = G
+        n_levels = len(sched.levels)
+
+        # --- consumer-driven level reordering --------------------------
+        # Each inner node has exactly ONE consumer (its parent's op).
+        # Sorting every level by (consumer level, consumer group, side,
+        # consumer member) makes each consumer group's side-k children a
+        # CONSECUTIVE slot run, so the kernel can gather a whole group
+        # side with ONE strided DMA instead of G.
+        lvl_of_slot = np.empty(sched.n_slots, np.int64)
+        for li, (arr, off) in enumerate(zip(sched.levels, sched.offsets)):
+            lvl_of_slot[off:off + arr.shape[0]] = li
+        # consumer[slot] = (level, row-within-level, side)
+        consumer = {}
+        for li, arr in enumerate(sched.levels):
+            for r, row in enumerate(arr):
+                for side, col in enumerate((1, 3)):
+                    c = int(row[col])
+                    if c >= n_tips:
+                        consumer[c - n_tips] = (li, r, side)
+        orders = [None] * n_levels
+        pos_in_level = {}               # slot -> new row index in its level
+        for li in reversed(range(n_levels)):
+            arr = sched.levels[li]
+            off = sched.offsets[li]
+            W = arr.shape[0]
+            if li == n_levels - 1:
+                order = list(range(W))
+            else:
+                def key(r):
+                    # root-edge endpoints have no consumer -> sort last
+                    cl, crow, side = consumer.get(off + r,
+                                                  (n_levels, r, 0))
+                    cpos = pos_in_level.get((cl, crow), crow)
+                    return (cl, cpos // G, side, cpos % G)
+                order = sorted(range(W), key=key)
+            orders[li] = order
+            for newpos, r in enumerate(order):
+                pos_in_level[(li, r)] = newpos
+        # reorder the level arrays; remap row indices -> new positions
+        new_levels = [sched.levels[li][orders[li]] for li in range(n_levels)]
+
+        # padded slot numbering over the NEW order
+        pad_remap = np.full(sched.n_slots, -1, np.int64)
+        pad_off = 0
+        pad_offsets = []
+        for li, arr in enumerate(new_levels):
+            W = arr.shape[0]
+            off = sched.offsets[li]
+            pad_offsets.append(pad_off)
+            for newpos, r in enumerate(orders[li]):
+                pad_remap[off + r] = pad_off + newpos
+            pad_off += -(-W // G) * G
+        self.n_slots_pad = pad_off
+
+        idxm, idxg, e1s, e2s = [], [], [], []
+        for li, arr in enumerate(new_levels):
+            W = arr.shape[0]
+            Wp = -(-W // G) * G
+            c1 = np.concatenate([arr[:, 1], np.zeros(Wp - W, np.int64)])
+            c2 = np.concatenate([arr[:, 3], np.zeros(Wp - W, np.int64)])
+            ed1 = np.concatenate([arr[:, 2], np.zeros(Wp - W, np.int64)])
+            ed2 = np.concatenate([arr[:, 4], np.zeros(Wp - W, np.int64)])
+            it1 = (c1 < n_tips).astype(np.int64)
+            it2 = (c2 < n_tips).astype(np.int64)
+            slot1 = np.where(it1 == 1, 0, pad_remap[np.where(
+                it1 == 1, 0, c1 - n_tips)])
+            slot2 = np.where(it2 == 1, 0, pad_remap[np.where(
+                it2 == 1, 0, c2 - n_tips)])
+            idxm.append(np.stack([
+                slot1, it1, slot2, it2,
+                np.where(it1 == 1, c1, 0), np.where(it2 == 1, c2, 0),
+            ], axis=1))
+            e1s.append(ed1)
+            e2s.append(ed2)
+            for gi in range(Wp // G):
+                sl = slice(gi * G, (gi + 1) * G)
+                row = [
+                    pad_offsets[li] + gi * G,
+                    1 if (li > 0 and gi == 0) else 0,
+                    1 if it1[sl].any() else 0,
+                    1 if it2[sl].any() else 0,
+                ]
+                for it, slot in ((it1, slot1), (it2, slot2)):
+                    full = (gi + 1) * G <= W
+                    contig = (full and not it[sl].any()
+                              and (np.diff(slot[sl]) == 1).all())
+                    row += [1 if contig else 0,
+                            int(slot[sl][0]) if contig else 0]
+                idxg.append(row)
+        self.idxm = jnp.asarray(np.concatenate(idxm).astype(np.int32))
+        self.idxg = jnp.asarray(np.asarray(idxg, np.int32))
+        self.e1 = jnp.asarray(np.concatenate(e1s).astype(np.int32))
+        self.e2 = jnp.asarray(np.concatenate(e2s).astype(np.int32))
+        self.nG = self.idxg.shape[0]
+        self.contig_frac = float(
+            np.asarray(self.idxg)[:, (4, 6)].mean())
+        u, v, e = (int(x) for x in root_info)
+
+        def remap(node):
+            if node < n_tips:
+                return int(node)
+            return n_tips + int(pad_remap[sched.remap[node - n_tips]])
+
+        self.root_info = (remap(u), remap(v), e)
+
+    def key(self):
+        """Hashable identity for jit static caching."""
+        return (self.G, self.nG, self.n_slots_pad, self.root_info)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def loglikelihood_packed(partition, brlens, packed, interpret: bool = False):
+    """Full-tree logL through the node-packed megakernel."""
+    P = partition.prob_matrices(brlens)
+    clvs2d, sc2d = update_partials_packed(partition, P, packed,
+                                          interpret=interpret)
+    CS = partition.n_cats * partition.states
+    clvs = clvs2d.reshape(packed.n_slots_pad, CS,
+                          partition.n_patterns_padded)
+    scalers = sc2d
+    u, v, e = packed.root_info
     return root_loglikelihood_csp(partition, clvs, scalers, u, v, P[e])
 
 

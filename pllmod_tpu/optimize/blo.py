@@ -153,14 +153,42 @@ def _edge_sumtables(partition, clvs, scalers, edge_ref, eigen):
     return st, s_p + s_c
 
 
-@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+def _directed_clvs(partition, P, levels, offsets, n_slots, fused):
+    """Directed-CLV buffers: fused Pallas megakernel on TPU f32 (original
+    slot numbering; pair with the UN-remapped edge_ref), level-batched XLA
+    otherwise."""
+    if fused is None:
+        return clv_mod.update_partials_sched(partition, P, levels,
+                                             offsets, n_slots)
+    from pllmod_tpu.ops import pallas_clv
+    idx8, e1, e2, ns, interp = fused
+    return pallas_clv.update_partials_fused_std(partition, P, idx8, e1, e2,
+                                                ns, interp)
+
+
+def _fused_args(partition, trav):
+    """Fused-kernel kwargs for the BLO sweeps, or {} off the TPU path."""
+    from pllmod_tpu.ops import engine as engine_mod
+    if not engine_mod.use_fast_kernel(partition):
+        return {}
+    from pllmod_tpu.ops import pallas_clv
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(partition, trav.ops)
+    return dict(fused_idx=(idx8, e1, e2), fused_nslots=ns,
+                fused_interp=engine_mod.fast_kernel_interpret())
+
+
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
+                                   "fused_nslots", "fused_interp"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
-               max_newton_iters: int = 10):
+               max_newton_iters: int = 10, fused_idx=None,
+               fused_nslots=None, fused_interp=False):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens)."""
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials_sched(partition, P, levels,
-                                                  offsets, n_slots)
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    clvs, scalers = _directed_clvs(partition, P, levels, offsets, n_slots,
+                                   fused)
     eigen = partition.eigen()
     st, sc = _edge_sumtables(partition, clvs, scalers, edge_ref, eigen)
 
@@ -179,12 +207,16 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
-@partial(jax.jit, static_argnames=("n_slots",))
+@partial(jax.jit, static_argnames=("n_slots", "fused_nslots",
+                                   "fused_interp"))
 def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
-            n_slots: int):
+            n_slots: int, fused_idx=None, fused_nslots=None,
+            fused_interp=False):
     P = partition.prob_matrices(brlens)
-    clvs, scalers = clv_mod.update_partials_sched(partition, P, levels,
-                                                  offsets, n_slots)
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    clvs, scalers = _directed_clvs(partition, P, levels, offsets, n_slots,
+                                   fused)
     eigen = partition.eigen()
     e = jnp.argmax(edge_mask)
     ref = edge_ref[e]
@@ -198,10 +230,13 @@ def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
     return lnl
 
 
-@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
+                                   "fused_nslots", "fused_interp"))
 def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
-                     n_slots: int, max_newton_iters: int = 10):
+                     n_slots: int, max_newton_iters: int = 10,
+                     fused_idx=None, fused_nslots=None,
+                     fused_interp=False):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -216,10 +251,12 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
     st_all, sc_all, eig_all = [], [], []
     lnl0 = 0.0
     live_idx = jnp.argmax(edge_mask)
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
     for part, s in zip(partitions, scalers):
         P = part.prob_matrices(brlens * s)
-        clvs, sclr = clv_mod.update_partials_sched(part, P, levels, offsets,
-                                                   n_slots)
+        clvs, sclr = _directed_clvs(part, P, levels, offsets, n_slots,
+                                    fused)
         eigen = part.eigen()
         st, sc = _edge_sumtables(part, clvs, sclr, edge_ref, eigen)
         st_all.append(st)
@@ -266,6 +303,9 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         partition = partition.cache_eigen()   # hot path: brlens-only grads
     trav = DirectedTraversal(tree)
     levels, offsets, edge_ref, n_slots = trav.schedule()
+    fargs = _fused_args(partition, trav)
+    if fargs:
+        edge_ref = jnp.asarray(trav.edge_ref)   # original slot numbering
     edge_mask = jnp.asarray(trav.edge_mask)
     dtype = partition.dtype
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
@@ -277,7 +317,7 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         new_brlens, lnl_here = _blo_sweep(
             partition, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots)
+            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
@@ -300,14 +340,14 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         new_brlens, lnl_here = _blo_sweep(
             partition, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots)
+            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
         brlens = 0.5 * (brlens + new_brlens)
 
     final_lnl = float(_lnl_at(partition, levels, offsets, edge_ref,
-                              edge_mask, brlens, n_slots))
+                              edge_mask, brlens, n_slots, **fargs))
     if final_lnl >= best_lnl:
         best_lnl, best_brlens = final_lnl, brlens
     if write_back:
@@ -364,6 +404,10 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
 
     trav = DirectedTraversal(tree)
     levels, offsets, edge_ref, n_slots = trav.schedule()
+    fargs = _fused_args(parts[0], trav) \
+        if all(p.dtype == parts[0].dtype for p in parts) else {}
+    if fargs:
+        edge_ref = jnp.asarray(trav.edge_ref)   # original slot numbering
     edge_mask = jnp.asarray(trav.edge_mask)
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 
@@ -374,7 +418,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
         new_brlens, lnl_here = _blo_sweep_multi(
             parts, scalers, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots)
+            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
@@ -393,7 +437,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     final = 0.0
     for part, s in zip(parts, scalers):
         final += float(_lnl_at(part, levels, offsets, edge_ref, edge_mask,
-                               brlens * s, n_slots))
+                               brlens * s, n_slots, **fargs))
     if final >= best_lnl:
         best_lnl, best_brlens = final, brlens
     tree.lengths = np.asarray(best_brlens, np.float64).copy()

@@ -77,7 +77,11 @@ def minimize_lbfgsb(value_and_grad, x0, lower, upper, m: int = 10,
             if not np.any(d):
                 break
 
-        # Armijo backtracking on the projected path
+        # Armijo backtracking on the projected path, with a Wolfe-style
+        # expansion phase: if the unit step satisfies Armijo but the
+        # directional derivative is still strongly negative (curvature
+        # condition violated), grow the step — Armijo-only unit steps
+        # crawl on ill-scaled valleys (the 189-dim protein-GTR case)
         step = 1.0
         accepted = False
         for _ls in range(30):
@@ -94,6 +98,20 @@ def minimize_lbfgsb(value_and_grad, x0, lower, upper, m: int = 10,
             step *= 0.5
         if not accepted:
             break
+        for _exp in range(8):
+            dgx = np.dot(np.asarray(g_new, np.float64), x_new - x)
+            if dgx >= 0.9 * np.dot(g, x_new - x):
+                break                       # curvature condition holds
+            x_try = np.clip(x + 2.0 * step * d, lower, upper)
+            if not np.any(x_try - x_new):
+                break
+            f_try, g_try = value_and_grad(x_try)
+            f_try = float(f_try)
+            n_evals += 1
+            if f_try > f + 1e-4 * np.dot(g, x_try - x) or f_try >= f_new:
+                break
+            step *= 2.0
+            x_new, f_new, g_new = x_try, f_try, g_try
 
         s_vec = x_new - x
         y_vec = np.asarray(g_new, np.float64) - g
@@ -107,7 +125,9 @@ def minimize_lbfgsb(value_and_grad, x0, lower, upper, m: int = 10,
 
         f_prev = f
         x, f, g = x_new, f_new, np.asarray(g_new, np.float64)
-        if (f_prev - f) <= factr * _EPSMCH * max(abs(f), abs(f_prev), 1.0):
+        # factr <= 0 disables the relative-decrease stop (run to pgtol)
+        if factr > 0 and (f_prev - f) <= factr * _EPSMCH * max(
+                abs(f), abs(f_prev), 1.0):
             break
 
     return x, f, n_evals

@@ -126,10 +126,16 @@ class TreeInfo:
     # -- likelihood (treeinfo.c:946-1099; SURVEY §3.1) --------------------
     def compute_loglh(self) -> float:
         """Total log-likelihood over local partitions (sum; under a sharded
-        mesh the per-partition site reduction lowers to psum)."""
+        mesh the per-partition site reduction lowers to psum).
+
+        Engine selection: on TPU-class devices with f32 partitions the
+        fused Pallas megakernel evaluates each partition, with DYNAMIC
+        root refs so successive topologies (tree search) reuse one
+        compiled executable; elsewhere the serial-scan XLA engine (the
+        f64-capable reference path)."""
         ops, root_info = self.tree.traversal_ops()
         ri = tuple(int(x) for x in root_info)
-        ops_j = jnp.asarray(ops)
+        ops_j = None
         n_inner = int((ops[:, 0] >= 0).sum())
         total = 0.0
         from pllmod_tpu.profile import timed
@@ -137,7 +143,19 @@ class TreeInfo:
             for i in self.local_indices():
                 part = self.partitions[i]
                 brl = jnp.asarray(self.partition_brlens(i), part.dtype)
-                lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
+                if engine_mod.use_fast_kernel(part):
+                    from pllmod_tpu.ops import pallas_clv
+                    idx8, e1, e2, rif, n_slots = pallas_clv.compile_fused(
+                        part, self.tree)
+                    lnl = float(pallas_clv.loglikelihood_fused_dyn(
+                        part, idx8, brl, e1, e2,
+                        jnp.asarray(rif, jnp.int32), n_slots,
+                        engine_mod.fast_kernel_interpret()))
+                else:
+                    if ops_j is None:
+                        ops_j = jnp.asarray(ops)
+                    lnl = float(engine_mod.loglikelihood(part, ops_j, brl,
+                                                         ri))
                 self.partition_loglh[i] = lnl
                 self.counters.add_traversal(n_inner, part.n_patterns_padded)
                 total += lnl

@@ -1,0 +1,121 @@
+"""Fast-kernel wiring tests: the fused Pallas megakernel (forced on, CPU
+interpret mode) must give the same results as the XLA engines through
+every hot consumer — TreeInfo.compute_loglh, model-opt objectives, the
+directed-CLV builds used by SPR scoring (VERDICT round-1 item 2)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.ops import engine as engine_mod
+from pllmod_tpu.ops import pallas_clv
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.tree.treeinfo import TreeInfo
+from pllmod_tpu.optimize.blo import DirectedTraversal
+from tests import reference_impl as ref
+
+
+@pytest.fixture
+def force_fast():
+    engine_mod.FORCE_FAST_KERNEL = True
+    yield
+    engine_mod.FORCE_FAST_KERNEL = None
+
+
+def _setup(rng, n=9, sites=120, **kw):
+    tree = ref.random_binary_tree(rng, n)
+    seqs = ref.random_sequences(rng, n, sites)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.9,
+                            dtype=jnp.float32, **kw)
+    return part, tree
+
+
+def test_fused_ops_generic_directed(rng, force_fast):
+    """compile_fused_ops on a DirectedTraversal table (slot numbering
+    preserved) must reproduce update_partials' buffers on live slots."""
+    part, tree = _setup(rng)
+    trav = DirectedTraversal(tree)
+    brl = jnp.asarray(tree.lengths, part.dtype)
+    P = part.prob_matrices(brl)
+    ref_clvs, ref_sc = clv_mod.update_partials(part, P,
+                                               jnp.asarray(trav.ops))
+    idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(
+        part, trav.ops, pad_to=len(trav.ops) + 5)
+    clvs, sc = pallas_clv.update_partials_fused_std(
+        part, P, idx8, e1, e2, n_slots, interpret=True)
+    for slot in range(len(trav.ops)):
+        np.testing.assert_allclose(np.asarray(clvs[slot]),
+                                   np.asarray(ref_clvs[slot]),
+                                   rtol=2e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(sc[slot]),
+                                      np.asarray(ref_sc[slot]))
+
+
+def test_treeinfo_fast_path(rng, force_fast):
+    part, tree = _setup(rng)
+    ti = TreeInfo(tree, [part])
+    l_fast = ti.compute_loglh()
+    engine_mod.FORCE_FAST_KERNEL = False
+    l_scan = ti.compute_loglh()
+    assert l_fast == pytest.approx(l_scan, abs=1e-3)
+
+
+def test_tree_loglikelihood_fused_schedule(rng, force_fast):
+    part, tree = _setup(rng)
+    l_fused = float(engine_mod.tree_loglikelihood(part, tree,
+                                                  schedule="fused"))
+    l_scan = float(engine_mod.tree_loglikelihood(part, tree,
+                                                 schedule="scan"))
+    assert l_fused == pytest.approx(l_scan, abs=1e-3)
+
+
+def test_opt_alpha_fast_path(rng, force_fast):
+    from pllmod_tpu.algorithm.opt_model import opt_alpha
+    part, tree = _setup(rng)
+    ti = TreeInfo(tree, [part])
+    l_fast = opt_alpha(ti)
+    a_fast = float(ti.partitions[0].alpha)
+    engine_mod.FORCE_FAST_KERNEL = False
+    part2, _ = _setup(np.random.default_rng(0), 9, 120)
+    # fresh state, same data: rebuild from same rng seed path
+    ti2 = TreeInfo(tree, [part])
+    l_scan = opt_alpha(ti2)
+    a_scan = float(ti2.partitions[0].alpha)
+    assert l_fast == pytest.approx(l_scan, abs=5e-3)
+    assert a_fast == pytest.approx(a_scan, rel=1e-2)
+
+
+def test_blo_fast_path(rng, force_fast):
+    """BLO sweeps through the fused kernel (original-slot edge_ref) must
+    match the level-batched XLA path bit-for-bit on CPU interpret."""
+    from pllmod_tpu.optimize.blo import (optimize_branch_lengths,
+                                         optimize_branch_lengths_treeinfo)
+    part, tree = _setup(rng, n=8, sites=100)
+    t_fast, t_scan = tree.copy(), tree.copy()
+    b_f, l_f = optimize_branch_lengths(part, t_fast)
+    engine_mod.FORCE_FAST_KERNEL = False
+    b_s, l_s = optimize_branch_lengths(part, t_scan)
+    assert l_f == pytest.approx(l_s, abs=1e-2)
+    np.testing.assert_allclose(np.asarray(b_f), np.asarray(b_s),
+                               rtol=5e-2, atol=1e-4)
+    engine_mod.FORCE_FAST_KERNEL = True
+    ti = TreeInfo(tree.copy(), [part, part])
+    l_ti = optimize_branch_lengths_treeinfo(ti)
+    engine_mod.FORCE_FAST_KERNEL = False
+    ti2 = TreeInfo(tree.copy(), [part, part])
+    l_ti2 = optimize_branch_lengths_treeinfo(ti2)
+    assert l_ti == pytest.approx(l_ti2, abs=2e-2)
+
+
+def test_spr_round_fast_path(rng, force_fast):
+    """spr_round with all CLV work forced through the fused kernel: must
+    run end-to-end and not lose likelihood (fast mode, small tree)."""
+    from pllmod_tpu.algorithm.spr import spr_round
+    part, tree = _setup(rng, n=8, sites=80)
+    ti = TreeInfo(tree, [part])
+    l0 = ti.compute_loglh()
+    l1, n_applied, _top = spr_round(ti, radius_min=1, radius_max=3,
+                                    thorough=False)
+    assert l1 >= l0 - 1e-6
+    engine_mod.FORCE_FAST_KERNEL = None
