@@ -524,10 +524,11 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
 # likelihood (reference hot loop: pll_update_partials, SURVEY §3.1).
 # ---------------------------------------------------------------------------
 def _pick_tile_fused(P: int, CS: int) -> int:
-    """Largest 128-multiple tile dividing P with ~6 [CS,T] f32 scratch
-    buffers under a ~6 MB VMEM budget."""
-    budget = 6 * 1024 * 1024
-    cap = max(128, min(P, budget // (6 * CS * 4)))
+    """Largest 128-multiple tile dividing P with ~8 [CS,T] f32 scratch
+    buffers (double-buffered reads + rotating writes + expansion temps)
+    under an ~8 MB VMEM budget."""
+    budget = 8 * 1024 * 1024
+    cap = max(128, min(P, budget // (8 * CS * 4)))
     for t in range(cap - cap % 128, 127, -128):
         if P % t == 0:
             return t
@@ -546,8 +547,9 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
         p = pl.program_id(1)
         CS = o_scr.shape[1]
         T = o_scr.shape[2]
-        step = w * nP + p
-        par = jax.lax.rem(step, jnp.asarray(2, step.dtype))
+        two = jnp.asarray(2, jnp.int32)
+        step = (w * nP + p).astype(jnp.int32)
+        par = jax.lax.rem(step, two)
         oth = 1 - par
 
         @pl.when(step == 0)
@@ -555,14 +557,10 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
             cnt[0] = 0
             cnt[1] = 0
 
-        slot1 = idx_ref[w, 0]
-        slot2 = idx_ref[w, 1]
-        is_tip1 = idx_ref[w, 2] == 1
-        is_tip2 = idx_ref[w, 3] == 1
-        tip1 = idx_ref[w, 4]
-        tip2 = idx_ref[w, 5]
         out_slot = idx_ref[w, 6]
-        fence = idx_ref[w, 7] == 1
+        # fence fires on the first pattern-tile of the first node of each
+        # level: all previous-level writes must land before its reads
+        fence_now = (idx_ref[w, 7] == 1) & (p == 0)
 
         def drain(q):
             @pl.when(cnt[q] == 1)
@@ -575,62 +573,81 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
                     wssem.at[q]).wait()
                 cnt[q] = 0
 
-        # free this step's write buffers; at a level boundary also drain
-        # the other slot so ALL previous-level writes land before reads
         drain(par)
 
-        @pl.when(fence & (p == 0))
+        @pl.when(fence_now)
         def _():
             drain(oth)
 
-        def start_read(k, sem, slot, is_tip, tip):
-            @pl.when(is_tip)
-            def _():
-                pltpu.make_async_copy(
-                    tip_codes_ref.at[tip, :, pl.ds(p * T, T)],
-                    codes_scr.at[k], rsem.at[sem]).start()
+        # ------------------------------------------------------------------
+        # double-buffered reads with one-step LOOKAHEAD: step s issues step
+        # s+1's child DMAs before computing, hiding read latency under the
+        # matmuls. Fence steps are excluded from prefetch (their reads may
+        # RAW-depend on writes not yet issued) and read synchronously.
+        # ------------------------------------------------------------------
+        def reads(st, start):
+            wt = st // nP
+            pt = jax.lax.rem(st, jnp.asarray(nP, jnp.int32))
+            bf = jax.lax.rem(st, two)
+            for k, sem in ((0, 0), (1, 2)):
+                slot = idx_ref[wt, k]
+                is_tip = idx_ref[wt, 2 + k] == 1
+                tip = idx_ref[wt, 4 + k]
 
-            @pl.when(jnp.logical_not(is_tip))
-            def _():
-                pltpu.make_async_copy(
-                    clvs_ref.at[slot, :, pl.ds(p * T, T)],
-                    c_scr.at[k], rsem.at[sem]).start()
-                pltpu.make_async_copy(
-                    sc_ref.at[slot, :, pl.ds(p * T, T)],
-                    s_scr.at[k], rsem.at[sem + 1]).start()
+                @pl.when(is_tip)
+                def _(slot=slot, tip=tip, k=k, sem=sem):
+                    c = pltpu.make_async_copy(
+                        tip_codes_ref.at[tip, :, pl.ds(pt * T, T)],
+                        codes_scr.at[bf, k], rsem.at[bf, sem])
+                    c.start() if start else c.wait()
 
-        def wait_read(k, sem, slot, is_tip, tip):
-            @pl.when(is_tip)
-            def _():
-                pltpu.make_async_copy(
-                    tip_codes_ref.at[tip, :, pl.ds(p * T, T)],
-                    codes_scr.at[k], rsem.at[sem]).wait()
+                @pl.when(jnp.logical_not(is_tip))
+                def _(slot=slot, tip=tip, k=k, sem=sem):
+                    c = pltpu.make_async_copy(
+                        clvs_ref.at[slot, :, pl.ds(pt * T, T)],
+                        c_scr.at[bf, k], rsem.at[bf, sem])
+                    c.start() if start else c.wait()
+                    c2 = pltpu.make_async_copy(
+                        sc_ref.at[slot, :, pl.ds(pt * T, T)],
+                        s_scr.at[bf, k], rsem.at[bf, sem + 1])
+                    c2.start() if start else c2.wait()
 
-            @pl.when(jnp.logical_not(is_tip))
-            def _():
-                pltpu.make_async_copy(
-                    clvs_ref.at[slot, :, pl.ds(p * T, T)],
-                    c_scr.at[k], rsem.at[sem]).wait()
-                pltpu.make_async_copy(
-                    sc_ref.at[slot, :, pl.ds(p * T, T)],
-                    s_scr.at[k], rsem.at[sem + 1]).wait()
+        # steps NOT prefetched by their predecessor: step 0 and fence steps
+        @pl.when((step == 0) | fence_now)
+        def _():
+            reads(step, True)
 
-        start_read(0, 0, slot1, is_tip1, tip1)
-        start_read(1, 2, slot2, is_tip2, tip2)
-        wait_read(0, 0, slot1, is_tip1, tip1)
-        wait_read(1, 2, slot2, is_tip2, tip2)
+        reads(step, False)
+
+        # prefetch the NEXT step's children (unless it is a fence step)
+        nxt = step + 1
+
+        @pl.when(nxt < nW * nP)
+        def _():
+            w_n = nxt // nP
+            p_n = jax.lax.rem(nxt, jnp.asarray(nP, jnp.int32))
+            nxt_fence = (idx_ref[w_n, 7] == 1) & (p_n == 0)
+
+            @pl.when(jnp.logical_not(nxt_fence))
+            def _():
+                reads(nxt, True)
+
+        buf = par                                  # this step's read set
+        is_tip1 = idx_ref[w, 2] == 1
+        is_tip2 = idx_ref[w, 3] == 1
 
         def expand(k, is_tip):
             # one-hot MXU expansion: codetab [CS, n_codes] @ onehot
-            # [n_codes, T]; runs only on tip steps (pl.when), overwriting
-            # the (unused) clv scratch slot
+            # [n_codes, T]; operands are exactly 0/1 in bf16 so one MXU
+            # pass is exact. Runs only on tip children (pl.when),
+            # overwriting the (unused) clv scratch slot.
             @pl.when(is_tip)
             def _():
-                codes = codes_scr[k]                        # [1, T] int32
+                codes = codes_scr[buf, k]                   # [1, T] int32
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (n_codes, T), 0)
                 onehot = (iota == codes).astype(jnp.float32)
-                c_scr[k] = jax.lax.dot_general(
+                c_scr[buf, k] = jax.lax.dot_general(
                     codetab_ref[:, :n_codes], onehot,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -640,14 +657,14 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
         expand(1, is_tip2)
 
         zero_s = jnp.zeros((1, T), jnp.int32)
-        s1 = jnp.where(is_tip1, zero_s, s_scr[0])
-        s2 = jnp.where(is_tip2, zero_s, s_scr[1])
+        s1 = jnp.where(is_tip1, zero_s, s_scr[buf, 0])
+        s2 = jnp.where(is_tip2, zero_s, s_scr[buf, 1])
         left = jax.lax.dot_general(
-            P1_ref[0], c_scr[0], (((1,), (0,)), ((), ())),
+            P1_ref[0], c_scr[buf, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_DOT_PREC)
         right = jax.lax.dot_general(
-            P2_ref[0], c_scr[1], (((1,), (0,)), ((), ())),
+            P2_ref[0], c_scr[buf, 1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_DOT_PREC)
         prod = left * right
@@ -712,12 +729,12 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # c_scr
-            pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # codes_scr
-            pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # s_scr
+            pltpu.VMEM((2, 2, CS, TILE_P), jnp.float32),   # c_scr [buf,k]
+            pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # codes_scr
+            pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # s_scr
             pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # o_scr
             pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # os_scr
-            pltpu.SemaphoreType.DMA((4,)),                 # rsem
+            pltpu.SemaphoreType.DMA((2, 4)),               # rsem [buf,sem]
             pltpu.SemaphoreType.DMA((2,)),                 # wsem
             pltpu.SemaphoreType.DMA((2,)),                 # wssem
             pltpu.SMEM((2,), jnp.int32),                   # cnt
