@@ -310,3 +310,107 @@ def compile_levels(ops, n_tips: int):
     for lvl, rows in rows_by_level.items():
         out[lvl, :len(rows)] = rows
     return out
+
+
+# ---------------------------------------------------------------------------
+# Memory-bounded slot assignment (pll_utree_traverse_apply's reusable CLV
+# slots, pll_tree.c:1509-1573): a Sethi-Ullman-ordered serial schedule
+# whose parent slots are recycled the moment their single consumer has
+# read them, so a full-tree evaluation needs only O(log n) live CLVs —
+# ~16 slots for 10,000 taxa instead of ~10,000 (BASELINE.md §3
+# north-star memory plan; see PERF_NOTES.md "Memory").
+# ---------------------------------------------------------------------------
+def bounded_slot_ops(ops, n_tips: int, root_refs=None):
+    """Reorder a pruning op table into a slot-recycling serial schedule.
+
+    Args:
+      ops: int32 [n_inner, 5] from Tree.traversal_ops (masked rows
+        dropped)
+      n_tips: tip count
+      root_refs: optional (u, v) node refs that must stay LIVE at the end
+        (the virtual-root endpoints); their slots are never recycled.
+    Returns:
+      (ops_bounded [n_live, 5], n_slots, slot_map) — child refs remapped
+      to the recycled slot space; ``slot_map[old_slot] = bounded slot``
+      valid for slots alive at the END of the schedule (root endpoints).
+    """
+    import numpy as np
+    ops = np.asarray(ops)
+    live = ops[ops[:, 0] >= 0]
+    children = {int(r[0]): ((int(r[1]), int(r[2])), (int(r[3]), int(r[4])))
+                for r in live}
+
+    # register need (Strahler-style): tips cost 0; evaluating the needier
+    # child first bounds concurrent live slots by need(root) <= log2(n)+1
+    need = {}
+
+    def compute_need(slot):
+        stack = [(slot, False)]
+        while stack:
+            s, done = stack.pop()
+            if s in need:
+                continue
+            kids = [c - n_tips for (c, _e) in children[s] if c >= n_tips]
+            if done or not kids:
+                n1 = need.get(kids[0], 0) if len(kids) > 0 else 0
+                n2 = need.get(kids[1], 0) if len(kids) > 1 else 0
+                if not kids:
+                    need[s] = 1
+                elif len(kids) == 1:
+                    need[s] = max(n1, 1)
+                else:
+                    need[s] = (n1 + 1) if n1 == n2 else max(n1, n2)
+            else:
+                stack.append((s, True))
+                for k in kids:
+                    stack.append((k, False))
+
+    roots = set(children) - {int(c) - n_tips for r in live
+                             for c in (r[1], r[3]) if int(c) >= n_tips}
+    for r in sorted(roots):
+        compute_need(r)
+
+    out_rows = []
+    slot_map = {}
+    free = []
+    next_slot = [0]
+    pinned = set()
+    if root_refs is not None:
+        pinned = {int(x) - n_tips for x in root_refs if int(x) >= n_tips}
+
+    def alloc():
+        if free:
+            return free.pop()
+        s = next_slot[0]
+        next_slot[0] += 1
+        return s
+
+    def emit(slot):
+        # iterative post-order, needier child first
+        stack = [(slot, False)]
+        while stack:
+            s, done = stack.pop()
+            if done:
+                (c1, e1), (c2, e2) = children[s]
+
+                def ref(c):
+                    return c if c < n_tips else n_tips + slot_map[c - n_tips]
+
+                r1, r2 = ref(c1), ref(c2)
+                # consume (free) child slots BEFORE allocating the parent
+                for c in (c1, c2):
+                    cs = c - n_tips
+                    if c >= n_tips and cs not in pinned:
+                        free.append(slot_map[cs])
+                slot_map[s] = alloc()
+                out_rows.append([slot_map[s], r1, e1, r2, e2])
+            else:
+                stack.append((s, True))
+                kids = [(c - n_tips) for (c, _e) in children[s]
+                        if c >= n_tips]
+                kids.sort(key=lambda k: need[k])   # needier LAST = popped first
+                for k in kids:
+                    stack.append((k, False))
+    for r in sorted(roots):
+        emit(r)
+    return (np.asarray(out_rows, np.int32), next_slot[0], slot_map)

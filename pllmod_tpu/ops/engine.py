@@ -80,6 +80,42 @@ def loglikelihood_asc(partition, asc_partition, ops, brlens, root_info):
     return total - W * jnp.log1p(-p_const)
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def _loglikelihood_bounded(partition, ops, brlens, root_info, n_slots: int):
+    P = partition.prob_matrices(brlens)
+    Ppad = partition.n_patterns_padded
+    C, S = partition.n_cats, partition.states
+    init_clvs = jnp.zeros((n_slots + 1, Ppad, C, S), partition.dtype)
+    init_scalers = jnp.zeros((n_slots + 1, Ppad), jnp.int32)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops,
+                                            init_clvs, init_scalers)
+    u, v, e = root_info
+    return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
+
+
+def loglikelihood_bounded(partition, tree, brlens=None, root_edge=None):
+    """Memory-bounded full-tree logL: the CLV buffer holds only the
+    O(log n) slots concurrently live under a Sethi-Ullman-ordered serial
+    schedule with slot recycling (the reference's reusable CLV slots,
+    pll_tree.c:1509-1573) — ~16 slots for 10,000 taxa instead of one per
+    inner node. Returns (logL, n_slots)."""
+    if brlens is None:
+        brlens = tree.lengths
+    brlens = jnp.asarray(brlens, partition.dtype)
+    ops, root_info = tree.traversal_ops(root_edge)
+    u, v, e = (int(x) for x in root_info)
+    n_tips = partition.n_tips
+    ops_b, n_slots, slot_map = clv_mod.bounded_slot_ops(
+        ops, n_tips, root_refs=(u, v))
+
+    def remap(x):
+        return x if x < n_tips else n_tips + slot_map[x - n_tips]
+
+    lnl = _loglikelihood_bounded(partition, jnp.asarray(ops_b), brlens,
+                                 (remap(u), remap(v), e), n_slots)
+    return lnl, n_slots
+
+
 def compile_schedule(partition, tree, root_edge=None):
     """Host-side: compile a tree into the level schedule + remapped root
     info. Returns (levels tuple, offsets tuple, root_info, n_slots)."""

@@ -1,0 +1,66 @@
+"""Memory-bounded CLV slot assignment (reference: pll_tree.c:1509-1573
+log2(n) reusable slots; VERDICT round-1 item 5 — the north-star
+10k-taxon workload must be representable with a bounded slot buffer)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.ops import engine as engine_mod
+from pllmod_tpu.ops.partition import create_partition
+from tests import reference_impl as ref
+
+
+def _parts(rng, n, sites, dtype=jnp.float64):
+    tree = ref.random_binary_tree(rng, n)
+    seqs = ref.random_sequences(rng, n, sites)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.9,
+                            prop_invar=0.1, dtype=dtype)
+    return part, tree
+
+
+@pytest.mark.parametrize("n", [6, 17, 40])
+def test_bounded_matches_scan(rng, n):
+    part, tree = _parts(rng, n, 120)
+    l_scan = float(engine_mod.tree_loglikelihood(part, tree,
+                                                 schedule="scan"))
+    l_b, n_slots = engine_mod.loglikelihood_bounded(part, tree)
+    assert float(l_b) == pytest.approx(l_scan, abs=1e-9 * abs(l_scan))
+    # Sethi-Ullman bound: <= log2(n) + pinned root endpoints + 1
+    assert n_slots <= int(np.ceil(np.log2(n))) + 3
+
+
+def test_bounded_caterpillar_constant_slots(rng):
+    """A maximally unbalanced tree needs O(1) slots."""
+    n = 24
+    newick = "(t0:0.1," + "".join(
+        f"(t{i}:0.1," for i in range(1, n - 1)) + f"t{n-1}:0.1" + \
+        ")" * (n - 2) + ");"
+    from pllmod_tpu.tree.topology import Tree
+    tree = Tree.from_newick(newick)
+    seqs = ref.random_sequences(np.random.default_rng(0), n, 90)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    l_scan = float(engine_mod.tree_loglikelihood(part, tree,
+                                                 schedule="scan"))
+    l_b, n_slots = engine_mod.loglikelihood_bounded(part, tree)
+    assert float(l_b) == pytest.approx(l_scan, abs=1e-9 * abs(l_scan))
+    assert n_slots <= 4
+
+
+def test_bounded_10k_taxa(rng):
+    """North-star scale check (small patterns standing in for 100k): a
+    10,000-taxon tree evaluates with a ~16-slot CLV buffer — the full
+    buffer would need ~10k slots (64 TB at 100k patterns; the bounded
+    buffer is ~1 GB — PERF_NOTES 'Memory')."""
+    n = 10_000
+    part, tree = _parts(rng, n, 64, dtype=jnp.float32)
+    l_b, n_slots = engine_mod.loglikelihood_bounded(part, tree)
+    assert n_slots <= int(np.ceil(np.log2(n))) + 3      # <= 17
+    assert np.isfinite(float(l_b))
+    # spot-parity on a subtree-scale problem is covered above; here also
+    # cross-check against the level-batched engine on the same tree
+    l_lvl = float(engine_mod.tree_loglikelihood(part, tree,
+                                                schedule="levels"))
+    assert float(l_b) == pytest.approx(l_lvl, rel=2e-6)
