@@ -139,7 +139,9 @@ def update_partials(partition, P, ops, init_clvs=None, init_scalers=None):
         clv = clv_op_compute(c1, c2, P1, P2)
         clv, e = rescale(clv)
         sc = s1 + s2 + e
-        slot = jnp.where(op[0] >= 0, op[0], n_inner)  # scratch if masked
+        # scratch row = LAST buffer row (not ops count: incremental eval
+        # passes short masked-padded op tables over full cached buffers)
+        slot = jnp.where(op[0] >= 0, op[0], clvs.shape[0] - 1)
         return (lax.dynamic_update_index_in_dim(clvs, clv, slot, axis=0),
                 lax.dynamic_update_index_in_dim(scalers, sc, slot, axis=0)), None
 

@@ -93,6 +93,22 @@ def _loglikelihood_bounded(partition, ops, brlens, root_info, n_slots: int):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
+@partial(jax.jit, static_argnums=(3,))
+def loglikelihood_update(partition, ops, brlens, root_info, init_clvs,
+                         init_scalers):
+    """Partial-traversal evaluation: run only the given (masked-padded)
+    op rows on top of CACHED buffers — the reference's
+    cb_partial_traversal / CLV-validity protocol (treeinfo.c:38-61,
+    872-944) in functional form. Returns (logL, clvs, scalers) for
+    further incremental reuse."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops,
+                                            init_clvs, init_scalers)
+    u, v, e = root_info
+    lnl = lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
+    return lnl, clvs, scalers
+
+
 def loglikelihood_bounded(partition, tree, brlens=None, root_edge=None):
     """Memory-bounded full-tree logL: the CLV buffer holds only the
     O(log n) slots concurrently live under a Sethi-Ullman-ordered serial

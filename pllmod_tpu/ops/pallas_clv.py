@@ -478,10 +478,15 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
 
     def fetch(ref):
         if ref < n_tips:
-            codes = partition.tip_states[ref]
-            t = partition.code_clv[codes].T                     # [S, P]
+            codes = partition.tip_states[ref]                   # [P]
+            n_codes = partition.code_clv.shape[0]
+            # one-hot matmul, not a gather (gather HLO is slow on TPU)
+            onehot = (codes[None, :] ==
+                      jnp.arange(n_codes)[:, None]).astype(dtype)
+            t = jnp.einsum("ks,kp->sp", partition.code_clv.astype(dtype),
+                           onehot, precision=_PREC)             # [S, P]
             clv = jnp.broadcast_to(t[None], (C, S, t.shape[1]))
-            return clv.astype(dtype), jnp.zeros(t.shape[1], jnp.int32)
+            return clv, jnp.zeros(t.shape[1], jnp.int32)
         slot = ref - n_tips
         clv = clvs_csp[slot].reshape(C, S, -1).astype(dtype)
         return clv, scalers[slot, 0]

@@ -15,3 +15,10 @@ from pllmod_tpu.parallel.sharding import (  # noqa: F401
     shard_partition,
     replicate,
 )
+from pllmod_tpu.parallel.partition_dp import (  # noqa: F401
+    PARTS_AXIS,
+    make_parts_mesh,
+    stack_partitions,
+    total_loglh_partition_dp,
+    treeinfo_loglh_partition_dp,
+)

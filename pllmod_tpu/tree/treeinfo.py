@@ -124,7 +124,7 @@ class TreeInfo:
         self.brlen_scalers = scalers.copy()
 
     # -- likelihood (treeinfo.c:946-1099; SURVEY §3.1) --------------------
-    def compute_loglh(self) -> float:
+    def compute_loglh(self, incremental: bool = False) -> float:
         """Total log-likelihood over local partitions (sum; under a sharded
         mesh the per-partition site reduction lowers to psum).
 
@@ -132,7 +132,15 @@ class TreeInfo:
         fused Pallas megakernel evaluates each partition, with DYNAMIC
         root refs so successive topologies (tree search) reuse one
         compiled executable; elsewhere the serial-scan XLA engine (the
-        f64-capable reference path)."""
+        f64-capable reference path).
+
+        ``incremental=True`` enables the reference's CLV-validity
+        protocol (treeinfo.c:38-61, 872-944) in functional form: CLV
+        buffers from the previous evaluation are cached per partition and
+        only ops whose branch lengths changed — or that depend on one
+        that did — are recomputed (brlens-only updates recompute just the
+        path to the root). A topology or model-parameter change falls
+        back to a full traversal transparently."""
         ops, root_info = self.tree.traversal_ops()
         ri = tuple(int(x) for x in root_info)
         ops_j = None
@@ -142,24 +150,80 @@ class TreeInfo:
         with timed(self.counters):
             for i in self.local_indices():
                 part = self.partitions[i]
-                brl = jnp.asarray(self.partition_brlens(i), part.dtype)
-                if engine_mod.use_fast_kernel(part):
+                brl = np.asarray(self.partition_brlens(i), float)
+                if incremental:
+                    lnl, n_ops_run = self._loglh_incremental(
+                        i, part, ops, ri, brl)
+                    self.counters.add_traversal(n_ops_run,
+                                                part.n_patterns_padded)
+                elif engine_mod.use_fast_kernel(part):
                     from pllmod_tpu.ops import pallas_clv
                     idx8, e1, e2, rif, n_slots = pallas_clv.compile_fused(
                         part, self.tree)
                     lnl = float(pallas_clv.loglikelihood_fused_dyn(
-                        part, idx8, brl, e1, e2,
+                        part, idx8, jnp.asarray(brl, part.dtype), e1, e2,
                         jnp.asarray(rif, jnp.int32), n_slots,
                         engine_mod.fast_kernel_interpret()))
+                    self.counters.add_traversal(n_inner,
+                                                part.n_patterns_padded)
                 else:
                     if ops_j is None:
                         ops_j = jnp.asarray(ops)
-                    lnl = float(engine_mod.loglikelihood(part, ops_j, brl,
-                                                         ri))
+                    lnl = float(engine_mod.loglikelihood(
+                        part, ops_j, jnp.asarray(brl, part.dtype), ri))
+                    self.counters.add_traversal(n_inner,
+                                                part.n_patterns_padded)
                 self.partition_loglh[i] = lnl
-                self.counters.add_traversal(n_inner, part.n_patterns_padded)
                 total += lnl
         return total
+
+    def _loglh_incremental(self, i, part, ops, ri, brl):
+        """One partition's partial-traversal evaluation. Returns
+        (logL, number of op rows actually recomputed)."""
+        if not hasattr(self, "_incr_cache"):
+            self._incr_cache = {}
+        cache = self._incr_cache.get(i)
+        key = (ops.tobytes(), ri)
+        brl_j = jnp.asarray(brl, part.dtype)
+        if (cache is None or cache["key"] != key
+                or cache["part"] is not part):
+            lnl, (_P, clvs, scalers) = engine_mod.loglikelihood_with_buffers(
+                part, jnp.asarray(ops), brl_j, ri)
+            self._incr_cache[i] = dict(key=key, part=part, brl=brl.copy(),
+                                       clvs=clvs, scalers=scalers)
+            return float(lnl), int((ops[:, 0] >= 0).sum())
+
+        changed = set(np.nonzero(brl != cache["brl"])[0])
+        n_tips = part.n_tips
+        invalid_slots = set()
+        rows = []
+        for r in ops:
+            if r[0] < 0:
+                continue
+            dirty = int(r[2]) in changed or int(r[4]) in changed
+            for c in (int(r[1]), int(r[3])):
+                if c >= n_tips and (c - n_tips) in invalid_slots:
+                    dirty = True
+            if dirty:
+                invalid_slots.add(int(r[0]))
+                rows.append(r)
+        if not rows and not changed:
+            return float(self.partition_loglh[i]), 0
+        n_run = len(rows)
+        # pad to the next power of two (masked rows) to bound recompiles
+        bucket = 1
+        while bucket < max(n_run, 1):
+            bucket *= 2
+        sub = np.full((bucket, 5), -1, ops.dtype)
+        if rows:
+            sub[:n_run] = np.stack(rows)
+        lnl, clvs, scalers = engine_mod.loglikelihood_update(
+            part, jnp.asarray(sub), brl_j, ri,
+            cache["clvs"], cache["scalers"])
+        cache["brl"] = brl.copy()
+        cache["clvs"] = clvs
+        cache["scalers"] = scalers
+        return float(lnl), n_run
 
     # -- ancestral states (treeinfo.c:1558-1718) --------------------------
     def compute_ancestral(self, nodes=None):
