@@ -29,3 +29,10 @@ def test_genotype_demo():
     r = _run("genotype_demo.py", timeout=400)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "optimized logL" in r.stdout
+
+
+def test_protein_mixture_demo():
+    r = _run("protein_mixture_demo.py", timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "37 models" in r.stdout
+    assert "bounded" in r.stdout
