@@ -12,6 +12,11 @@ comparison point is the documented estimate of AVX2 libpll on one CPU
 socket for the same 4-state × 4-category kernel: ~2.5e9 pattern-node
 updates/s (order-of-magnitude from libpll AVX throughput of ~1e8/s/core ×
 ~24 cores). vs_baseline = value / 2.5e9.
+
+Comparability note: PLL_ATTRIB_SITE_REPEATS is deliberately not
+implemented (STATUS.md) — both sides of this comparison are dense
+(no-repeats) kernels; on alignments with heavy subtree repetition the
+reference's repeats mode can do asymptotically less work per traversal.
 """
 
 from __future__ import annotations

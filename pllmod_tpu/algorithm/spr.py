@@ -110,7 +110,6 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
                       preferred_element_type=dtype,
                       precision=_PREC)             # [Pat,C,S]
     fc = partition.freqs_per_cat()
-    w = partition.rate_weights
 
     # gather both sides of every candidate edge at once (cond-free)
     A_x, sx = clv_mod.gather_node_clvs(partition, clvs, scalers,
@@ -441,12 +440,18 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             total_scores = np.array(scores, np.float64)
         else:
             total_scores = None
+            fargs_shared = None      # schedule depends only on R + n_tips
             for i in part_idx:
                 part = treeinfo.partitions[i]
                 cS, sS = subtree_clv(part, *full_clvs[i],
                                      fast=full_fast[i])
-                fargs = _fused_R_args(part, ops_R, trav_full) \
-                    if full_fast[i] else {}
+                if full_fast[i]:
+                    if fargs_shared is None:
+                        fargs_shared = _fused_R_args(part, ops_R,
+                                                     trav_full)
+                    fargs = fargs_shared
+                else:
+                    fargs = {}
                 scores = _score_all_regrafts(
                     part, ops_R_j, brl_R, cS, sS, t_s0,
                     edge_ref, mask_j, halves, **fargs)

@@ -848,35 +848,15 @@ def compile_fused(partition, tree, root_edge=None):
     """Host-side: compile a tree into the fused-kernel index arrays.
 
     Returns (idx8 [n_inner, 8], e1, e2, root_info, n_slots); root refs
-    remapped via the LevelSchedule as in engine.compile_schedule."""
-    from pllmod_tpu.ops import clv as clv_mod
+    remapped via the LevelSchedule as in engine.compile_schedule.
+    Delegates row packing to :func:`compile_fused_ops` (one source of
+    truth for the 8-column idx layout)."""
     ops, root_info = tree.traversal_ops(root_edge)
-    sched = clv_mod.LevelSchedule(ops, partition.n_tips)
-    n_tips = partition.n_tips
-    rows, e1s, e2s = [], [], []
-    for li, (arr, off) in enumerate(zip(sched.levels, sched.offsets)):
-        W = arr.shape[0]
-        c1, c2 = arr[:, 1], arr[:, 3]
-        it1 = (c1 < n_tips).astype(np.int32)
-        it2 = (c2 < n_tips).astype(np.int32)
-        row = np.stack([
-            np.where(it1 == 1, 0, c1 - n_tips),
-            np.where(it2 == 1, 0, c2 - n_tips),
-            it1, it2,
-            np.where(it1 == 1, c1, 0),
-            np.where(it2 == 1, c2, 0),
-            off + np.arange(W),
-            np.concatenate([[1 if li > 0 else 0], np.zeros(W - 1, int)]),
-        ], axis=1)
-        rows.append(row)
-        e1s.append(arr[:, 2])
-        e2s.append(arr[:, 4])
-    idx8 = jnp.asarray(np.concatenate(rows).astype(np.int32))
-    e1 = jnp.asarray(np.concatenate(e1s).astype(np.int32))
-    e2 = jnp.asarray(np.concatenate(e2s).astype(np.int32))
+    idx8, e1, e2, n_slots = compile_fused_ops(partition, ops)
+    # compile_fused_ops preserves the op table's slot numbering, so the
+    # traversal's root refs pass through unchanged
     u, v, e = (int(x) for x in root_info)
-    ri = (sched.remap_node(u), sched.remap_node(v), e)
-    return idx8, e1, e2, ri, sched.n_slots
+    return idx8, e1, e2, (u, v, e), n_slots
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7))
@@ -969,13 +949,8 @@ def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
 # [n_slots_pad, P] — slot s owns rows [s·CS, (s+1)·CS).
 # ---------------------------------------------------------------------------
 def _pick_tile_packed(P: int, GM: int) -> int:
-    """~8 [GM,T] f32 buffers under a ~8 MB budget."""
-    budget = 8 * 1024 * 1024
-    cap = max(128, min(P, budget // (8 * GM * 4)))
-    for t in range(cap - cap % 128, 127, -128):
-        if P % t == 0:
-            return t
-    return 128
+    """Same VMEM budget arithmetic as the fused kernel, keyed on GM."""
+    return _pick_tile_fused(P, GM)
 
 
 def _make_packed_kernel(n_codes: int, G: int, CS: int, nG: int, nP: int):
@@ -1227,10 +1202,11 @@ class PackedSchedule:
     """Host-compiled G-packed level schedule (see update_partials_packed).
 
     Attributes: G, nG, idxm [nG*G, 6] (slot1, is_tip1, slot2, is_tip2,
-    tip1, tip2), idxg [nG, 4] (out_base_slot, fence, any_tip1, any_tip2),
-    e1/e2 [nG*G] child edge ids (dummies -> edge 0), n_slots_pad,
-    root_info (refs remapped to PADDED slots), pad_remap (old level-slot
-    -> padded slot)."""
+    tip1, tip2), idxg [nG, 8] (out_base_slot, fence, any_tip1, any_tip2,
+    contig1, start_slot1, contig2, start_slot2 — the last four drive the
+    kernel's contiguous whole-side gather fast path), e1/e2 [nG*G] child
+    edge ids (dummies -> edge 0), n_slots_pad, root_info (refs remapped
+    to PADDED slots)."""
 
     def __init__(self, partition, tree, root_edge=None, group: int = 0):
         from pllmod_tpu.ops import clv as clv_mod

@@ -158,8 +158,13 @@ class TreeInfo:
                                                 part.n_patterns_padded)
                 elif engine_mod.use_fast_kernel(part):
                     from pllmod_tpu.ops import pallas_clv
-                    idx8, e1, e2, rif, n_slots = pallas_clv.compile_fused(
-                        part, self.tree)
+                    fkey = (ops.tobytes(), ri, part.n_tips)
+                    fc = getattr(self, "_fused_cache", None)
+                    if fc is None or fc[0] != fkey:
+                        fc = (fkey, pallas_clv.compile_fused(part,
+                                                             self.tree))
+                        self._fused_cache = fc
+                    idx8, e1, e2, rif, n_slots = fc[1]
                     lnl = float(pallas_clv.loglikelihood_fused_dyn(
                         part, idx8, jnp.asarray(brl, part.dtype), e1, e2,
                         jnp.asarray(rif, jnp.int32), n_slots,
@@ -190,7 +195,8 @@ class TreeInfo:
             lnl, (_P, clvs, scalers) = engine_mod.loglikelihood_with_buffers(
                 part, jnp.asarray(ops), brl_j, ri)
             self._incr_cache[i] = dict(key=key, part=part, brl=brl.copy(),
-                                       clvs=clvs, scalers=scalers)
+                                       clvs=clvs, scalers=scalers,
+                                       lnl=float(lnl))
             return float(lnl), int((ops[:, 0] >= 0).sum())
 
         changed = set(np.nonzero(brl != cache["brl"])[0])
@@ -208,7 +214,9 @@ class TreeInfo:
                 invalid_slots.add(int(r[0]))
                 rows.append(r)
         if not rows and not changed:
-            return float(self.partition_loglh[i]), 0
+            # cached logL, NOT partition_loglh: a plain evaluation at
+            # different brlens in between may have overwritten the latter
+            return cache["lnl"], 0
         n_run = len(rows)
         # pad to the next power of two (masked rows) to bound recompiles
         bucket = 1
@@ -223,6 +231,7 @@ class TreeInfo:
         cache["brl"] = brl.copy()
         cache["clvs"] = clvs
         cache["scalers"] = scalers
+        cache["lnl"] = float(lnl)
         return float(lnl), n_run
 
     # -- ancestral states (treeinfo.c:1558-1718) --------------------------

@@ -90,3 +90,18 @@ def test_incremental_multiple_sequential_updates(rng):
         l_inc = ti.compute_loglh(incremental=True)
         l_full = ti.compute_loglh()
         assert l_inc == pytest.approx(l_full, abs=1e-9 * abs(l_full)), k
+
+
+def test_incremental_after_plain_eval_at_other_brlens(rng):
+    """Regression: a plain (non-incremental) evaluation at different
+    branch lengths between two incremental calls must not leak its logL
+    into the incremental result when the brlens revert (rollback)."""
+    part, tree = _setup(rng, n=9, sites=80)
+    ti = TreeInfo(tree, [part])
+    l0 = ti.compute_loglh(incremental=True)
+    old = float(tree.lengths[1])
+    ti.set_branch_length(1, old * 3.0)
+    ti.compute_loglh()                       # plain eval at B1
+    ti.set_branch_length(1, old)             # rollback to B0
+    l_inc = ti.compute_loglh(incremental=True)
+    assert l_inc == pytest.approx(l0, abs=1e-9 * abs(l0))

@@ -56,6 +56,35 @@ def test_fused_matches_xla(rng, n_tips, cats, pinv, sites):
     assert l_fused == pytest.approx(l_xla, abs=1e-3)
 
 
+def test_fused_protein_and_odd_states(rng):
+    """CS=80 (protein Γ4) and CS=28 (MULTI7 Γ4, not a sublane multiple)
+    through the megakernel."""
+    from pllmod_tpu.ops import charmap as cm
+    AA = "ARNDCQEGHILKMFPSTWYV"
+    tree = ref.random_binary_tree(rng, 9)
+    seqs = ref.random_sequences(rng, 9, 130, alphabet=AA, gap_frac=0.05)
+    part = create_partition(seqs, states=20, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float32)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    l_scan = float(engine.tree_loglikelihood(part, tree, schedule="scan"))
+    idx8, e1, e2, ri, ns = pallas_clv.compile_fused(part, tree)
+    l_f = float(pallas_clv.loglikelihood_fused(part, idx8, brl, e1, e2,
+                                               ri, ns, True))
+    assert l_f == pytest.approx(l_scan, abs=2e-3)
+
+    cmap = cm.multistate(7)
+    seqs7 = ["".join(rng.choice(list("0123456"), 96)) for _ in range(8)]
+    tree7 = ref.random_binary_tree(rng, 8)
+    p7 = create_partition(seqs7, charmap=cmap, n_rate_cats=4, alpha=1.0,
+                          dtype=jnp.float32)
+    l7s = float(engine.tree_loglikelihood(p7, tree7, schedule="scan"))
+    idx8, e1, e2, ri, ns = pallas_clv.compile_fused(p7, tree7)
+    l7f = float(pallas_clv.loglikelihood_fused(
+        p7, idx8, jnp.asarray(tree7.lengths, jnp.float32), e1, e2, ri, ns,
+        True))
+    assert l7f == pytest.approx(l7s, abs=2e-3)
+
+
 def test_fused_caterpillar(rng):
     """Maximally unbalanced (caterpillar) tree: every level has W=1, the
     fence fires on every node — stresses the RAW-hazard protocol."""
