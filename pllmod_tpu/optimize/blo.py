@@ -282,19 +282,46 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
+def _edges_within_radius(tree, edge: int, radius: int):
+    """Edge ids within BFS distance ``radius`` of ``edge``'s endpoints
+    (the reference's local-BLO neighborhood, pll_optimize.c:1646-1682)."""
+    adj = tree.adjacency()
+    u, v = (int(x) for x in tree.edge_nodes[edge])
+    seen_edges = {edge}
+    frontier = [(u, 0), (v, 0)]
+    visited = {u, v}
+    while frontier:
+        node, d = frontier.pop()
+        if d >= radius:
+            continue
+        for nbr, e in adj[node]:
+            seen_edges.add(int(e))
+            if nbr not in visited:
+                visited.add(nbr)
+                frontier.append((nbr, d + 1))
+    return sorted(seen_edges)
+
+
 def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                             tolerance: float = 1e-4,
                             min_brlen: float = MIN_BRANCH_LEN,
                             max_brlen: float = MAX_BRANCH_LEN,
                             newton_tol: float = TOL_BRANCH_LEN,
-                            write_back: bool = True):
-    """Optimize all branch lengths of ``tree`` under ``partition``.
+                            write_back: bool = True,
+                            edges=None, radius: int | None = None,
+                            around_edge: int | None = None):
+    """Optimize branch lengths of ``tree`` under ``partition``.
 
     Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
     (smoothing loop, acceptance threshold, SAFE fallback): sweeps repeat
     until the logL gain drops below ``tolerance`` or ``max_sweeps`` is hit;
     a sweep that worsens logL is retried with half steps (damped Jacobi),
     and the best iterate always wins.
+
+    The reference's LOCAL mode (radius-limited optimization around a node
+    after an SPR move, pll_optimize.c:1633-1712): pass ``edges`` (an
+    iterable of edge ids) or ``around_edge`` + ``radius`` (BFS distance
+    over the topology) to optimize only that subset; the rest stay fixed.
 
     Returns (brlens [n_edge_slots], logL) — and writes the optimized
     lengths back into ``tree`` unless ``write_back=False``.
@@ -306,7 +333,15 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     fargs = _fused_args(partition, trav)
     if fargs:
         edge_ref = jnp.asarray(trav.edge_ref)   # original slot numbering
-    edge_mask = jnp.asarray(trav.edge_mask)
+    mask_np = trav.edge_mask.copy()
+    if around_edge is not None:
+        edges = _edges_within_radius(tree, around_edge,
+                                     radius if radius is not None else 1)
+    if edges is not None:
+        sel = np.zeros_like(mask_np)
+        sel[np.asarray(list(edges), int)] = True
+        mask_np &= sel
+    edge_mask = jnp.asarray(mask_np)
     dtype = partition.dtype
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 

@@ -174,3 +174,33 @@ def test_blo_with_pinv(rng):
     _, lnl = optimize_branch_lengths(part, tree)
     assert lnl >= l0 - 1e-9
     assert float(tree_loglikelihood(part, tree)) == pytest.approx(lnl, abs=1e-6)
+
+
+def test_blo_local_radius(rng):
+    """Radius-limited local BLO (pllmod_opt_optimize_branch_lengths_local
+    semantics): only edges within the radius move; logL improves; a full
+    BLO from the same start does at least as well."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths
+    from tests import reference_impl as ref
+    from pllmod_tpu.ops.partition import create_partition
+
+    tree = ref.random_binary_tree(rng, 10)
+    seqs = ref.random_sequences(rng, 10, 90)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.9,
+                            dtype=jnp.float64)
+    edge = int(np.nonzero(tree.edge_nodes[:, 0] >= 0)[0][4])
+    t_local = tree.copy()
+    before = t_local.lengths.copy()
+    b_loc, l_loc = optimize_branch_lengths(part, t_local,
+                                           around_edge=edge, radius=1)
+    moved = np.nonzero(~np.isclose(np.asarray(t_local.lengths), before,
+                                   rtol=0, atol=1e-12))[0]
+    from pllmod_tpu.optimize.blo import _edges_within_radius
+    allowed = set(_edges_within_radius(tree, edge, 1))
+    assert set(moved.tolist()) <= allowed
+    assert len(moved) > 0
+    t_full = tree.copy()
+    _, l_full = optimize_branch_lengths(part, t_full)
+    assert l_full >= l_loc - 1e-6
