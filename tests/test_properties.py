@@ -123,3 +123,34 @@ def test_nonreversible_partition_matches_reversible_for_gtr(rng):
     assert l_gen == pytest.approx(l_rev, abs=1e-8)
     with pytest.raises(PllModError):
         p_gen.eigen()
+
+
+def test_fused_kernel_property_sweep(rng):
+    """Fuzz: the fused megakernel (interpret) must track the serial scan
+    across random topologies, category counts, p-inv, gaps and ambiguity
+    codes."""
+    from pllmod_tpu.ops import pallas_clv
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        n = int(rng.integers(4, 26))
+        sites = int(rng.integers(40, 400))
+        cats = int(rng.choice([1, 2, 4]))
+        pinv = float(rng.choice([0.0, 0.15]))
+        tree = ref.random_binary_tree(rng, n)
+        seqs = ref.random_sequences(rng, n, sites,
+                                    alphabet="ACGTRYN"[:int(
+                                        rng.integers(4, 8))],
+                                    gap_frac=0.1)
+        part = create_partition(
+            seqs, states=4, n_rate_cats=cats,
+            alpha=float(rng.uniform(0.3, 2.0)), prop_invar=pinv,
+            subst_rates=rng.uniform(0.3, 3.0, 6),
+            freqs=rng.dirichlet([5] * 4), dtype=jnp.float32)
+        l_scan = float(tree_loglikelihood(part, tree, schedule="scan"))
+        idx8, e1, e2, ri, ns = pallas_clv.compile_fused(part, tree)
+        l_f = float(pallas_clv.loglikelihood_fused(
+            part, idx8, jnp.asarray(tree.lengths, jnp.float32),
+            e1, e2, ri, ns, True))
+        assert l_f == pytest.approx(l_scan, abs=2e-3), (
+            trial, n, sites, cats, pinv)
