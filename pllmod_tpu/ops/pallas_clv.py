@@ -544,7 +544,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
     def _kernel(idx_ref,               # prefetch [nW, 8] int32
                 tip_codes_ref,         # ANY [n_tips, 1, P] int32
                 codetab_ref,           # VMEM [CS, n_codes_pad] f32
-                P1_ref, P2_ref,        # VMEM blocks [1, CS, CS]
+                P12_ref,               # VMEM block [1, 2*CS, 2*CS]
                 clvs_ref, sc_ref,      # ANY outputs (read+written manually)
                 c_scr, codes_scr, s_scr, o_scr, os_scr,
                 rsem, wsem, wssem, cnt):
@@ -664,15 +664,15 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
         zero_s = jnp.zeros((1, T), jnp.int32)
         s1 = jnp.where(is_tip1, zero_s, s_scr[buf, 0])
         s2 = jnp.where(is_tip2, zero_s, s_scr[buf, 1])
-        left = jax.lax.dot_general(
-            P1_ref[0], c_scr[buf, 0], (((1,), (0,)), ((), ())),
+        # ONE block-diagonal [2CS,2CS]@[2CS,T] dot covers both children:
+        # a HIGHEST-precision dot pays ~6 MXU pipeline fills of fixed
+        # cost, so merging halves the dominant per-node dot overhead
+        c12 = c_scr[buf].reshape(2 * CS, T)
+        lr = jax.lax.dot_general(
+            P12_ref[0], c12, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_DOT_PREC)
-        right = jax.lax.dot_general(
-            P2_ref[0], c_scr[buf, 1], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_DOT_PREC)
-        prod = left * right
+        prod = lr[:CS, :] * lr[CS:, :]
 
         # exact power-of-two rescale (identical to the XLA engines)
         m = jnp.max(prod, axis=0, keepdims=True)            # [1, T]
@@ -726,8 +726,8 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # tip_codes
             pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
-            pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
-            pl.BlockSpec((1, CS, CS), lambda w, p, idx: (w, 0, 0)),
+            pl.BlockSpec((1, 2 * CS, 2 * CS),
+                         lambda w, p, idx: (w, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -759,7 +759,13 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    return fn(idx8, tip_codes, codetab, Pbd[e1], Pbd[e2])
+    # pair the two children's block-diagonal P matrices into one
+    # [2CS, 2CS] block-diagonal per node (see kernel dot)
+    nW_ = idx8.shape[0]
+    P12 = jnp.zeros((nW_, 2 * CS, 2 * CS), jnp.float32)
+    P12 = P12.at[:, :CS, :CS].set(Pbd[e1])
+    P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
+    return fn(idx8, tip_codes, codetab, P12)
 
 
 def compile_fused_ops(partition, ops, pad_to: int | None = None,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 SITES_AXIS = "sites"
@@ -67,3 +68,65 @@ def shard_partition(partition, mesh: Mesh, axis_name: str = SITES_AXIS):
         alpha=jax.device_put(partition.alpha, rep),
         param_indices=jax.device_put(partition.param_indices, rep),
     )
+
+
+def partition_specs(partition, axis_name: str = SITES_AXIS):
+    """PartitionSpec pytree for a Partition: pattern axes sharded on
+    ``axis_name``, model parameters replicated."""
+    specs = {f: P() for f in (
+        "code_clv", "subst_rates", "freqs", "rate_cats", "rate_weights",
+        "prop_invar", "alpha", "param_indices",
+        "eigen_lam", "eigen_V", "eigen_Vinv")}
+    specs["tip_states"] = P(None, axis_name)
+    specs["pattern_weights"] = P(axis_name)
+    specs["inv_indicator"] = P(axis_name, None)
+    return partition.replace(**{
+        k: (specs[k] if getattr(partition, k) is not None else None)
+        for k in specs} | {
+        k: specs[k] for k in ("tip_states", "pattern_weights",
+                              "inv_indicator")})
+
+
+def loglikelihood_fused_sharded(partition, tree, brlens, mesh: Mesh,
+                                axis_name: str = SITES_AXIS,
+                                interpret: bool = False):
+    """Site-sharded evaluation through the fused Pallas megakernel: every
+    device runs the WHOLE-tree kernel on its local pattern shard
+    (patterns are embarrassingly parallel given replicated P-matrices)
+    and the one site reduction becomes a psum riding ICI — the
+    multi-chip production path (SURVEY §2.10 + the scaling-book recipe:
+    shard the data axis, replicate the small state, one collective).
+
+    The local shard width must stay a multiple of 128 lanes
+    (pattern_pad 128 × power-of-two meshes up to 128 satisfy this).
+    """
+    from functools import partial as _partial
+    from jax import shard_map
+    from pllmod_tpu.ops import pallas_clv
+
+    n_dev = mesh.shape[axis_name]
+    local = partition.n_patterns_padded // n_dev
+    if partition.n_patterns_padded % n_dev or local % 128:
+        raise ValueError(
+            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
+            f" {local}) must be a multiple of 128 lanes; create the "
+            f"partition with pattern_pad=128*{n_dev}")
+
+    idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(partition, tree)
+    u, v, e = ri
+    brlens = jnp.asarray(brlens, partition.dtype)
+    pspecs = partition_specs(partition, axis_name)
+
+    @jax.jit
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(pspecs, P(), P(), P(), P()),
+              out_specs=P(), check_vma=False)
+    def body(part_local, brl, idx8, e1, e2):
+        Pm = part_local.prob_matrices(brl)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            part_local, Pm, idx8, e1, e2, n_slots, interpret=interpret)
+        lnl = pallas_clv.root_loglikelihood_csp(part_local, clvs, scalers,
+                                                u, v, Pm[e])
+        return jax.lax.psum(lnl, axis_name)
+
+    return body(partition, brlens, idx8, e1, e2)

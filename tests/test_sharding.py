@@ -108,3 +108,27 @@ def test_sharded_blo_sweep_matches(rng, mesh):
     assert float(lnl_sh) == pytest.approx(float(lnl_single), abs=1e-9)
     np.testing.assert_allclose(np.asarray(new_sh), np.asarray(new_single),
                                atol=1e-10)
+
+
+def test_fused_kernel_sharded_sites(rng):
+    """The production megakernel under shard_map: each device runs the
+    whole-tree kernel on its pattern shard; psum reduces the site sum
+    (the multi-chip production path)."""
+    import jax
+    import jax.numpy as jnp
+    from pllmod_tpu.parallel import make_mesh, shard_partition
+    from pllmod_tpu.parallel.sharding import loglikelihood_fused_sharded
+    from pllmod_tpu.ops.engine import tree_loglikelihood
+
+    tree = ref.random_binary_tree(rng, 12)
+    seqs = ref.random_sequences(rng, 12, 900)
+    # pattern_pad = 128 * mesh size keeps each local shard lane-aligned
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            prop_invar=0.1, dtype=jnp.float32,
+                            compress=False, pattern_pad=1024)
+    mesh = make_mesh(jax.devices()[:8])
+    sh = shard_partition(part, mesh)
+    l_sh = float(loglikelihood_fused_sharded(sh, tree, tree.lengths, mesh,
+                                             interpret=True))
+    l_ref = float(tree_loglikelihood(part, tree, schedule="scan"))
+    assert l_sh == pytest.approx(l_ref, abs=2e-2)
