@@ -29,3 +29,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compiler_state():
+    """Clear JAX's compilation caches after every test module.
+
+    The XLA CPU compiler intermittently segfaults/aborts inside
+    backend_compile after ~200+ accumulated jit compilations in one
+    process (observed twice at the same downstream test while the suite
+    grew); bounding the cached-executable population keeps the full
+    suite stable. Costs cross-module recompiles only (modules rarely
+    share shapes).
+    """
+    yield
+    jax.clear_caches()
