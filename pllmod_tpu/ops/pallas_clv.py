@@ -466,14 +466,31 @@ def update_partials_pallas(partition, P, levels, offsets, n_slots: int,
     return clvs, scalers
 
 
+def _block_diag_single(P_edge, dtype):
+    """[C, S, S] -> block-diagonal [C*S, C*S] (one edge; tiny)."""
+    C, S, _ = P_edge.shape
+    out = jnp.zeros((C * S, C * S), dtype)
+    for c in range(C):
+        out = out.at[c * S:(c + 1) * S, c * S:(c + 1) * S].set(
+            P_edge[c].astype(dtype))
+    return out
+
+
 def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
                            P_edge):
     """Edge logL from CS×P CLVs. ref encoding as usual: < n_tips tip id,
-    else n_tips + slot (schedule-remapped)."""
+    else n_tips + slot (schedule-remapped).
+
+    The per-category transition application runs as ONE block-diagonal
+    [CS,CS] @ [CS,P] matmul: the batched per-category einsum lowers on
+    TPU to C separate padded tiny matmuls (~0.17 ms/eval measured —
+    comparable to several pruning steps), the block-diagonal form is a
+    single MXU dot + fused elementwise reduce."""
     from pllmod_tpu.ops import likelihood as lk_mod
     n_tips = partition.n_tips
     C = partition.n_cats
     S = partition.states
+    CS = C * S
     dtype = partition.dtype
 
     def fetch(ref):
@@ -485,21 +502,19 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
                       jnp.arange(n_codes)[:, None]).astype(dtype)
             t = jnp.einsum("ks,kp->sp", partition.code_clv.astype(dtype),
                            onehot, precision=_PREC)             # [S, P]
-            clv = jnp.broadcast_to(t[None], (C, S, t.shape[1]))
-            return clv, jnp.zeros(t.shape[1], jnp.int32)
+            return jnp.tile(t, (C, 1)), jnp.zeros(t.shape[1], jnp.int32)
         slot = ref - n_tips
-        clv = clvs_csp[slot].reshape(C, S, -1).astype(dtype)
-        return clv, scalers[slot, 0]
+        return clvs_csp[slot].astype(dtype), scalers[slot, 0]
 
-    clv_p, s_p = fetch(ref_p)
+    clv_p, s_p = fetch(ref_p)                                   # [CS, P]
     clv_c, s_c = fetch(ref_c)
-    fc = partition.freqs_per_cat()
-    right = jnp.einsum("cjp,cij->cip", clv_c, P_edge.astype(dtype),
-                       preferred_element_type=dtype,
-                      precision=_PREC)
-    per_cat = jnp.einsum("cip,ci,cip->cp", clv_p, fc, right,
-                         preferred_element_type=dtype,
-                      precision=_PREC)
+    Pbd = _block_diag_single(P_edge, dtype)                     # [CS, CS]
+    right = jax.lax.dot_general(Pbd, clv_c, (((1,), (0,)), ((), ())),
+                                preferred_element_type=dtype,
+                                precision=_PREC)                # [CS, P]
+    fcflat = partition.freqs_per_cat().reshape(CS).astype(dtype)
+    prod = clv_p * right * fcflat[:, None]
+    per_cat = prod.reshape(C, S, -1).sum(axis=1)                # [C, P]
     lnl = lk_mod._site_lnl(partition, per_cat.T, s_p + s_c)
     return jnp.sum(lnl * partition.pattern_weights)
 
@@ -540,7 +555,18 @@ def _pick_tile_fused(P: int, CS: int) -> int:
     return 128
 
 
-def _make_fused_kernel(n_codes: int, nW: int, nP: int):
+def _make_fused_kernel(n_codes: int, nW: int, nP: int,
+                       thread_scalers: bool = True):
+    """``thread_scalers=True``: the scaler plane is CUMULATIVE (each node
+    reads its children's scaler rows and writes s1+s2+e) — the historic
+    contract, needed by consumers that index per-slot scalers
+    (update_partials_fused_std for BLO/SPR).
+
+    ``thread_scalers=False``: the scaler plane holds each node's OWN
+    rescale exponent ``e`` only; the two child-scaler DMAs + waits per
+    step disappear (the kernel is partly bound by DMA issue/fence scalar
+    work — PERF_NOTES). Cumulative values are reconstructed outside when
+    needed; the root reduction needs just Σ_live e (one masked reduce)."""
     def _kernel(idx_ref,               # prefetch [nW, 8] int32
                 tip_codes_ref,         # ANY [n_tips, 1, P] int32
                 codetab_ref,           # VMEM [CS, n_codes_pad] f32
@@ -701,20 +727,84 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int):
     return _kernel
 
 
+def _eigen_lamr_basis(partition, dtype):
+    """Shared pieces of the direct propagator build: per-category scaled
+    eigenvalues ``lamr`` [C, S] (rate / (1-pinv) folded in, the libpll
+    effective-rate convention) and the outer-product basis ``M`` [C, S
+    (k), S (i), S (j)] with M[c,k,i,j] = V[c,i,k] · Vinv[c,k,j].
+    Requires a cached eigendecomposition."""
+    pidx = partition.param_indices
+    lam_c = partition.eigen_lam[pidx]                       # [C, S]
+    pinv_c = partition.prop_invar[pidx]
+    rate_c = partition.rate_cats / (1.0 - pinv_c)
+    lamr = (lam_c * rate_c[:, None]).astype(dtype)          # [C, S]
+    M = jnp.einsum("cik,ckj->ckij",
+                   partition.eigen_V[pidx].astype(dtype),
+                   partition.eigen_Vinv[pidx].astype(dtype),
+                   precision=_PREC)                         # [C,S,S,S]
+    return lamr, M
+
+
+def fused_p12(partition, brlens, e1, e2):
+    """Per-node PAIRED block-diagonal transition matrices [nW, 2CS, 2CS]
+    built in ONE matmul against a static propagator basis.
+
+    P12[n] = blockdiag(P(t_{e1[n]}), P(t_{e2[n]})) with
+    P(t)[c·S+i, c·S+j] = Σ_k V[c,i,k] exp(λ[c,k]·t·r_c/(1-p_c)) Vinv[c,k,j].
+
+    Replaces the chain  prob_matrices → block_diag_pmats → Pbd[e1]/Pbd[e2]
+    gathers → two at[].set packs  (XLA gather HLO + scattered updates,
+    ~0.2 ms/eval on TPU — see PERF_NOTES) with: two [nW] branch-length
+    gathers, one exp, and one [nW, 2CS] @ [2CS, (2CS)²] matmul. Exact
+    w.r.t. the old path up to f32 summation order (the basis contraction
+    adds exact zeros for cross-block terms). Requires cached eigen."""
+    CS = partition.n_cats * partition.states
+    S = partition.states
+    lamr, M = _eigen_lamr_basis(partition, jnp.float32)
+    lamr_flat = lamr.reshape(CS)
+    t1 = jnp.take(brlens, e1).astype(jnp.float32)           # [nW]
+    t2 = jnp.take(brlens, e2).astype(jnp.float32)
+    exp12 = jnp.concatenate([
+        jnp.exp(t1[:, None] * lamr_flat[None, :]),
+        jnp.exp(t2[:, None] * lamr_flat[None, :]),
+    ], axis=1)                                              # [nW, 2CS]
+    B2 = jnp.zeros((2 * CS, 2 * CS, 2 * CS), jnp.float32)
+    for side in range(2):
+        for c in range(partition.n_cats):
+            o = side * CS + c * S
+            B2 = B2.at[o:o + S, o:o + S, o:o + S].set(M[c])
+    P12 = jnp.einsum("nk,kx->nx", exp12,
+                     B2.reshape(2 * CS, 4 * CS * CS), precision=_PREC)
+    return P12.reshape(-1, 2 * CS, 2 * CS)
+
+
+def p_edge_from_eigen(partition, t):
+    """Single-edge P [C, S, S] for (traced) branch length ``t`` from the
+    cached eigendecomposition — the root-edge companion of
+    :func:`fused_p12` (avoids building all-edge P matrices just to index
+    one edge). Computed in partition dtype (the root reduction runs at
+    full precision even on f64 CPU golden paths)."""
+    lamr, M = _eigen_lamr_basis(partition, partition.dtype)
+    expo = jnp.exp(lamr * jnp.asarray(t, partition.dtype))  # [C, S]
+    return jnp.einsum("ck,ckij->cij", expo, M, precision=_PREC)
+
+
 def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
-                          interpret: bool = False):
+                          interpret: bool = False, P12=None):
     """Whole-traversal pruning in one pallas call.
 
     Args:
       idx8: int32 [n_inner, 8] from :func:`compile_fused`
         (slot1, slot2, is_tip1, is_tip2, tip1, tip2, out_slot, fence)
       e1/e2: int32 [n_inner] child edge ids (index P)
+      P12: optional precomputed [nW, 2CS, 2CS] paired block-diagonal
+        transition matrices (:func:`fused_p12`); when given, ``P`` may be
+        None and the block-diag/gather pack below is skipped entirely
     Returns (clvs_csp [n_slots, CS, Ppad] f32,
              scalers [n_slots, 1, Ppad] int32).
     """
     Ppad = partition.n_patterns_padded
     CS = partition.n_cats * partition.states
-    Pbd = block_diag_pmats(P.astype(jnp.float32))
     codetab, n_codes = _code_table(partition)
     tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
     nW = idx8.shape[0]
@@ -759,12 +849,14 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    # pair the two children's block-diagonal P matrices into one
-    # [2CS, 2CS] block-diagonal per node (see kernel dot)
-    nW_ = idx8.shape[0]
-    P12 = jnp.zeros((nW_, 2 * CS, 2 * CS), jnp.float32)
-    P12 = P12.at[:, :CS, :CS].set(Pbd[e1])
-    P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
+    if P12 is None:
+        # pair the two children's block-diagonal P matrices into one
+        # [2CS, 2CS] block-diagonal per node (see kernel dot)
+        Pbd = block_diag_pmats(P.astype(jnp.float32))
+        nW_ = idx8.shape[0]
+        P12 = jnp.zeros((nW_, 2 * CS, 2 * CS), jnp.float32)
+        P12 = P12.at[:, :CS, :CS].set(Pbd[e1])
+        P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
     return fn(idx8, tip_codes, codetab, P12)
 
 
@@ -868,12 +960,25 @@ def compile_fused(partition, tree, root_edge=None):
 @partial(jax.jit, static_argnums=(5, 6, 7))
 def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
                         n_slots: int, interpret: bool = False):
-    """Full-tree logL through the fused whole-traversal kernel."""
-    P = partition.prob_matrices(brlens)
-    clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                          n_slots, interpret=interpret)
+    """Full-tree logL through the fused whole-traversal kernel.
+
+    With a cached eigendecomposition the per-node transition matrices are
+    built DIRECTLY in paired block-diagonal layout (:func:`fused_p12`) and
+    all-edge P matrices are never materialized; otherwise (no cache /
+    non-reversible) the generic ``prob_matrices`` path runs."""
     u, v, e = root_info
-    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P[e])
+    if partition.reversible and partition.eigen_lam is not None:
+        P12 = fused_p12(partition, brlens, e1, e2)
+        clvs, scalers = update_partials_fused(
+            partition, None, idx8, e1, e2, n_slots, interpret=interpret,
+            P12=P12)
+        P_root = p_edge_from_eigen(partition, brlens[e])
+    else:
+        P = partition.prob_matrices(brlens)
+        clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
+                                              n_slots, interpret=interpret)
+        P_root = P[e]
+    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root)
 
 
 def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
@@ -890,6 +995,8 @@ def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
     dtype = partition.dtype
     n_codes = partition.code_clv.shape[0]
 
+    CS = C * S
+
     def fetch(ref):
         def tip(_):
             codes = jax.lax.dynamic_index_in_dim(
@@ -899,25 +1006,26 @@ def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
                       jnp.arange(n_codes)[:, None]).astype(dtype)
             t = jnp.einsum("ks,kp->sp", partition.code_clv.astype(dtype),
                            onehot, precision=_PREC)               # [S,P]
-            clv = jnp.broadcast_to(t[None], (C, S, Ppad))
-            return clv, jnp.zeros(Ppad, jnp.int32)
+            return jnp.tile(t, (C, 1)), jnp.zeros(Ppad, jnp.int32)
 
         def inner(_):
             slot = jnp.clip(ref - n_tips, 0, clvs_csp.shape[0] - 1)
             clv = jax.lax.dynamic_index_in_dim(
-                clvs_csp, slot, 0, keepdims=False).reshape(C, S, Ppad)
+                clvs_csp, slot, 0, keepdims=False)
             sc = jax.lax.dynamic_index_in_dim(
                 scalers, slot, 0, keepdims=False)[0]
             return clv.astype(dtype), sc
         return jax.lax.cond(ref < n_tips, tip, inner, None)
 
-    clv_p, s_p = fetch(ref_p)
+    clv_p, s_p = fetch(ref_p)                                    # [CS, P]
     clv_c, s_c = fetch(ref_c)
-    fc = partition.freqs_per_cat()
-    right = jnp.einsum("cjp,cij->cip", clv_c, P_edge.astype(dtype),
-                       preferred_element_type=dtype, precision=_PREC)
-    per_cat = jnp.einsum("cip,ci,cip->cp", clv_p, fc, right,
-                         preferred_element_type=dtype, precision=_PREC)
+    Pbd = _block_diag_single(P_edge, dtype)
+    right = jax.lax.dot_general(Pbd, clv_c, (((1,), (0,)), ((), ())),
+                                preferred_element_type=dtype,
+                                precision=_PREC)                 # [CS, P]
+    fcflat = partition.freqs_per_cat().reshape(CS).astype(dtype)
+    prod = clv_p * right * fcflat[:, None]
+    per_cat = prod.reshape(C, S, -1).sum(axis=1)                 # [C, P]
     lnl = lk_mod._site_lnl(partition, per_cat.T, s_p + s_c)
     return jnp.sum(lnl * partition.pattern_weights)
 
@@ -929,11 +1037,20 @@ def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
     [3] array (ref_p, ref_c, root_edge). Changing topology (new idx8/e1/
     e2/root_refs of the same shapes) reuses the compiled executable —
     the per-move cost during tree search is data upload only."""
-    P = partition.prob_matrices(brlens)
-    clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                          n_slots, interpret=interpret)
-    P_root = jax.lax.dynamic_index_in_dim(P, root_refs[2], 0,
-                                          keepdims=False)
+    if partition.reversible and partition.eigen_lam is not None:
+        P12 = fused_p12(partition, brlens, e1, e2)
+        clvs, scalers = update_partials_fused(
+            partition, None, idx8, e1, e2, n_slots, interpret=interpret,
+            P12=P12)
+        t_root = jax.lax.dynamic_index_in_dim(brlens, root_refs[2], 0,
+                                              keepdims=False)
+        P_root = p_edge_from_eigen(partition, t_root)
+    else:
+        P = partition.prob_matrices(brlens)
+        clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
+                                              n_slots, interpret=interpret)
+        P_root = jax.lax.dynamic_index_in_dim(P, root_refs[2], 0,
+                                              keepdims=False)
     return root_loglikelihood_csp_dyn(partition, clvs, scalers,
                                       root_refs[0], root_refs[1], P_root)
 
