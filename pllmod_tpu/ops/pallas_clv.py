@@ -49,6 +49,12 @@ _TILE_OVERRIDE = 8192
 _DOT_PREC = jax.lax.Precision.HIGHEST
 _EXPAND_PREC = jax.lax.Precision.DEFAULT
 
+# perf-probe knob (env, read at import): 1 = skip the per-node rescale
+# chain entirely (WRONG results — underflows; only for measuring the
+# rescale's share of the per-step vector chain)
+import os as _os
+_NO_RESCALE_PROBE = _os.environ.get("PLLMOD_FUSED_NO_RESCALE") == "1"
+
 
 def set_dot_precision(prec):
     """Set the kernel matmul precision (jax.lax.Precision or string)."""
@@ -477,7 +483,7 @@ def _block_diag_single(P_edge, dtype):
 
 
 def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
-                           P_edge):
+                           P_edge, scaler_total=None):
     """Edge logL from CS×P CLVs. ref encoding as usual: < n_tips tip id,
     else n_tips + slot (schedule-remapped).
 
@@ -485,7 +491,12 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
     [CS,CS] @ [CS,P] matmul: the batched per-category einsum lowers on
     TPU to C separate padded tiny matmuls (~0.17 ms/eval measured —
     comparable to several pruning steps), the block-diagonal form is a
-    single MXU dot + fused elementwise reduce."""
+    single MXU dot + fused elementwise reduce.
+
+    ``scaler_total``: optional [P] int32 TOTAL rescale exponent for the
+    whole tree (s_p + s_c). Required when the kernel ran with
+    ``thread_scalers=False`` (the scaler plane then holds per-node
+    exponents and per-slot cumulative values do not exist)."""
     from pllmod_tpu.ops import likelihood as lk_mod
     n_tips = partition.n_tips
     C = partition.n_cats
@@ -515,7 +526,8 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
     fcflat = partition.freqs_per_cat().reshape(CS).astype(dtype)
     prod = clv_p * right * fcflat[:, None]
     per_cat = prod.reshape(C, S, -1).sum(axis=1)                # [C, P]
-    lnl = lk_mod._site_lnl(partition, per_cat.T, s_p + s_c)
+    s_tot = (s_p + s_c) if scaler_total is None else scaler_total
+    lnl = lk_mod._site_lnl(partition, per_cat.T, s_tot)
     return jnp.sum(lnl * partition.pattern_weights)
 
 
@@ -546,9 +558,13 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
 def _pick_tile_fused(P: int, CS: int) -> int:
     """Largest 128-multiple tile dividing P with ~8 [CS,T] f32 scratch
     buffers (double-buffered reads + rotating writes + expansion temps)
-    under an ~8 MB VMEM budget."""
+    under an ~8 MB VMEM budget. ``PLLMOD_FUSED_TILE`` (env) caps the
+    tile for perf probing (per-step fixed-cost share measurements)."""
     budget = 8 * 1024 * 1024
     cap = max(128, min(P, budget // (8 * CS * 4)))
+    tile_env = _os.environ.get("PLLMOD_FUSED_TILE")
+    if tile_env:
+        cap = max(128, min(cap, int(tile_env)))
     for t in range(cap - cap % 128, 127, -128):
         if P % t == 0:
             return t
@@ -638,10 +654,11 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
                         clvs_ref.at[slot, :, pl.ds(pt * T, T)],
                         c_scr.at[bf, k], rsem.at[bf, sem])
                     c.start() if start else c.wait()
-                    c2 = pltpu.make_async_copy(
-                        sc_ref.at[slot, :, pl.ds(pt * T, T)],
-                        s_scr.at[bf, k], rsem.at[bf, sem + 1])
-                    c2.start() if start else c2.wait()
+                    if thread_scalers:
+                        c2 = pltpu.make_async_copy(
+                            sc_ref.at[slot, :, pl.ds(pt * T, T)],
+                            s_scr.at[bf, k], rsem.at[bf, sem + 1])
+                        c2.start() if start else c2.wait()
 
         # steps NOT prefetched by their predecessor: step 0 and fence steps
         @pl.when((step == 0) | fence_now)
@@ -687,9 +704,10 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         expand(0, is_tip1)
         expand(1, is_tip2)
 
-        zero_s = jnp.zeros((1, T), jnp.int32)
-        s1 = jnp.where(is_tip1, zero_s, s_scr[buf, 0])
-        s2 = jnp.where(is_tip2, zero_s, s_scr[buf, 1])
+        if thread_scalers:
+            zero_s = jnp.zeros((1, T), jnp.int32)
+            s1 = jnp.where(is_tip1, zero_s, s_scr[buf, 0])
+            s2 = jnp.where(is_tip2, zero_s, s_scr[buf, 1])
         # ONE block-diagonal [2CS,2CS]@[2CS,T] dot covers both children:
         # a HIGHEST-precision dot pays ~6 MXU pipeline fills of fixed
         # cost, so merging halves the dominant per-node dot overhead
@@ -700,16 +718,20 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             precision=_DOT_PREC)
         prod = lr[:CS, :] * lr[CS:, :]
 
-        # exact power-of-two rescale (identical to the XLA engines)
-        m = jnp.max(prod, axis=0, keepdims=True)            # [1, T]
-        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
-        e = ((mi >> 23) & 0xFF) - 126
-        e = jnp.where(m > 0, e, 0)
-        e = jnp.clip(e, -125, 127)
-        scale = jax.lax.bitcast_convert_type(
-            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
-        o_scr[par] = prod * scale
-        os_scr[par] = s1 + s2 + e
+        if _NO_RESCALE_PROBE:
+            o_scr[par] = prod
+            e = jnp.zeros((1, T), jnp.int32)
+        else:
+            # exact power-of-two rescale (identical to the XLA engines)
+            m = jnp.max(prod, axis=0, keepdims=True)        # [1, T]
+            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+            e = ((mi >> 23) & 0xFF) - 126
+            e = jnp.where(m > 0, e, 0)
+            e = jnp.clip(e, -125, 127)
+            scale = jax.lax.bitcast_convert_type(
+                ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+            o_scr[par] = prod * scale
+        os_scr[par] = (s1 + s2 + e) if thread_scalers else e
 
         pltpu.make_async_copy(
             o_scr.at[par], clvs_ref.at[out_slot, :, pl.ds(p * T, T)],
@@ -790,7 +812,8 @@ def p_edge_from_eigen(partition, t):
 
 
 def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
-                          interpret: bool = False, P12=None):
+                          interpret: bool = False, P12=None,
+                          thread_scalers: bool = True):
     """Whole-traversal pruning in one pallas call.
 
     Args:
@@ -800,6 +823,9 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
       P12: optional precomputed [nW, 2CS, 2CS] paired block-diagonal
         transition matrices (:func:`fused_p12`); when given, ``P`` may be
         None and the block-diag/gather pack below is skipped entirely
+      thread_scalers: kernel scaler mode (see :func:`_make_fused_kernel`).
+        False drops the two child-scaler DMAs+waits per step; the scaler
+        plane then holds PER-NODE exponents, not cumulative sums.
     Returns (clvs_csp [n_slots, CS, Ppad] f32,
              scalers [n_slots, 1, Ppad] int32).
     """
@@ -840,7 +866,7 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
     fn = pl.pallas_call(
-        _make_fused_kernel(n_codes, nW, nP),
+        _make_fused_kernel(n_codes, nW, nP, thread_scalers),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_slots, CS, Ppad), jnp.float32),
@@ -965,20 +991,30 @@ def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
     With a cached eigendecomposition the per-node transition matrices are
     built DIRECTLY in paired block-diagonal layout (:func:`fused_p12`) and
     all-edge P matrices are never materialized; otherwise (no cache /
-    non-reversible) the generic ``prob_matrices`` path runs."""
+    non-reversible) the generic ``prob_matrices`` path runs.
+
+    The kernel runs in the LEAN scaler mode (``thread_scalers=False``:
+    per-node exponents, no child-scaler DMAs); the root's total rescale
+    exponent is the sum over all live slots, since every inner node lies
+    in exactly one of the two root subtrees. Valid because
+    :func:`compile_fused` emits DENSE unpadded slot tables (slots
+    0..n_slots-2 all written; the last slot is the never-written scratch)."""
     u, v, e = root_info
     if partition.reversible and partition.eigen_lam is not None:
         P12 = fused_p12(partition, brlens, e1, e2)
         clvs, scalers = update_partials_fused(
             partition, None, idx8, e1, e2, n_slots, interpret=interpret,
-            P12=P12)
+            P12=P12, thread_scalers=False)
         P_root = p_edge_from_eigen(partition, brlens[e])
     else:
         P = partition.prob_matrices(brlens)
         clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret)
+                                              n_slots, interpret=interpret,
+                                              thread_scalers=False)
         P_root = P[e]
-    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root)
+    s_tot = jnp.sum(scalers[:-1, 0, :], axis=0)
+    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root,
+                                  scaler_total=s_tot)
 
 
 def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,

@@ -17,6 +17,7 @@ from pllmod_tpu.optimize.newton import minimize_newton_multi  # noqa: F401
 from pllmod_tpu.optimize.blo import (  # noqa: F401
     DirectedTraversal,
     optimize_branch_lengths,
+    optimize_branch_lengths_chunked,
 )
 from pllmod_tpu.optimize.brent import minimize_brent_multi  # noqa: F401
 from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb  # noqa: F401

@@ -177,13 +177,43 @@ def _fused_args(partition, trav):
                 fused_interp=engine_mod.fast_kernel_interpret())
 
 
+def _edge_colors(tree, edge_mask=None):
+    """Greedy proper edge coloring (host): no two same-color edges share
+    a node, so a same-color batched Newton step is a TRUE block
+    Gauss-Seidel step — the strongest (adjacent-edge) coupling that makes
+    plain Jacobi oscillate is excluded from every simultaneous update.
+    Trees have max degree 3, so greedy uses ≤ 3-4 colors. Returns a list
+    of bool [n_edge_slots] masks."""
+    adj = tree.adjacency()
+    n_edges = len(tree.edge_nodes)
+    colors: dict[int, int] = {}
+    for e, (u, v) in enumerate(tree.edge_nodes):
+        u, v = int(u), int(v)
+        if u < 0 or (edge_mask is not None and not edge_mask[e]):
+            continue
+        used = {colors.get(int(ee)) for n in (u, v) for _, ee in adj[n]
+                if int(ee) != e}
+        c = 0
+        while c in used:
+            c += 1
+        colors[e] = c
+    ncol = max(colors.values()) + 1 if colors else 1
+    masks = [np.zeros(n_edges, bool) for _ in range(ncol)]
+    for e, c in colors.items():
+        masks[c][e] = True
+    return masks
+
+
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
                max_newton_iters: int = 10, fused_idx=None,
                fused_nslots=None, fused_interp=False):
-    """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens)."""
+    """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens).
+
+    ``edge_mask`` doubles as the update selector: a color sub-sweep
+    passes only its color class (see :func:`_edge_colors`)."""
     P = partition.prob_matrices(brlens)
     fused = None if fused_nslots is None else (
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
@@ -309,7 +339,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                             newton_tol: float = TOL_BRANCH_LEN,
                             write_back: bool = True,
                             edges=None, radius: int | None = None,
-                            around_edge: int | None = None):
+                            around_edge: int | None = None,
+                            colored: bool = True):
     """Optimize branch lengths of ``tree`` under ``partition``.
 
     Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
@@ -317,6 +348,13 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     until the logL gain drops below ``tolerance`` or ``max_sweeps`` is hit;
     a sweep that worsens logL is retried with half steps (damped Jacobi),
     and the best iterate always wins.
+
+    ``colored=True`` (default) runs each sweep as 3-4 edge-COLOR
+    sub-sweeps (:func:`_edge_colors`): simultaneously updated edges never
+    share a node, giving block Gauss-Seidel behavior — the batched analog
+    of the reference's serial edge walk (pll_optimize.c:1494-1586), which
+    plain Jacobi (``colored=False``) approximates only under damping and
+    can oscillate on when branches couple strongly.
 
     The reference's LOCAL mode (radius-limited optimization around a node
     after an SPR move, pll_optimize.c:1633-1712): pass ``edges`` (an
@@ -342,6 +380,11 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         sel[np.asarray(list(edges), int)] = True
         mask_np &= sel
     edge_mask = jnp.asarray(mask_np)
+    if colored:
+        sweep_masks = [jnp.asarray(m & mask_np)
+                       for m in _edge_colors(tree, mask_np)]
+    else:
+        sweep_masks = [edge_mask]
     dtype = partition.dtype
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 
@@ -349,13 +392,18 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     best_lnl = -np.inf
     lnl_prev = None
     for _ in range(max_sweeps):
-        new_brlens, lnl_here = _blo_sweep(
-            partition, levels, offsets, edge_ref, edge_mask, brlens,
-            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
-        lnl_here = float(lnl_here)
+        brlens_start = brlens
+        lnl_here = None
+        for cmask in sweep_masks:
+            brlens, lnl_sub = _blo_sweep(
+                partition, levels, offsets, edge_ref, cmask, brlens,
+                jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+                jnp.asarray(newton_tol, dtype), n_slots, **fargs)
+            if lnl_here is None:
+                lnl_here = float(lnl_sub)    # logL at sweep-START brlens
+        new_brlens = brlens
         if lnl_here > best_lnl:
-            best_lnl, best_brlens = lnl_here, brlens
+            best_lnl, best_brlens = lnl_here, brlens_start
         if lnl_prev is not None:
             if lnl_here < lnl_prev - 1e-9:
                 # overshoot: damp toward the best iterate and retry
@@ -363,10 +411,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                 lnl_prev = None
                 continue
             if abs(lnl_here - lnl_prev) < tolerance:
-                brlens = new_brlens
                 break
         lnl_prev = lnl_here
-        brlens = new_brlens
 
     # damped polish: Jacobi sweeps can oscillate around the joint optimum
     # (the coupling the reference's Gauss-Seidel avoids); a few half-step
@@ -383,6 +429,184 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
 
     final_lnl = float(_lnl_at(partition, levels, offsets, edge_ref,
                               edge_mask, brlens, n_slots, **fargs))
+    if final_lnl >= best_lnl:
+        best_lnl, best_brlens = final_lnl, brlens
+    if write_back:
+        tree.lengths = np.asarray(best_brlens, np.float64).copy()
+    return best_brlens, best_lnl
+
+
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+def _blo_window(partition, ops_w, refs_w, edge_ids, win_mask, brlens,
+                min_brlen, max_brlen, tol, n_slots: int,
+                max_newton_iters: int = 10):
+    """One Gauss-Seidel WINDOW step of the memory-bounded BLO.
+
+    For each of the W edges in the window, a bounded-slot edge-rooted
+    traversal (O(log n) live CLV slots, reference pll_tree.c:1509-1573)
+    produces the two CLVs facing the edge; the window then runs one
+    batched sumtable + Newton (Jacobi within the window). Live memory is
+    O(W·P·C·S) sumtables + O(log n · P·C·S) traversal slots — never the
+    3(n−2) directed-CLV buffer of :func:`_blo_sweep`.
+
+    Args:
+      ops_w: int32 [W, n_ops, 5] bounded op tables (slot-recycled)
+      refs_w: int32 [W, 2] facing-CLV refs (bounded-slot encoding)
+      edge_ids: int32 [W] edge ids into ``brlens``
+      win_mask: bool [W] live rows (False = padding)
+    Returns (new_brlens, logL at incoming brlens).
+    """
+    P = partition.prob_matrices(brlens)
+    eigen = partition.eigen()
+    Ppad = partition.n_patterns_padded
+    C, S = partition.n_cats, partition.states
+    dtype = partition.dtype
+
+    def one_edge(carry, x):
+        ops_e, ref_e = x
+        init_clvs = jnp.zeros((n_slots + 1, Ppad, C, S), dtype)
+        init_scalers = jnp.zeros((n_slots + 1, Ppad), jnp.int32)
+        clvs, scalers = clv_mod.update_partials(partition, P, ops_e,
+                                                init_clvs, init_scalers)
+        cp, sp = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          ref_e[:1])
+        cc, sc = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                          ref_e[1:2])
+        st = deriv_mod.sumtable(partition, cp[0], cc[0], eigen)
+        return carry, (st, sp[0] + sc[0])
+
+    _, (st_w, sc_w) = jax.lax.scan(one_edge, 0, (ops_w, refs_w))
+    t_w = jnp.take(brlens, edge_ids)
+    lnl0, _, _ = deriv_mod.edge_derivatives(partition, st_w[0], sc_w[0],
+                                            t_w[0], eigen)
+
+    def deriv_fn(t):
+        _, df, ddf = deriv_mod.edge_derivatives_batch(
+            partition, st_w, sc_w, t, eigen)
+        return df, ddf
+
+    t_opt = minimize_newton_multi(deriv_fn, t_w, min_brlen, max_brlen,
+                                  tol=tol, max_iters=max_newton_iters)
+    # masked write-back via a scratch row (duplicate pad ids all land on
+    # the scratch entry — no scatter conflicts on live edges)
+    E = brlens.shape[0]
+    b_ext = jnp.concatenate([brlens, jnp.zeros((1,), brlens.dtype)])
+    idx = jnp.where(win_mask, edge_ids, E)
+    return b_ext.at[idx].set(t_opt)[:E], lnl0
+
+
+def compile_chunked_blo(partition, tree, window: int):
+    """Host-side schedule for :func:`optimize_branch_lengths_chunked`:
+    one bounded-slot edge-rooted traversal per live edge, stacked into
+    windows of ``window`` edges. Windows never mix edge COLORS
+    (:func:`_edge_colors`): simultaneously updated edges never share a
+    node, so each window is a true block Gauss-Seidel step — without
+    this, adjacent edges in one window oscillate under the within-window
+    Jacobi and the driver converges to a worse optimum. Each color class
+    is padded to a multiple of ``window`` (padding rows masked).
+
+    Returns (ops_w [nWin, W, n_ops, 5], refs_w [nWin, W, 2],
+    edge_ids [nWin, W], masks [nWin, W], n_slots)."""
+    n_tips = tree.n_tips
+    live = []                      # edge id per row; -1 = padding row
+    for cmask in _edge_colors(tree):
+        cls = [int(e) for e in np.nonzero(cmask)[0]]
+        live.extend(cls + [-1] * ((-len(cls)) % window))
+    row_live = np.asarray([e >= 0 for e in live])
+    pad_src = next(e for e in live if e >= 0)
+    live = [pad_src if e < 0 else e for e in live]
+    ops_cache: dict[int, tuple] = {}
+    ops_all, refs_all, n_slots_max = [], [], 0
+    for e in live:
+        if e in ops_cache:
+            ops_b_c, refs_c = ops_cache[e]
+            ops_all.append(ops_b_c)
+            refs_all.append(refs_c)
+            continue
+        ops, (u, v, _e) = tree.traversal_ops(root_edge=e)
+        u, v = int(u), int(v)
+        ops_b, ns, slot_map = clv_mod.bounded_slot_ops(
+            np.asarray(ops), n_tips, root_refs=(u, v))
+
+        def remap(x):
+            return x if x < n_tips else n_tips + int(slot_map[x - n_tips])
+
+        ops_b = np.asarray(ops_b, np.int32)
+        ops_cache[e] = (ops_b, (remap(u), remap(v)))
+        ops_all.append(ops_b)
+        refs_all.append(ops_cache[e][1])
+        n_slots_max = max(n_slots_max, ns)
+    W = window
+    n_win = len(live) // W
+    n_ops = ops_all[0].shape[0]
+    ops_w = np.stack(ops_all)
+    refs_w = np.asarray(refs_all, np.int32)
+    edge_ids = np.asarray(live, np.int32)
+    masks = row_live
+    shape = (n_win, W)
+    return (jnp.asarray(ops_w.reshape(n_win, W, n_ops, 5)),
+            jnp.asarray(refs_w.reshape(n_win, W, 2)),
+            jnp.asarray(edge_ids.reshape(shape)),
+            jnp.asarray(masks.reshape(shape)), n_slots_max)
+
+
+def optimize_branch_lengths_chunked(partition, tree, window: int = 16,
+                                    max_sweeps: int = 32,
+                                    tolerance: float = 1e-4,
+                                    min_brlen: float = MIN_BRANCH_LEN,
+                                    max_brlen: float = MAX_BRANCH_LEN,
+                                    newton_tol: float = TOL_BRANCH_LEN,
+                                    write_back: bool = True):
+    """Memory-bounded branch-length optimization (capacity mode).
+
+    The full-buffer :func:`optimize_branch_lengths` materializes 3(n−2)
+    directed CLV slots — ~200 TB at the north-star scale (10k taxa ×
+    100k patterns, BASELINE.md §3). This driver instead sweeps WINDOWS of
+    ``window`` edges Gauss-Seidel style (the reference's own edge-by-edge
+    regime, pll_optimize.c:1494-1586 recomp_iterative), with each window
+    batched Jacobi via :func:`_blo_window`; peak live CLV memory is
+    O((window + log n) · P · C · S).
+
+    The trade is recompute: every edge costs one O(n) bounded traversal
+    per sweep (the reference pays the same asymptotics through its
+    per-edge CLV re-orientations, pll_optimize.c:1532-1560). Use the
+    full-buffer driver whenever the directed buffer fits.
+
+    Returns (brlens [n_edge_slots], logL) — writes back into ``tree``
+    unless ``write_back=False``.
+    """
+    if partition.eigen_lam is None:
+        partition = partition.cache_eigen()
+    ops_w, refs_w, edge_ids, masks, n_slots = compile_chunked_blo(
+        partition, tree, window)
+    n_win = ops_w.shape[0]
+    dtype = partition.dtype
+    brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
+    args = (jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype))
+
+    best_brlens, best_lnl = brlens, -np.inf
+    lnl_prev = None
+    for _ in range(max_sweeps):
+        brlens_start = brlens
+        lnl_sweep = None
+        for w in range(n_win):
+            brlens, lnl0 = _blo_window(
+                partition, ops_w[w], refs_w[w], edge_ids[w], masks[w],
+                brlens, *args, n_slots)
+            if lnl_sweep is None:
+                lnl_sweep = float(lnl0)   # logL at sweep-START brlens
+        if lnl_sweep > best_lnl:
+            best_lnl, best_brlens = lnl_sweep, brlens_start
+        if lnl_prev is not None and abs(lnl_sweep - lnl_prev) < tolerance:
+            break
+        lnl_prev = lnl_sweep
+    # the final iterate was optimized but never scored — evaluate it
+    # (bounded engine: same O(log n)-slot memory regime)
+    from pllmod_tpu.ops import engine as engine_mod
+    final_lnl, _ = engine_mod.loglikelihood_bounded(partition, tree,
+                                                    brlens=brlens)
+    final_lnl = float(final_lnl)
     if final_lnl >= best_lnl:
         best_lnl, best_brlens = final_lnl, brlens
     if write_back:

@@ -49,6 +49,39 @@ def test_bounded_caterpillar_constant_slots(rng):
     assert n_slots <= 4
 
 
+@pytest.mark.parametrize("window", [4, 7])
+def test_chunked_blo_matches_full(rng, window):
+    """Memory-bounded BLO (windowed Gauss-Seidel over bounded edge-rooted
+    traversals — PERF_NOTES 'Memory': directed-CLV edge chunking) reaches
+    the same optimum as the full directed-CLV driver; window=7 exercises
+    the non-divisible padding path."""
+    from pllmod_tpu.optimize.blo import (optimize_branch_lengths,
+                                         optimize_branch_lengths_chunked)
+    part, tree = _parts(rng, 12, 160)
+    part = part.cache_eigen()
+    t_full = tree.copy()
+    _, lnl_full = optimize_branch_lengths(part, t_full, tolerance=1e-7,
+                                          max_sweeps=64)
+    t_chunk = tree.copy()
+    br_chunk, lnl_chunk = optimize_branch_lengths_chunked(
+        part, t_chunk, window=window, tolerance=1e-7, max_sweeps=64)
+    # Gauss-Seidel windows must reach AT LEAST the Jacobi optimum
+    assert lnl_chunk >= lnl_full - 1e-3
+    assert lnl_chunk == pytest.approx(lnl_full, abs=0.05)
+    # both optima describe the same tree: matched edge lengths
+    live = [e for e, (u, v) in enumerate(tree.edge_nodes) if int(u) >= 0]
+    np.testing.assert_allclose(np.asarray(br_chunk)[live],
+                               t_full.lengths[live], rtol=0.08, atol=2e-4)
+
+
+def test_chunked_blo_slot_bound(rng):
+    """The chunked schedule's traversal buffer stays O(log n)."""
+    from pllmod_tpu.optimize.blo import compile_chunked_blo
+    part, tree = _parts(rng, 40, 64)
+    _, _, _, _, n_slots = compile_chunked_blo(part, tree, window=8)
+    assert n_slots <= int(np.ceil(np.log2(40))) + 3
+
+
 def test_bounded_10k_taxa(rng):
     """North-star scale check (small patterns standing in for 100k): a
     10,000-taxon tree evaluates with a ~16-slot CLV buffer — the full
