@@ -993,28 +993,28 @@ def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
     all-edge P matrices are never materialized; otherwise (no cache /
     non-reversible) the generic ``prob_matrices`` path runs.
 
-    The kernel runs in the LEAN scaler mode (``thread_scalers=False``:
-    per-node exponents, no child-scaler DMAs); the root's total rescale
-    exponent is the sum over all live slots, since every inner node lies
-    in exactly one of the two root subtrees. Valid because
-    :func:`compile_fused` emits DENSE unpadded slot tables (slots
-    0..n_slots-2 all written; the last slot is the never-written scratch)."""
+    Scaler modes (same-process A/B, flagship config): THREADED cumulative
+    scalers 1.110 ms/eval vs LEAN per-node scalers + XLA slot-sum
+    1.143 ms — the two child-scaler DMAs are fully hidden behind the
+    vector chain, while the lean mode's root-side
+    ``sum(scalers[:-1])`` reduction reads the whole 8 MB scaler plane.
+    Threaded stays the default; the lean mode remains available via
+    :func:`update_partials_fused` (valid because :func:`compile_fused`
+    emits DENSE slot tables — slots 0..n_slots-2 all written, the last
+    slot is the never-written scratch)."""
     u, v, e = root_info
     if partition.reversible and partition.eigen_lam is not None:
         P12 = fused_p12(partition, brlens, e1, e2)
         clvs, scalers = update_partials_fused(
             partition, None, idx8, e1, e2, n_slots, interpret=interpret,
-            P12=P12, thread_scalers=False)
+            P12=P12)
         P_root = p_edge_from_eigen(partition, brlens[e])
     else:
         P = partition.prob_matrices(brlens)
         clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret,
-                                              thread_scalers=False)
+                                              n_slots, interpret=interpret)
         P_root = P[e]
-    s_tot = jnp.sum(scalers[:-1, 0, :], axis=0)
-    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root,
-                                  scaler_total=s_tot)
+    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root)
 
 
 def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
