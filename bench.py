@@ -44,12 +44,17 @@ def main():
     levels, offsets, ri, n_slots = engine.compile_schedule(partition, tree)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
 
-    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(partition, tree)
+    # production TPU config: fused root pseudo-node + split-storage
+    # bf16x2 CLVs (two single-pass DEFAULT dots ~ HIGH precision; logL
+    # deviation ~1e-7 relative vs the exact-HIGHEST path — PERF_NOTES)
+    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(
+        partition, tree, fuse_root=True)
 
     def one(brl):
         if on_tpu:
             return pallas_clv.loglikelihood_fused(
-                partition, idx8, brl, e1, e2, rif, n_slots_f)
+                partition, idx8, brl, e1, e2, rif, n_slots_f,
+                False, True)
         return engine.loglikelihood_levels(partition, levels, brl, offsets,
                                            ri, n_slots)
 

@@ -173,6 +173,22 @@ def fast_kernel_interpret() -> bool:
     return not is_tpu()
 
 
+# None = auto (split-storage bf16x2 CLVs on real TPU runs, exact-f32 in
+# interpret mode); True/False = forced. Split mode trades exactness for
+# speed: two single-pass DEFAULT dots instead of one 6-pass HIGHEST
+# (~20% faster end to end), logL deviation ~1e-7 relative (PERF_NOTES) —
+# far inside the reference-parity bar, but tests that assert bit-equality
+# against the XLA engines run with split off.
+SPLIT_CLV: bool | None = None
+
+
+def use_split_clv() -> bool:
+    if SPLIT_CLV is not None:
+        return SPLIT_CLV
+    from pllmod_tpu.common import is_tpu
+    return is_tpu()
+
+
 def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
                        schedule: str = "auto"):
     """Convenience host-level wrapper: compile traversal + evaluate.
@@ -189,11 +205,12 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         schedule = "fused" if use_fast_kernel(partition) else "scan"
     if schedule == "fused":
         from pllmod_tpu.ops import pallas_clv
-        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(partition,
-                                                             tree, root_edge)
+        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+            partition, tree, root_edge, fuse_root=True)
         return pallas_clv.loglikelihood_fused(partition, idx8, brlens,
                                               e1, e2, ri, n_slots,
-                                              fast_kernel_interpret())
+                                              fast_kernel_interpret(),
+                                              use_split_clv())
     if schedule == "pallas":
         from pllmod_tpu.ops import pallas_clv
         levels, offsets, ri, n_slots = compile_schedule(partition, tree,

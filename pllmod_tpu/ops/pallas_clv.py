@@ -54,6 +54,9 @@ _EXPAND_PREC = jax.lax.Precision.DEFAULT
 # rescale's share of the per-step vector chain)
 import os as _os
 _NO_RESCALE_PROBE = _os.environ.get("PLLMOD_FUSED_NO_RESCALE") == "1"
+# dot-cost probe: "default1" / "default3" replace the merged HIGHEST dot
+# with 1 / 3 DEFAULT (single-bf16-pass) dots — wrong results, timing only
+_DOT_PROBE = _os.environ.get("PLLMOD_FUSED_DOT_PROBE", "")
 
 
 def set_dot_precision(prec):
@@ -515,7 +518,12 @@ def root_loglikelihood_csp(partition, clvs_csp, scalers, ref_p, ref_c,
                            onehot, precision=_PREC)             # [S, P]
             return jnp.tile(t, (C, 1)), jnp.zeros(t.shape[1], jnp.int32)
         slot = ref - n_tips
-        return clvs_csp[slot].astype(dtype), scalers[slot, 0]
+        if clvs_csp.ndim == 4:      # split storage: lo + hi bf16 planes
+            clv = (clvs_csp[slot, 0].astype(dtype) +
+                   clvs_csp[slot, 1].astype(dtype))
+        else:
+            clv = clvs_csp[slot].astype(dtype)
+        return clv, scalers[slot, 0]
 
     clv_p, s_p = fetch(ref_p)                                   # [CS, P]
     clv_c, s_c = fetch(ref_c)
@@ -572,7 +580,8 @@ def _pick_tile_fused(P: int, CS: int) -> int:
 
 
 def _make_fused_kernel(n_codes: int, nW: int, nP: int,
-                       thread_scalers: bool = True):
+                       thread_scalers: bool = True,
+                       split: bool = False):
     """``thread_scalers=True``: the scaler plane is CUMULATIVE (each node
     reads its children's scaler rows and writes s1+s2+e) — the historic
     contract, needed by consumers that index per-slot scalers
@@ -582,7 +591,22 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
     rescale exponent ``e`` only; the two child-scaler DMAs + waits per
     step disappear (the kernel is partly bound by DMA issue/fence scalar
     work — PERF_NOTES). Cumulative values are reconstructed outside when
-    needed; the root reduction needs just Σ_live e (one masked reduce)."""
+    needed; the root reduction needs just Σ_live e (one masked reduce).
+
+    ``split=True``: SPLIT-STORAGE bf16x2 CLVs. Each CLV is stored as two
+    bf16 planes (lo, hi) with hi+lo ~ the f32 value to ~2^-17 relative
+    (same bytes as f32). The per-node child application then runs as TWO
+    single-pass DEFAULT dots instead of one 6-pass HIGHEST dot:
+        main = Ph @ hi12            (K = 2CS)
+        corr = [Ph | Pl] @ [lo12; hi12]   (K = 4CS, one dot: Ph@lo + Pl@hi)
+    where P12 = Ph + Pl is the host-side bf16 split of the paired
+    block-diagonal transition matrix. Dropped term Pl@lo ~ 2^-18.
+    Measured on the flagship: HIGHEST 1.08 ms/eval, this scheme ~0.85 —
+    the earlier in-kernel 3-dot split was a dead end because it paid
+    per-child VPU split-casts every step; split STORAGE pays one split
+    per node at write time and reads come pre-split. logL deviation vs
+    HIGHEST is ~1e-8 relative (PERF_NOTES), far inside the 1e-6 parity
+    bar; the rescale stays an exact power of two."""
     def _kernel(idx_ref,               # prefetch [nW, 8] int32
                 tip_codes_ref,         # ANY [n_tips, 1, P] int32
                 codetab_ref,           # VMEM [CS, n_codes_pad] f32
@@ -592,8 +616,8 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
                 rsem, wsem, wssem, cnt):
         w = pl.program_id(0)
         p = pl.program_id(1)
-        CS = o_scr.shape[1]
-        T = o_scr.shape[2]
+        CS = o_scr.shape[-2]
+        T = o_scr.shape[-1]
         two = jnp.asarray(2, jnp.int32)
         step = (w * nP + p).astype(jnp.int32)
         par = jax.lax.rem(step, two)
@@ -609,12 +633,16 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         # level: all previous-level writes must land before its reads
         fence_now = (idx_ref[w, 7] == 1) & (p == 0)
 
+        def clv_dst(slot, pt):
+            if split:
+                return clvs_ref.at[slot, :, :, pl.ds(pt * T, T)]
+            return clvs_ref.at[slot, :, pl.ds(pt * T, T)]
+
         def drain(q):
             @pl.when(cnt[q] == 1)
             def _():
                 pltpu.make_async_copy(
-                    o_scr.at[q], clvs_ref.at[0, :, pl.ds(0, T)],
-                    wsem.at[q]).wait()
+                    o_scr.at[q], clv_dst(0, 0), wsem.at[q]).wait()
                 pltpu.make_async_copy(
                     os_scr.at[q], sc_ref.at[0, :, pl.ds(0, T)],
                     wssem.at[q]).wait()
@@ -636,7 +664,9 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             wt = st // nP
             pt = jax.lax.rem(st, jnp.asarray(nP, jnp.int32))
             bf = jax.lax.rem(st, two)
-            for k, sem in ((0, 0), (1, 2)):
+            nsem = 3 if split else 2
+            for k in (0, 1):
+                sem = nsem * k
                 slot = idx_ref[wt, k]
                 is_tip = idx_ref[wt, 2 + k] == 1
                 tip = idx_ref[wt, 4 + k]
@@ -650,14 +680,26 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
 
                 @pl.when(jnp.logical_not(is_tip))
                 def _(slot=slot, tip=tip, k=k, sem=sem):
-                    c = pltpu.make_async_copy(
-                        clvs_ref.at[slot, :, pl.ds(pt * T, T)],
-                        c_scr.at[bf, k], rsem.at[bf, sem])
-                    c.start() if start else c.wait()
+                    if split:
+                        # one DMA per stored plane (lo, hi) — the scratch
+                        # interleaves (plane, child) so the flattened rows
+                        # come out plane-major: [lo1, lo2, hi1, hi2]
+                        for pp in range(2):
+                            c = pltpu.make_async_copy(
+                                clvs_ref.at[slot, pp, :, pl.ds(pt * T, T)],
+                                c_scr.at[bf, pp, k], rsem.at[bf, sem + pp])
+                            c.start() if start else c.wait()
+                        sc_sem = sem + 2
+                    else:
+                        c = pltpu.make_async_copy(
+                            clvs_ref.at[slot, :, pl.ds(pt * T, T)],
+                            c_scr.at[bf, k], rsem.at[bf, sem])
+                        c.start() if start else c.wait()
+                        sc_sem = sem + 1
                     if thread_scalers:
                         c2 = pltpu.make_async_copy(
                             sc_ref.at[slot, :, pl.ds(pt * T, T)],
-                            s_scr.at[bf, k], rsem.at[bf, sem + 1])
+                            s_scr.at[bf, k], rsem.at[bf, sc_sem])
                         c2.start() if start else c2.wait()
 
         # steps NOT prefetched by their predecessor: step 0 and fence steps
@@ -695,11 +737,17 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (n_codes, T), 0)
                 onehot = (iota == codes).astype(jnp.float32)
-                c_scr[buf, k] = jax.lax.dot_general(
+                exp = jax.lax.dot_general(
                     codetab_ref[:, :n_codes], onehot,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_EXPAND_PREC)
+                if split:
+                    # tip CLVs are exact 0/1: hi = value, lo = 0
+                    c_scr[buf, 1, k] = exp.astype(jnp.bfloat16)
+                    c_scr[buf, 0, k] = jnp.zeros((CS, T), jnp.bfloat16)
+                else:
+                    c_scr[buf, k] = exp
 
         expand(0, is_tip1)
         expand(1, is_tip2)
@@ -711,15 +759,42 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         # ONE block-diagonal [2CS,2CS]@[2CS,T] dot covers both children:
         # a HIGHEST-precision dot pays ~6 MXU pipeline fills of fixed
         # cost, so merging halves the dominant per-node dot overhead
-        c12 = c_scr[buf].reshape(2 * CS, T)
-        lr = jax.lax.dot_general(
-            P12_ref[0], c12, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_DOT_PREC)
+        if split:
+            # TWO single-pass DEFAULT dots replace one 6-pass HIGHEST:
+            #   main = Ph @ hi12                    (K = 2CS)
+            #   corr = [Ph | Pl] @ [lo12; hi12]     (K = 4CS)
+            # pack = [Ph | Pl] (bf16, host-split); dropped term Pl@lo
+            call = c_scr[buf].reshape(4 * CS, T)    # [lo1,lo2,hi1,hi2]
+            pack = P12_ref[0]                       # [2CS, 4CS] bf16
+            main = jax.lax.dot_general(
+                pack[:, :2 * CS], call[2 * CS:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            corr = jax.lax.dot_general(
+                pack, call, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = main + corr
+        elif _DOT_PROBE:
+            c12 = c_scr[buf].reshape(2 * CS, T)
+            n_dots = {"default1": 1, "default3": 3}[_DOT_PROBE]
+            lr = jnp.zeros((2 * CS, T), jnp.float32)
+            for _j in range(n_dots):
+                lr = lr + jax.lax.dot_general(
+                    P12_ref[0] * (1.0 + _j), c12, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+        else:
+            c12 = c_scr[buf].reshape(2 * CS, T)
+            lr = jax.lax.dot_general(
+                P12_ref[0], c12, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PREC)
         prod = lr[:CS, :] * lr[CS:, :]
 
         if _NO_RESCALE_PROBE:
-            o_scr[par] = prod
+            scaled = prod
             e = jnp.zeros((1, T), jnp.int32)
         else:
             # exact power-of-two rescale (identical to the XLA engines)
@@ -730,11 +805,20 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             e = jnp.clip(e, -125, 127)
             scale = jax.lax.bitcast_convert_type(
                 ((127 - e) << 23).astype(jnp.int32), jnp.float32)
-            o_scr[par] = prod * scale
+            scaled = prod * scale
+        if split:
+            # ONE split per node at write time (vs two per child at read
+            # time in the measured dead-end variant)
+            oh = scaled.astype(jnp.bfloat16)
+            o_scr[par, 0] = (scaled - oh.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+            o_scr[par, 1] = oh
+        else:
+            o_scr[par] = scaled
         os_scr[par] = (s1 + s2 + e) if thread_scalers else e
 
         pltpu.make_async_copy(
-            o_scr.at[par], clvs_ref.at[out_slot, :, pl.ds(p * T, T)],
+            o_scr.at[par], clv_dst(out_slot, p),
             wsem.at[par]).start()
         pltpu.make_async_copy(
             os_scr.at[par], sc_ref.at[out_slot, :, pl.ds(p * T, T)],
@@ -811,9 +895,18 @@ def p_edge_from_eigen(partition, t):
     return jnp.einsum("ck,ckij->cij", expo, M, precision=_PREC)
 
 
+def split_pack_p12(P12):
+    """bf16 split-pack [nW, 2CS, 4CS] = [Ph | Pl] of f32 paired
+    block-diagonal transition matrices (kernel ``split`` mode)."""
+    Ph = P12.astype(jnp.bfloat16)
+    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([Ph, Pl], axis=2)
+
+
 def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
                           interpret: bool = False, P12=None,
-                          thread_scalers: bool = True):
+                          thread_scalers: bool = True,
+                          split: bool = False):
     """Whole-traversal pruning in one pallas call.
 
     Args:
@@ -826,7 +919,10 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
       thread_scalers: kernel scaler mode (see :func:`_make_fused_kernel`).
         False drops the two child-scaler DMAs+waits per step; the scaler
         plane then holds PER-NODE exponents, not cumulative sums.
-    Returns (clvs_csp [n_slots, CS, Ppad] f32,
+      split: split-storage bf16x2 CLVs + two-DEFAULT-dot child
+        application (see :func:`_make_fused_kernel`). Returns bf16
+        [n_slots, 2, CS, Ppad] (planes lo, hi) instead of f32.
+    Returns (clvs_csp [n_slots, CS, Ppad] f32 — or the split layout —
              scalers [n_slots, 1, Ppad] int32).
     """
     Ppad = partition.n_patterns_padded
@@ -836,13 +932,14 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
     nW = idx8.shape[0]
     TILE_P = _pick_tile_fused(Ppad, CS)
     nP = Ppad // TILE_P
+    pwidth = 4 * CS if split else 2 * CS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nW, nP),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # tip_codes
             pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
-            pl.BlockSpec((1, 2 * CS, 2 * CS),
+            pl.BlockSpec((1, 2 * CS, pwidth),
                          lambda w, p, idx: (w, 0, 0)),
         ],
         out_specs=[
@@ -850,12 +947,14 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2, CS, TILE_P), jnp.float32),   # c_scr [buf,k]
+            (pltpu.VMEM((2, 2, 2, CS, TILE_P), jnp.bfloat16) if split
+             else pltpu.VMEM((2, 2, CS, TILE_P), jnp.float32)),  # c_scr
             pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # codes_scr
             pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # s_scr
-            pltpu.VMEM((2, CS, TILE_P), jnp.float32),      # o_scr
+            (pltpu.VMEM((2, 2, CS, TILE_P), jnp.bfloat16) if split
+             else pltpu.VMEM((2, CS, TILE_P), jnp.float32)),  # o_scr
             pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # os_scr
-            pltpu.SemaphoreType.DMA((2, 4)),               # rsem [buf,sem]
+            pltpu.SemaphoreType.DMA((2, 6 if split else 4)),  # rsem
             pltpu.SemaphoreType.DMA((2,)),                 # wsem
             pltpu.SemaphoreType.DMA((2,)),                 # wssem
             pltpu.SMEM((2,), jnp.int32),                   # cnt
@@ -865,11 +964,13 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
     if not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
+    clv_shape = ((n_slots, 2, CS, Ppad) if split else (n_slots, CS, Ppad))
     fn = pl.pallas_call(
-        _make_fused_kernel(n_codes, nW, nP, thread_scalers),
+        _make_fused_kernel(n_codes, nW, nP, thread_scalers, split),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_slots, CS, Ppad), jnp.float32),
+            jax.ShapeDtypeStruct(clv_shape,
+                                 jnp.bfloat16 if split else jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, Ppad), jnp.int32),
         ],
         compiler_params=compiler_params,
@@ -883,6 +984,8 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         P12 = jnp.zeros((nW_, 2 * CS, 2 * CS), jnp.float32)
         P12 = P12.at[:, :CS, :CS].set(Pbd[e1])
         P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
+    if split:
+        P12 = split_pack_p12(P12)
     return fn(idx8, tip_codes, codetab, P12)
 
 
@@ -968,24 +1071,78 @@ def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,
     return clvs, scalers[:, 0, :]
 
 
-def compile_fused(partition, tree, root_edge=None):
+def compile_fused(partition, tree, root_edge=None, fuse_root: bool = False):
     """Host-side: compile a tree into the fused-kernel index arrays.
 
     Returns (idx8 [n_inner, 8], e1, e2, root_info, n_slots); root refs
     remapped via the LevelSchedule as in engine.compile_schedule.
     Delegates row packing to :func:`compile_fused_ops` (one source of
-    truth for the 8-column idx layout)."""
+    truth for the 8-column idx layout).
+
+    ``fuse_root=True`` appends a ROOT PSEUDO-NODE row: children (u, v),
+    paired matrices (diag(freqs_per_cat), P_root), out = the scratch
+    slot. The kernel's ordinary step then computes the root-edge
+    per-category site product (f ⊙ clv_u) * (P_root @ clv_v) — the two
+    root CLVs never round-trip through XLA (reference: the in-place
+    root loop of pll_compute_edge_loglikelihood). The epilogue only
+    reduces the product slot (:func:`root_from_prod_slot`)."""
     ops, root_info = tree.traversal_ops(root_edge)
     idx8, e1, e2, n_slots = compile_fused_ops(partition, ops)
     # compile_fused_ops preserves the op table's slot numbering, so the
     # traversal's root refs pass through unchanged
     u, v, e = (int(x) for x in root_info)
+    if fuse_root:
+        n_tips = partition.n_tips
+        def enc(ref):
+            if ref < n_tips:
+                return 0, 1, ref
+            return ref - n_tips, 0, 0
+        s_u, it_u, t_u = enc(u)
+        s_v, it_v, t_v = enc(v)
+        root_slot = n_slots - 1                  # the scratch slot
+        row = np.asarray([[s_u, s_v, it_u, it_v, t_u, t_v,
+                           root_slot, 1]], np.int32)
+        idx8 = jnp.concatenate([idx8, jnp.asarray(row)])
+        e1 = jnp.concatenate([e1, jnp.asarray([0], jnp.int32)])
+        e2 = jnp.concatenate([e2, jnp.asarray([e], jnp.int32)])
+        return idx8, e1, e2, (u, v, e, root_slot), n_slots
     return idx8, e1, e2, (u, v, e), n_slots
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+def _root_pair(partition, P_root):
+    """[1, 2CS, 2CS] paired matrix of the root pseudo-node:
+    blockdiag(diag(freqs_per_cat), P_root) — the kernel step then emits
+    (f ⊙ clv_u) * (P_root @ clv_v), the root-edge site product."""
+    CS = partition.n_cats * partition.states
+    fcflat = partition.freqs_per_cat().reshape(CS).astype(jnp.float32)
+    pair = jnp.zeros((1, 2 * CS, 2 * CS), jnp.float32)
+    pair = pair.at[0, :CS, :CS].set(jnp.diag(fcflat))
+    pair = pair.at[0, CS:, CS:].set(
+        _block_diag_single(P_root, jnp.float32))
+    return pair
+
+
+def root_from_prod_slot(partition, clvs, scalers, root_slot: int):
+    """Edge logL epilogue for the fused-root path: the kernel already
+    left the (rescaled) per-category site product in ``root_slot``; its
+    scaler row is the TOTAL exponent (children cumulative + own)."""
+    from pllmod_tpu.ops import likelihood as lk_mod
+    C, S = partition.n_cats, partition.states
+    dtype = partition.dtype
+    if clvs.ndim == 4:          # split storage
+        prod = (clvs[root_slot, 0].astype(dtype) +
+                clvs[root_slot, 1].astype(dtype))
+    else:
+        prod = clvs[root_slot].astype(dtype)
+    per_cat = prod.reshape(C, S, -1).sum(axis=1)             # [C, P]
+    lnl = lk_mod._site_lnl(partition, per_cat.T, scalers[root_slot, 0])
+    return jnp.sum(lnl * partition.pattern_weights)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
-                        n_slots: int, interpret: bool = False):
+                        n_slots: int, interpret: bool = False,
+                        split: bool = False):
     """Full-tree logL through the fused whole-traversal kernel.
 
     With a cached eigendecomposition the per-node transition matrices are
@@ -1002,19 +1159,33 @@ def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
     :func:`update_partials_fused` (valid because :func:`compile_fused`
     emits DENSE slot tables — slots 0..n_slots-2 all written, the last
     slot is the never-written scratch)."""
-    u, v, e = root_info
+    fuse_root = len(root_info) == 4
+    e = root_info[2]
+    CS = partition.n_cats * partition.states
     if partition.reversible and partition.eigen_lam is not None:
-        P12 = fused_p12(partition, brlens, e1, e2)
-        clvs, scalers = update_partials_fused(
-            partition, None, idx8, e1, e2, n_slots, interpret=interpret,
-            P12=P12)
+        if fuse_root:
+            P12 = fused_p12(partition, brlens, e1[:-1], e2[:-1])
+        else:
+            P12 = fused_p12(partition, brlens, e1, e2)
         P_root = p_edge_from_eigen(partition, brlens[e])
     else:
         P = partition.prob_matrices(brlens)
-        clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret)
+        Pbd = block_diag_pmats(P.astype(jnp.float32))
+        ee1 = e1[:-1] if fuse_root else e1
+        ee2 = e2[:-1] if fuse_root else e2
+        P12 = jnp.zeros((ee1.shape[0], 2 * CS, 2 * CS), jnp.float32)
+        P12 = P12.at[:, :CS, :CS].set(Pbd[ee1])
+        P12 = P12.at[:, CS:, CS:].set(Pbd[ee2])
         P_root = P[e]
-    return root_loglikelihood_csp(partition, clvs, scalers, u, v, P_root)
+    if fuse_root:
+        P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
+    clvs, scalers = update_partials_fused(
+        partition, None, idx8, e1, e2, n_slots, interpret=interpret,
+        P12=P12, split=split)
+    if fuse_root:
+        return root_from_prod_slot(partition, clvs, scalers, root_info[3])
+    return root_loglikelihood_csp(partition, clvs, scalers,
+                                  root_info[0], root_info[1], P_root)
 
 
 def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
@@ -1048,6 +1219,8 @@ def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
             slot = jnp.clip(ref - n_tips, 0, clvs_csp.shape[0] - 1)
             clv = jax.lax.dynamic_index_in_dim(
                 clvs_csp, slot, 0, keepdims=False)
+            if clv.ndim == 3:       # split storage: lo + hi bf16 planes
+                clv = clv[0].astype(dtype) + clv[1].astype(dtype)
             sc = jax.lax.dynamic_index_in_dim(
                 scalers, slot, 0, keepdims=False)[0]
             return clv.astype(dtype), sc
@@ -1066,9 +1239,10 @@ def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
     return jnp.sum(lnl * partition.pattern_weights)
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+@partial(jax.jit, static_argnums=(6, 7, 8))
 def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
-                            n_slots: int, interpret: bool = False):
+                            n_slots: int, interpret: bool = False,
+                            split: bool = False):
     """Fused-kernel logL with DYNAMIC root info: ``root_refs`` is an int32
     [3] array (ref_p, ref_c, root_edge). Changing topology (new idx8/e1/
     e2/root_refs of the same shapes) reuses the compiled executable —
@@ -1077,14 +1251,15 @@ def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
         P12 = fused_p12(partition, brlens, e1, e2)
         clvs, scalers = update_partials_fused(
             partition, None, idx8, e1, e2, n_slots, interpret=interpret,
-            P12=P12)
+            P12=P12, split=split)
         t_root = jax.lax.dynamic_index_in_dim(brlens, root_refs[2], 0,
                                               keepdims=False)
         P_root = p_edge_from_eigen(partition, t_root)
     else:
         P = partition.prob_matrices(brlens)
         clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret)
+                                              n_slots, interpret=interpret,
+                                              split=split)
         P_root = jax.lax.dynamic_index_in_dim(P, root_refs[2], 0,
                                               keepdims=False)
     return root_loglikelihood_csp_dyn(partition, clvs, scalers,

@@ -168,7 +168,8 @@ class TreeInfo:
                     lnl = float(pallas_clv.loglikelihood_fused_dyn(
                         part, idx8, jnp.asarray(brl, part.dtype), e1, e2,
                         jnp.asarray(rif, jnp.int32), n_slots,
-                        engine_mod.fast_kernel_interpret()))
+                        engine_mod.fast_kernel_interpret(),
+                        engine_mod.use_split_clv()))
                     self.counters.add_traversal(n_inner,
                                                 part.n_patterns_padded)
                 else:

@@ -1,0 +1,112 @@
+"""Split-storage bf16x2 CLVs + fused root pseudo-node (pallas_clv):
+the TPU production configuration of the fused megakernel.
+
+Reference framing: same quantities as `pll_update_partials` +
+`pll_compute_edge_loglikelihood` (SURVEY §3.1); the split scheme is a
+precision/speed point (two single-pass DEFAULT dots ~ HIGH) whose logL
+deviation must stay far inside the reference-parity bar (1e-6 relative,
+BASELINE.md §1)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.ops import pallas_clv
+from pllmod_tpu.ops import engine as engine_mod
+from tests import reference_impl as ref
+
+
+def _case(rng, n, sites, cache=True, pinv=0.0):
+    tree = ref.random_binary_tree(rng, n)
+    seqs = ref.random_sequences(rng, n, sites)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.7,
+                            subst_rates=rng.uniform(0.5, 2.0, 6),
+                            freqs=rng.dirichlet([8] * 4),
+                            prop_invar=pinv, dtype=jnp.float32)
+    return (part.cache_eigen() if cache else part), tree
+
+
+@pytest.mark.parametrize("n,sites,pinv", [(12, 128, 0.0), (48, 384, 0.15)])
+def test_fuse_root_bit_exact(rng, n, sites, pinv):
+    """The root pseudo-node path must be BIT-identical to the XLA root
+    reduction (same dot precision, exact power-of-two rescale)."""
+    part, tree = _case(rng, n, sites, pinv=pinv)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ri, ns = pallas_clv.compile_fused(part, tree)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree,
+                                                    fuse_root=True)
+    l_plain = float(pallas_clv.loglikelihood_fused(
+        part, idx8, brl, e1, e2, ri, ns, True, False))
+    l_fr = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    assert l_fr == l_plain
+
+
+def test_fuse_root_tip_edge(rng):
+    part, tree = _case(rng, 9, 64)
+    tip_edge = next(e for e, (u, v) in enumerate(tree.edge_nodes)
+                    if int(u) >= 0 and (tree.is_tip(int(u))
+                                        or tree.is_tip(int(v))))
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ri, ns = pallas_clv.compile_fused(part, tree, tip_edge)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree, tip_edge,
+                                                    fuse_root=True)
+    l_plain = float(pallas_clv.loglikelihood_fused(
+        part, idx8, brl, e1, e2, ri, ns, True, False))
+    l_fr = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    assert l_fr == l_plain
+
+
+def test_fuse_root_no_eigen_cache(rng):
+    part, tree = _case(rng, 10, 96, cache=False)
+    assert part.eigen_lam is None
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ri, ns = pallas_clv.compile_fused(part, tree)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree,
+                                                    fuse_root=True)
+    l_plain = float(pallas_clv.loglikelihood_fused(
+        part, idx8, brl, e1, e2, ri, ns, True, False))
+    l_fr = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    assert l_fr == l_plain
+
+
+@pytest.mark.parametrize("n,sites", [(12, 128), (48, 384)])
+def test_split_storage_accuracy(rng, n, sites):
+    """Split-storage logL within ~1e-6 relative of the exact path (the
+    measured deviation is ~1.5e-7; the parity bar is 1e-6)."""
+    part, tree = _case(rng, n, sites)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree,
+                                                    fuse_root=True)
+    l_exact = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    l_split = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, True))
+    assert l_split == pytest.approx(l_exact, rel=1e-6, abs=5e-3)
+
+
+def test_split_flag_auto_off_on_cpu():
+    """use_split_clv defaults to the platform (False on CPU) and honors
+    the forced override."""
+    assert engine_mod.use_split_clv() in (True, False)
+    old = engine_mod.SPLIT_CLV
+    try:
+        engine_mod.SPLIT_CLV = True
+        assert engine_mod.use_split_clv() is True
+        engine_mod.SPLIT_CLV = False
+        assert engine_mod.use_split_clv() is False
+    finally:
+        engine_mod.SPLIT_CLV = old
+
+
+def test_engine_fused_schedule_uses_fuse_root(rng):
+    """tree_loglikelihood(schedule='fused') goes through the pseudo-node
+    path and still matches the scan engine."""
+    from pllmod_tpu.ops.engine import tree_loglikelihood
+    part, tree = _case(rng, 14, 128)
+    l_fused = float(tree_loglikelihood(part, tree, schedule="fused"))
+    l_scan = float(tree_loglikelihood(part, tree, schedule="scan"))
+    assert l_fused == pytest.approx(l_scan, abs=1e-3)
