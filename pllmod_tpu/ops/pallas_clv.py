@@ -1239,29 +1239,55 @@ def root_loglikelihood_csp_dyn(partition, clvs_csp, scalers, ref_p, ref_c,
     return jnp.sum(lnl * partition.pattern_weights)
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def loglikelihood_fused_dyn(partition, idx8, brlens, e1, e2, root_refs,
                             n_slots: int, interpret: bool = False,
-                            split: bool = False):
+                            split: bool = False, fuse_root: bool = False):
     """Fused-kernel logL with DYNAMIC root info: ``root_refs`` is an int32
     [3] array (ref_p, ref_c, root_edge). Changing topology (new idx8/e1/
     e2/root_refs of the same shapes) reuses the compiled executable —
-    the per-move cost during tree search is data upload only."""
+    the per-move cost during tree search is data upload only.
+
+    ``fuse_root``: append the root pseudo-node row IN-TRACE (the row is
+    data, so dynamic root refs stay recompile-free). Requires idx8 to be
+    a DENSE table (scratch slot n_slots-1 unwritten or only dummy-
+    written, as compile_fused/compile_fused_ops emit)."""
+    CS = partition.n_cats * partition.states
     if partition.reversible and partition.eigen_lam is not None:
         P12 = fused_p12(partition, brlens, e1, e2)
-        clvs, scalers = update_partials_fused(
-            partition, None, idx8, e1, e2, n_slots, interpret=interpret,
-            P12=P12, split=split)
         t_root = jax.lax.dynamic_index_in_dim(brlens, root_refs[2], 0,
                                               keepdims=False)
         P_root = p_edge_from_eigen(partition, t_root)
     else:
         P = partition.prob_matrices(brlens)
-        clvs, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret,
-                                              split=split)
+        Pbd = block_diag_pmats(P.astype(jnp.float32))
+        P12 = jnp.zeros((e1.shape[0], 2 * CS, 2 * CS), jnp.float32)
+        P12 = P12.at[:, :CS, :CS].set(Pbd[e1])
+        P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
         P_root = jax.lax.dynamic_index_in_dim(P, root_refs[2], 0,
                                               keepdims=False)
+    if fuse_root:
+        n_tips = partition.n_tips
+
+        def enc(ref):
+            tip = ref < n_tips
+            return (jnp.where(tip, 0, ref - n_tips),
+                    tip.astype(jnp.int32), jnp.where(tip, ref, 0))
+
+        s_u, it_u, t_u = enc(root_refs[0])
+        s_v, it_v, t_v = enc(root_refs[1])
+        row = jnp.stack([s_u, s_v, it_u, it_v, t_u, t_v,
+                         jnp.asarray(n_slots - 1, jnp.int32),
+                         jnp.asarray(1, jnp.int32)])[None].astype(jnp.int32)
+        idx8 = jnp.concatenate([idx8, row])
+        P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
+        clvs, scalers = update_partials_fused(
+            partition, None, idx8, e1, e2, n_slots, interpret=interpret,
+            P12=P12, split=split)
+        return root_from_prod_slot(partition, clvs, scalers, n_slots - 1)
+    clvs, scalers = update_partials_fused(
+        partition, None, idx8, e1, e2, n_slots, interpret=interpret,
+        P12=P12, split=split)
     return root_loglikelihood_csp_dyn(partition, clvs, scalers,
                                       root_refs[0], root_refs[1], P_root)
 

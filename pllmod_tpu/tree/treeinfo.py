@@ -169,7 +169,7 @@ class TreeInfo:
                         part, idx8, jnp.asarray(brl, part.dtype), e1, e2,
                         jnp.asarray(rif, jnp.int32), n_slots,
                         engine_mod.fast_kernel_interpret(),
-                        engine_mod.use_split_clv()))
+                        engine_mod.use_split_clv(), True))
                     self.counters.add_traversal(n_inner,
                                                 part.n_patterns_padded)
                 else:

@@ -110,3 +110,21 @@ def test_engine_fused_schedule_uses_fuse_root(rng):
     l_fused = float(tree_loglikelihood(part, tree, schedule="fused"))
     l_scan = float(tree_loglikelihood(part, tree, schedule="scan"))
     assert l_fused == pytest.approx(l_scan, abs=1e-3)
+
+
+def test_fuse_root_dyn_path(rng):
+    """Dynamic-root fused logL (treeinfo's per-move path) with the
+    in-trace pseudo-node row: bit-exact vs the XLA root, and split mode
+    within the parity bar."""
+    part, tree = _case(rng, 16, 128)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, rif, ns = pallas_clv.compile_fused(part, tree)
+    rr = jnp.asarray(rif, jnp.int32)
+    l_dyn = float(pallas_clv.loglikelihood_fused_dyn(
+        part, idx8, brl, e1, e2, rr, ns, True, False, False))
+    l_fr = float(pallas_clv.loglikelihood_fused_dyn(
+        part, idx8, brl, e1, e2, rr, ns, True, False, True))
+    l_fr_split = float(pallas_clv.loglikelihood_fused_dyn(
+        part, idx8, brl, e1, e2, rr, ns, True, True, True))
+    assert l_fr == l_dyn
+    assert l_fr_split == pytest.approx(l_dyn, rel=1e-6, abs=5e-3)
