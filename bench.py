@@ -35,7 +35,7 @@ def main():
     from pllmod_tpu.ops import engine
     from __graft_entry__ import _example
 
-    from pllmod_tpu.ops import pallas_clv
+    from pllmod_tpu.ops import pallas_resident
 
     n_taxa, n_sites = 128, 16384
     partition, tree = _example(n_taxa=n_taxa, n_sites=n_sites, seed=3)
@@ -44,17 +44,18 @@ def main():
     levels, offsets, ri, n_slots = engine.compile_schedule(partition, tree)
     on_tpu = jax.devices()[0].platform not in ("cpu",)
 
-    # production TPU config: fused root pseudo-node + split-storage
-    # bf16x2 CLVs (two single-pass DEFAULT dots ~ HIGH precision; logL
-    # deviation ~1e-7 relative vs the exact-HIGHEST path — PERF_NOTES)
-    idx8, e1, e2, rif, n_slots_f = pallas_clv.compile_fused(
-        partition, tree, fuse_root=True)
+    # production TPU config: VMEM-RESIDENT megakernel (the live CLV set
+    # held in VMEM under bounded-slot recycling — zero CLV HBM traffic)
+    # + split-storage bf16x2 CLVs (two single-pass DEFAULT dots ~ HIGH
+    # precision; logL deviation ~1e-7 relative vs the exact-HIGHEST
+    # path) + in-kernel root pseudo-node. See PERF_NOTES.md.
+    idx8, e1, e2, n_slots_r = pallas_resident.compile_resident(
+        partition, tree)
 
     def one(brl):
         if on_tpu:
-            return pallas_clv.loglikelihood_fused(
-                partition, idx8, brl, e1, e2, rif, n_slots_f,
-                False, True)
+            return pallas_resident.loglikelihood_resident(
+                partition, idx8, brl, (e1, e2), n_slots_r, False, True)
         return engine.loglikelihood_levels(partition, levels, brl, offsets,
                                            ri, n_slots)
 

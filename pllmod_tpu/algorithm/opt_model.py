@@ -52,17 +52,16 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     part0 = treeinfo.partitions[idx]
     brl = jnp.asarray(treeinfo.partition_brlens(idx), part0.dtype)
     if not need_grad and engine_mod.use_fast_kernel(part0):
-        from pllmod_tpu.ops import pallas_clv
-        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
-            part0, treeinfo.tree, fuse_root=True)
+        from pllmod_tpu.ops import pallas_resident
+        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+            part0, treeinfo.tree)
 
         interp = engine_mod.fast_kernel_interpret()
         split = engine_mod.use_split_clv()
 
         def f(part):
-            return pallas_clv.loglikelihood_fused(part, idx8, brl, e1, e2,
-                                                  ri, n_slots, interp,
-                                                  split)
+            return pallas_resident.loglikelihood_resident(
+                part, idx8, brl, (e1, e2), n_slots, interp, split)
 
         return f
     ops, root_info = treeinfo.tree.traversal_ops()
@@ -156,19 +155,19 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
         base = jnp.asarray(treeinfo.tree.lengths, part.dtype)
 
         if engine_mod.use_fast_kernel(part):
-            from pllmod_tpu.ops import pallas_clv
-            idx8, e1, e2, rif, n_slots = pallas_clv.compile_fused(
-                part, treeinfo.tree, fuse_root=True)
+            from pllmod_tpu.ops import pallas_resident
+            idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+                part, treeinfo.tree)
 
             interp = engine_mod.fast_kernel_interpret()
             split = engine_mod.use_split_clv()
 
             @jax.jit
             def obj(xs, part=part, base=base, idx8=idx8, e1=e1, e2=e2,
-                    rif=rif, n_slots=n_slots, interp=interp, split=split):
+                    n_slots=n_slots, interp=interp, split=split):
                 return -jnp.stack([
-                    pallas_clv.loglikelihood_fused(
-                        part, idx8, base * xs[k], e1, e2, rif, n_slots,
+                    pallas_resident.loglikelihood_resident(
+                        part, idx8, base * xs[k], (e1, e2), n_slots,
                         interp, split)
                     for k in range(xs.shape[0])])
         else:

@@ -193,16 +193,26 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
                        schedule: str = "auto"):
     """Convenience host-level wrapper: compile traversal + evaluate.
 
-    ``schedule``: "auto" (fused Pallas megakernel on TPU f32, serial scan
-    elsewhere), "fused" (whole-traversal megakernel), "pallas" (per-level
-    kernels, kept for comparison), "levels" (level-batched XLA) or "scan"
-    (one node per step — the reference-equivalent serial schedule, kept
-    for kernel-equivalence testing)."""
+    ``schedule``: "auto" (VMEM-resident megakernel on TPU f32, serial
+    scan elsewhere), "resident" (whole traversal + root reduction with
+    the live CLV set held in VMEM under bounded-slot recycling — the
+    fastest evaluation path, PERF_NOTES), "fused" (whole-traversal HBM
+    megakernel — the path that also materializes CLV buffers), "pallas"
+    (per-level kernels, kept for comparison), "levels" (level-batched
+    XLA) or "scan" (one node per step — the reference-equivalent serial
+    schedule, kept for kernel-equivalence testing)."""
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
     if schedule == "auto":
-        schedule = "fused" if use_fast_kernel(partition) else "scan"
+        schedule = "resident" if use_fast_kernel(partition) else "scan"
+    if schedule == "resident":
+        from pllmod_tpu.ops import pallas_resident
+        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+            partition, tree, root_edge)
+        return pallas_resident.loglikelihood_resident(
+            partition, idx8, brlens, (e1, e2), n_slots,
+            fast_kernel_interpret(), use_split_clv())
     if schedule == "fused":
         from pllmod_tpu.ops import pallas_clv
         idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(

@@ -1,0 +1,371 @@
+"""VMEM-resident whole-traversal likelihood megakernel.
+
+The fused HBM megakernel (:mod:`pllmod_tpu.ops.pallas_clv`) streams every
+child CLV out of HBM and writes every result back — ~3 MB per node, and
+the read chain measures at only ~370 GB/s effective (DMA-latency-bound;
+PERF_NOTES.md).  But a pruning traversal consumes each inner CLV exactly
+ONCE: under a Sethi-Ullman (register-need) evaluation order at most
+~ceil(log2(n_taxa))+2 CLVs are live at any step
+(:func:`pllmod_tpu.ops.clv.bounded_slot_ops`; the reference memory-saver
+slot scheme: pll_tree.c:1509-1573).  At flagship shapes that whole live
+set fits in VMEM.
+
+This kernel keeps the live CLV set RESIDENT in VMEM scratch:
+
+- grid = (pattern_tiles, nodes): nodes run the serial bounded schedule;
+  pattern tiles are independent, so the slot scratch is simply reused
+  per tile.
+- inner-child reads and result writes are VMEM vector ops — no DMA at
+  all; only int32 tip-code rows stream from HBM (one-step lookahead,
+  and there are no RAW hazards so no fences anywhere).
+- the final row is the ROOT PSEUDO-NODE (same paired-matrix trick as
+  ``pallas_clv.compile_fused(fuse_root=True)``): the ordinary kernel
+  step computes the per-category site product (f ⊙ clv_u)·(P_root@clv_v)
+  and writes it — with the total cumulative scaler — straight to the
+  kernel outputs.  No CLV buffer ever exists in HBM.
+
+Per-eval HBM traffic on the flagship config (128 taxa × 16384 patterns
+× GTR+Γ4): tip codes 8 MB + P12 blocks 2 MB/tile + 1 MB product out ≈
+12 MB, vs ~380 MB for the HBM megakernel — the per-step serial chain
+(dots + rescale + split casts) becomes the only cost.
+
+Computes the edge log-likelihood ONLY (no CLV buffer is returned), so it
+serves evaluation-style consumers: bench, treeinfo full evals, model-
+optimization objectives, SPR rescoring.  BLO / ancestral / SPR directed
+tables need all node CLVs and keep the HBM megakernel.
+
+Reference scope: pll_update_partials + pll_compute_edge_loglikelihood
+(SURVEY §3.1, the hot loop of every optimizer) in ONE kernel launch.
+"""
+
+from __future__ import annotations
+
+import os as _os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pllmod_tpu.ops import clv as clv_mod
+from pllmod_tpu.ops.pallas_clv import (
+    _EXPAND_PREC,
+    _DOT_PREC,
+    _code_table,
+    _root_pair,
+    block_diag_pmats,
+    fused_p12,
+    split_pack_p12,
+)
+
+
+def _pick_tile_resident(P: int, CS: int, NS: int, split: bool) -> int:
+    """Largest 128-multiple tile dividing ``P`` whose VMEM working set
+    (NS resident slots + scalers + dot-assembly buffer + code scratch)
+    stays under ~10 MB (of the ~16 MB/core; headroom for the pipelined
+    P12/output blocks and compiler temporaries)."""
+    budget = 10 * 1024 * 1024
+    per_t = NS * (2 * CS * 2 if split else CS * 4)   # slots
+    per_t += NS * 4                                  # scaler rows int32
+    per_t += (4 * CS * 2 if split else 2 * CS * 4)   # asm
+    per_t += 4 * 4 * 2                               # code scratch + out
+    per_t += CS * 4 + 4                              # output blocks
+    cap = max(128, min(P, budget // per_t))
+    tile_env = _os.environ.get("PLLMOD_RESIDENT_TILE")
+    if tile_env:
+        cap = max(128, min(cap, int(tile_env)))
+    for t in range(cap - cap % 128, 127, -128):
+        if P % t == 0:
+            return t
+    return 128
+
+
+def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
+    """One grid step = one node of the serial bounded schedule on one
+    pattern tile.  ``split=True`` uses the bf16x2 split-storage scheme of
+    the HBM megakernel (two single-pass DEFAULT dots ≈ HIGH precision —
+    see pallas_clv._make_fused_kernel); ``split=False`` stores f32 slots
+    and runs the exact merged HIGHEST dot."""
+    def _kernel(idx_ref,            # prefetch [nW, 8] int32
+                tip_codes_ref,      # ANY [n_tips, 1, Ppad] int32
+                codetab_ref,        # VMEM [CS, n_codes_pad] f32
+                P12_ref,            # VMEM block [1, 2CS, 2CS or 4CS]
+                prod_ref,           # VMEM out block [CS, T] f32
+                rsc_ref,            # VMEM out block [1, T] int32
+                slots, ssc, asm, codes_scr, rsem):
+        p = pl.program_id(0)
+        w = pl.program_id(1)
+        if split:
+            CS = asm.shape[0] // 4
+        else:
+            CS = asm.shape[0] // 2
+        T = asm.shape[-1]
+        two = jnp.asarray(2, jnp.int32)
+        nW_j = jnp.asarray(nW, jnp.int32)
+        step = (p * nW + w).astype(jnp.int32)
+
+        # -- tip-code reads with one-step lookahead (tips only; inner
+        # children are VMEM-resident).  No fences: tip codes are pure
+        # inputs, so prefetch is always safe, even across tile bounds.
+        def reads(st, start):
+            wt = jax.lax.rem(st, nW_j)
+            pt = st // nW_j
+            bf = jax.lax.rem(st, two)
+            for k in (0, 1):
+                is_tip = idx_ref[wt, 2 + k] == 1
+                tip = idx_ref[wt, 4 + k]
+
+                @pl.when(is_tip)
+                def _(tip=tip, k=k, bf=bf, pt=pt):
+                    c = pltpu.make_async_copy(
+                        tip_codes_ref.at[tip, :, pl.ds(pt * T, T)],
+                        codes_scr.at[bf, k], rsem.at[bf, k])
+                    c.start() if start else c.wait()
+
+        @pl.when(step == 0)
+        def _():
+            reads(step, True)
+
+        reads(step, False)
+
+        @pl.when(step + 1 < nW * nP)
+        def _():
+            reads(step + 1, True)
+
+        buf = jax.lax.rem(step, two)
+        is_tip1 = idx_ref[w, 2] == 1
+        is_tip2 = idx_ref[w, 3] == 1
+        slot1 = idx_ref[w, 0]
+        slot2 = idx_ref[w, 1]
+
+        # -- assemble the dot input:
+        #    split:  asm rows = [lo1, lo2, hi1, hi2]   (4CS, T) bf16
+        #    plain:  asm rows = [c1, c2]               (2CS, T) f32
+        for k, is_tip, slot in ((0, is_tip1, slot1), (1, is_tip2, slot2)):
+            @pl.when(is_tip)
+            def _(k=k):
+                codes = codes_scr[buf, k]                    # [1, T]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_codes, T), 0)
+                onehot = (iota == codes).astype(jnp.float32)
+                exp = jax.lax.dot_general(
+                    codetab_ref[:, :n_codes], onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_EXPAND_PREC)
+                if split:
+                    asm[k * CS:(k + 1) * CS] = jnp.zeros(
+                        (CS, T), jnp.bfloat16)
+                    asm[(2 + k) * CS:(3 + k) * CS] = exp.astype(
+                        jnp.bfloat16)
+                else:
+                    asm[k * CS:(k + 1) * CS] = exp
+
+            @pl.when(jnp.logical_not(is_tip))
+            def _(k=k, slot=slot):
+                if split:
+                    asm[k * CS:(k + 1) * CS] = slots[slot, 0]
+                    asm[(2 + k) * CS:(3 + k) * CS] = slots[slot, 1]
+                else:
+                    asm[k * CS:(k + 1) * CS] = slots[slot]
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        s1 = jnp.where(is_tip1, zero_s, ssc[slot1])
+        s2 = jnp.where(is_tip2, zero_s, ssc[slot2])
+
+        if split:
+            call = asm[:]                        # [4CS, T]
+            pack = P12_ref[0]                    # [2CS, 4CS] bf16
+            main = jax.lax.dot_general(
+                pack[:, :2 * CS], call[2 * CS:, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            corr = jax.lax.dot_general(
+                pack, call, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = main + corr
+        else:
+            lr = jax.lax.dot_general(
+                P12_ref[0], asm[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PREC)
+        prod = lr[:CS, :] * lr[CS:, :]
+
+        # exact power-of-two rescale (identical to the XLA engines)
+        m = jnp.max(prod, axis=0, keepdims=True)
+        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+        e = ((mi >> 23) & 0xFF) - 126
+        e = jnp.where(m > 0, e, 0)
+        e = jnp.clip(e, -125, 127)
+        scale = jax.lax.bitcast_convert_type(
+            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+        scaled = prod * scale
+        stot = s1 + s2 + e
+
+        is_root = w == nW - 1
+
+        @pl.when(jnp.logical_not(is_root))
+        def _():
+            out = idx_ref[w, 6]
+            if split:
+                oh = scaled.astype(jnp.bfloat16)
+                slots[out, 0] = (scaled - oh.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                slots[out, 1] = oh
+            else:
+                slots[out] = scaled
+            ssc[out] = stot
+
+        @pl.when(is_root)
+        def _():
+            prod_ref[...] = scaled
+            rsc_ref[...] = stot
+
+    return _kernel
+
+
+def resident_slot_bound(n_tips: int) -> int:
+    """A topology-independent live-slot bound (Sethi-Ullman register
+    need of a binary tree ≤ ⌈log2(n_leaves)⌉+1, +2 for the pinned root
+    endpoints).  Passing this as ``n_slots_min`` keeps the jitted
+    kernel's scratch shape fixed across topologies (tree search) so one
+    executable serves every move."""
+    return int(np.ceil(np.log2(max(n_tips, 2)))) + 3
+
+
+def compile_resident(partition, tree, root_edge=None,
+                     n_slots_min: int | None = None):
+    """Host-side: compile a tree into the resident kernel's index rows.
+
+    Runs :func:`clv.bounded_slot_ops` (Sethi-Ullman slot recycling, the
+    reference's pll_tree.c:1509 slot scheme) over the pruning traversal,
+    keeps its SERIAL order, and appends the root pseudo-node row.
+
+    Returns (idx8 [n_inner+1, 8], e1, e2, n_slots); idx8 columns are
+    (slot1, slot2, is_tip1, is_tip2, tip1, tip2, out_slot, is_root).
+    """
+    ops, root_info = tree.traversal_ops(root_edge)
+    u, v, e = (int(x) for x in root_info)
+    n_tips = partition.n_tips
+    ops_np = np.asarray(ops)
+    live = ops_np[ops_np[:, 0] >= 0]
+    ops_b, n_slots, slot_map = clv_mod.bounded_slot_ops(
+        live, n_tips, root_refs=(u, v))
+    rows8, e1s, e2s = [], [], []
+    for r in ops_b:
+        out, c1, ee1, c2, ee2 = (int(x) for x in r)
+        it1 = 1 if c1 < n_tips else 0
+        it2 = 1 if c2 < n_tips else 0
+        rows8.append([0 if it1 else c1 - n_tips,
+                      0 if it2 else c2 - n_tips,
+                      it1, it2,
+                      c1 if it1 else 0, c2 if it2 else 0,
+                      out, 0])
+        e1s.append(ee1)
+        e2s.append(ee2)
+
+    def enc(ref):
+        if ref < n_tips:
+            return 0, 1, ref
+        return slot_map[ref - n_tips], 0, 0
+
+    s_u, it_u, t_u = enc(u)
+    s_v, it_v, t_v = enc(v)
+    rows8.append([s_u, s_v, it_u, it_v, t_u, t_v, 0, 1])
+    e1s.append(0)
+    e2s.append(e)
+    if n_slots_min is not None:
+        n_slots = max(n_slots, n_slots_min)
+    return (jnp.asarray(np.asarray(rows8, np.int32)),
+            jnp.asarray(np.asarray(e1s, np.int32)),
+            jnp.asarray(np.asarray(e2s, np.int32)),
+            n_slots)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
+                           interpret: bool = False, split: bool = True):
+    """Full-tree edge logL through the VMEM-resident megakernel.
+
+    Args:
+      idx8/e12: from :func:`compile_resident` (``e12 = (e1, e2)``; the
+        last row is the root pseudo-node, ``e12[1][-1]`` the root edge).
+      n_slots: live-slot count (≤ ~log2(n_taxa)+2).
+      split: bf16x2 split storage + two-DEFAULT-dot child application
+        (production TPU mode; ~1e-7 relative logL deviation — see
+        pallas_clv); ``False`` = exact f32 slots + HIGHEST dot.
+    """
+    from pllmod_tpu.ops import likelihood as lk_mod
+    e1, e2 = e12
+    Ppad = partition.n_patterns_padded
+    C, S = partition.n_cats, partition.states
+    CS = C * S
+    codetab, n_codes = _code_table(partition)
+    tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
+    nW = int(idx8.shape[0])
+
+    if partition.reversible and partition.eigen_lam is not None:
+        P12 = fused_p12(partition, brlens, e1[:-1], e2[:-1])
+        from pllmod_tpu.ops.pallas_clv import p_edge_from_eigen
+        P_root = p_edge_from_eigen(partition, jnp.take(brlens, e2[-1]))
+    else:
+        P = partition.prob_matrices(brlens)
+        Pbd = block_diag_pmats(P.astype(jnp.float32))
+        P12 = jnp.zeros((nW - 1, 2 * CS, 2 * CS), jnp.float32)
+        P12 = P12.at[:, :CS, :CS].set(Pbd[e1[:-1]])
+        P12 = P12.at[:, CS:, CS:].set(Pbd[e2[:-1]])
+        P_root = jnp.take(P, e2[-1], axis=0)
+    P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
+    if split:
+        P12 = split_pack_p12(P12)
+
+    NS = max(n_slots, 1)
+    T = _pick_tile_resident(Ppad, CS, NS, split)
+    nP = Ppad // T
+    pwidth = 4 * CS if split else 2 * CS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nP, nW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # tip codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # codetab
+            pl.BlockSpec((1, 2 * CS, pwidth),
+                         lambda p, w, idx: (w, 0, 0)),   # P12
+        ],
+        out_specs=[
+            pl.BlockSpec((CS, T), lambda p, w, idx: (0, p)),
+            pl.BlockSpec((1, T), lambda p, w, idx: (0, p)),
+        ],
+        scratch_shapes=[
+            (pltpu.VMEM((NS, 2, CS, T), jnp.bfloat16) if split
+             else pltpu.VMEM((NS, CS, T), jnp.float32)),   # slots
+            pltpu.VMEM((NS, 1, T), jnp.int32),             # ssc
+            (pltpu.VMEM((4 * CS, T), jnp.bfloat16) if split
+             else pltpu.VMEM((2 * CS, T), jnp.float32)),   # asm
+            pltpu.VMEM((2, 2, 1, T), jnp.int32),           # codes_scr
+            pltpu.SemaphoreType.DMA((2, 2)),               # rsem
+        ],
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    fn = pl.pallas_call(
+        _make_resident_kernel(n_codes, nW, nP, split),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((CS, Ppad), jnp.float32),
+            jax.ShapeDtypeStruct((1, Ppad), jnp.int32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    prod, rsc = fn(idx8, tip_codes, codetab, P12)
+    per_cat = prod.astype(partition.dtype).reshape(C, S, -1).sum(axis=1)
+    lnl = lk_mod._site_lnl(partition, per_cat.T, rsc[0])
+    return jnp.sum(lnl * partition.pattern_weights)

@@ -157,19 +157,26 @@ class TreeInfo:
                     self.counters.add_traversal(n_ops_run,
                                                 part.n_patterns_padded)
                 elif engine_mod.use_fast_kernel(part):
-                    from pllmod_tpu.ops import pallas_clv
+                    # VMEM-resident megakernel; idx rows are TRACED args
+                    # and the slot scratch is padded to a topology-
+                    # independent bound, so one compiled executable
+                    # serves every topology of this taxon count (the
+                    # role the dyn-root fused path used to play).
+                    from pllmod_tpu.ops import pallas_resident
                     fkey = (ops.tobytes(), ri, part.n_tips)
                     fc = getattr(self, "_fused_cache", None)
                     if fc is None or fc[0] != fkey:
-                        fc = (fkey, pallas_clv.compile_fused(part,
-                                                             self.tree))
+                        fc = (fkey, pallas_resident.compile_resident(
+                            part, self.tree,
+                            n_slots_min=pallas_resident.
+                            resident_slot_bound(part.n_tips)))
                         self._fused_cache = fc
-                    idx8, e1, e2, rif, n_slots = fc[1]
-                    lnl = float(pallas_clv.loglikelihood_fused_dyn(
-                        part, idx8, jnp.asarray(brl, part.dtype), e1, e2,
-                        jnp.asarray(rif, jnp.int32), n_slots,
+                    idx8, e1, e2, n_slots = fc[1]
+                    lnl = float(pallas_resident.loglikelihood_resident(
+                        part, idx8, jnp.asarray(brl, part.dtype),
+                        (e1, e2), n_slots,
                         engine_mod.fast_kernel_interpret(),
-                        engine_mod.use_split_clv(), True))
+                        engine_mod.use_split_clv()))
                     self.counters.add_traversal(n_inner,
                                                 part.n_patterns_padded)
                 else:
