@@ -1058,15 +1058,29 @@ def compile_fused_ops(partition, ops, pad_to: int | None = None,
 
 
 def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              split: bool | None = None):
     """Fused-kernel pruning returning STANDARD-layout buffers
     ([n_slots, Ppad, C, S] f32 CLVs + [n_slots, Ppad] scalers) — a
     drop-in for :func:`pllmod_tpu.ops.clv.update_partials` on op tables
     compiled by :func:`compile_fused_ops`. Conversion from the kernel's
-    CS×P layout costs one transpose pass over the buffer."""
+    CS×P layout costs one transpose pass over the buffer.
+
+    ``split`` (default: :func:`engine.use_split_clv` — on for real TPU
+    runs) runs the traversal with split-storage bf16x2 CLVs (~20% faster
+    — PERF_NOTES) and merges the planes to f32 during the layout
+    conversion; the returned buffers are ~1e-7-relative of the exact
+    path, inside the parity bar of every BLO/SPR consumer."""
+    if split is None:
+        from pllmod_tpu.ops import engine as engine_mod
+        split = engine_mod.use_split_clv()
     clvs_csp, scalers = update_partials_fused(partition, P, idx8, e1, e2,
-                                              n_slots, interpret=interpret)
+                                              n_slots, interpret=interpret,
+                                              split=split)
     C, S = partition.n_cats, partition.states
+    if split:
+        clvs_csp = (clvs_csp[:, 0].astype(jnp.float32) +
+                    clvs_csp[:, 1].astype(jnp.float32))
     clvs = csp_to_standard(clvs_csp, C, S).astype(partition.dtype)
     return clvs, scalers[:, 0, :]
 

@@ -83,12 +83,19 @@ def _pick_tile_resident(P: int, CS: int, NS: int, split: bool) -> int:
     return 128
 
 
-def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
+def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool,
+                          probe: str = ""):
     """One grid step = one node of the serial bounded schedule on one
     pattern tile.  ``split=True`` uses the bf16x2 split-storage scheme of
     the HBM megakernel (two single-pass DEFAULT dots ≈ HIGH precision —
     see pallas_clv._make_fused_kernel); ``split=False`` stores f32 slots
-    and runs the exact merged HIGHEST dot."""
+    and runs the exact merged HIGHEST dot.
+
+    ``probe`` (perf ablation, WRONG results — timing only): comma-joined
+    subset of {"norescale", "nocast", "noexpand", "nodot", "noasm"},
+    each skipping one stage of the per-step vector chain to measure its
+    share (PERF_NOTES methodology)."""
+    probes = set(probe.split(",")) if probe else set()
     def _kernel(idx_ref,            # prefetch [nW, 8] int32
                 tip_codes_ref,      # ANY [n_tips, 1, Ppad] int32
                 codetab_ref,        # VMEM [CS, n_codes_pad] f32
@@ -144,6 +151,10 @@ def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
         # -- assemble the dot input:
         #    split:  asm rows = [lo1, lo2, hi1, hi2]   (4CS, T) bf16
         #    plain:  asm rows = [c1, c2]               (2CS, T) f32
+        if "noexpand" in probes:
+            always_false = pl.program_id(1) < 0
+            is_tip1 = jnp.logical_and(is_tip1, always_false)
+            is_tip2 = jnp.logical_and(is_tip2, always_false)
         for k, is_tip, slot in ((0, is_tip1, slot1), (1, is_tip2, slot2)):
             @pl.when(is_tip)
             def _(k=k):
@@ -166,6 +177,8 @@ def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
 
             @pl.when(jnp.logical_not(is_tip))
             def _(k=k, slot=slot):
+                if "noasm" in probes:
+                    return
                 if split:
                     asm[k * CS:(k + 1) * CS] = slots[slot, 0]
                     asm[(2 + k) * CS:(3 + k) * CS] = slots[slot, 1]
@@ -176,7 +189,9 @@ def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
         s1 = jnp.where(is_tip1, zero_s, ssc[slot1])
         s2 = jnp.where(is_tip2, zero_s, ssc[slot2])
 
-        if split:
+        if "nodot" in probes:
+            lr = asm[:2 * CS, :].astype(jnp.float32)
+        elif split:
             call = asm[:]                        # [4CS, T]
             pack = P12_ref[0]                    # [2CS, 4CS] bf16
             main = jax.lax.dot_general(
@@ -196,16 +211,20 @@ def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
                 precision=_DOT_PREC)
         prod = lr[:CS, :] * lr[CS:, :]
 
-        # exact power-of-two rescale (identical to the XLA engines)
-        m = jnp.max(prod, axis=0, keepdims=True)
-        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
-        e = ((mi >> 23) & 0xFF) - 126
-        e = jnp.where(m > 0, e, 0)
-        e = jnp.clip(e, -125, 127)
-        scale = jax.lax.bitcast_convert_type(
-            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
-        scaled = prod * scale
-        stot = s1 + s2 + e
+        if "norescale" in probes:
+            scaled = prod
+            stot = s1 + s2
+        else:
+            # exact power-of-two rescale (identical to the XLA engines)
+            m = jnp.max(prod, axis=0, keepdims=True)
+            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+            e = ((mi >> 23) & 0xFF) - 126
+            e = jnp.where(m > 0, e, 0)
+            e = jnp.clip(e, -125, 127)
+            scale = jax.lax.bitcast_convert_type(
+                ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+            scaled = prod * scale
+            stot = s1 + s2 + e
 
         is_root = w == nW - 1
 
@@ -214,9 +233,12 @@ def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool):
             out = idx_ref[w, 6]
             if split:
                 oh = scaled.astype(jnp.bfloat16)
-                slots[out, 0] = (scaled - oh.astype(jnp.float32)).astype(
-                    jnp.bfloat16)
-                slots[out, 1] = oh
+                if "nocast" in probes:
+                    slots[out, 1] = oh
+                else:
+                    slots[out, 0] = (scaled - oh.astype(
+                        jnp.float32)).astype(jnp.bfloat16)
+                    slots[out, 1] = oh
             else:
                 slots[out] = scaled
             ssc[out] = stot
@@ -287,9 +309,10 @@ def compile_resident(partition, tree, root_edge=None,
             n_slots)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
-                           interpret: bool = False, split: bool = True):
+                           interpret: bool = False, split: bool = True,
+                           _probe: str = ""):
     """Full-tree edge logL through the VMEM-resident megakernel.
 
     Args:
@@ -356,7 +379,7 @@ def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
     fn = pl.pallas_call(
-        _make_resident_kernel(n_codes, nW, nP, split),
+        _make_resident_kernel(n_codes, nW, nP, split, _probe),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((CS, Ppad), jnp.float32),

@@ -119,3 +119,23 @@ def test_spr_round_fast_path(rng, force_fast):
                                     thorough=False)
     assert l1 >= l0 - 1e-6
     engine_mod.FORCE_FAST_KERNEL = None
+
+
+def test_blo_split_mode(rng, force_fast):
+    """BLO with split-storage directed CLVs (the real-TPU default of
+    update_partials_fused_std) converges to the same optimum as the
+    exact path — validates the SPLIT_CLV=True production configuration
+    end to end on CPU interpret."""
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths
+    part, tree = _setup(rng, n=8, sites=100)
+    prev = engine_mod.SPLIT_CLV
+    try:
+        engine_mod.SPLIT_CLV = True
+        b_sp, l_sp = optimize_branch_lengths(part, tree.copy())
+        engine_mod.SPLIT_CLV = False
+        b_ex, l_ex = optimize_branch_lengths(part, tree.copy())
+    finally:
+        engine_mod.SPLIT_CLV = prev
+    assert l_sp == pytest.approx(l_ex, abs=1e-2)
+    np.testing.assert_allclose(np.asarray(b_sp), np.asarray(b_ex),
+                               rtol=5e-2, atol=1e-4)

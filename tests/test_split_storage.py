@@ -128,3 +128,27 @@ def test_fuse_root_dyn_path(rng):
         part, idx8, brl, e1, e2, rr, ns, True, True, True))
     assert l_fr == l_dyn
     assert l_fr_split == pytest.approx(l_dyn, rel=1e-6, abs=5e-3)
+
+
+def test_fused_std_split_buffers(rng):
+    """update_partials_fused_std(split=True): directed-CLV buffers (the
+    BLO/SPR input) within 1e-6 relative of the exact f32 path."""
+    part, tree = _case(rng, 14, 128)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    P = part.prob_matrices(brl)
+    ops, _ri = tree.traversal_ops()
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, np.asarray(ops))
+    c0, s0 = pallas_clv.update_partials_fused_std(
+        part, P, idx8, e1, e2, ns, True, split=False)
+    c1, s1 = pallas_clv.update_partials_fused_std(
+        part, P, idx8, e1, e2, ns, True, split=True)
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
+    a0, a1 = np.asarray(c0), np.asarray(c1)
+    # split error is bounded relative to the per-site rescaled MAX
+    # (~2^-17 of it per store), not per entry — tiny entries next to a
+    # large one carry the shared-exponent error. Written slots only
+    # (the last slot is the never-written scratch).
+    site_max = np.maximum(a0.max(axis=(2, 3), keepdims=True), 1e-30)
+    rel = np.abs(a1 - a0) / site_max
+    # ~2^-15 of the site max after ~log2(n) accumulation levels
+    assert float(np.max(rel[:-1])) < 1.5e-4
