@@ -51,11 +51,13 @@ def main():
     # path) + in-kernel root pseudo-node. See PERF_NOTES.md.
     idx8, e1, e2, n_slots_r = pallas_resident.compile_resident(
         partition, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(partition)
 
     def one(brl):
         if on_tpu:
             return pallas_resident.loglikelihood_resident(
-                partition, idx8, brl, (e1, e2), n_slots_r, False, True)
+                partition, idx8, brl, (e1, e2), tip_hi, n_slots_r,
+                False, True)
         return engine.loglikelihood_levels(partition, levels, brl, offsets,
                                            ri, n_slots)
 

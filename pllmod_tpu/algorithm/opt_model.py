@@ -55,13 +55,14 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
         from pllmod_tpu.ops import pallas_resident
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
             part0, treeinfo.tree)
+        tip_hi = pallas_resident.expanded_tip_planes(part0)
 
         interp = engine_mod.fast_kernel_interpret()
         split = engine_mod.use_split_clv()
 
         def f(part):
             return pallas_resident.loglikelihood_resident(
-                part, idx8, brl, (e1, e2), n_slots, interp, split)
+                part, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
 
         return f
     ops, root_info = treeinfo.tree.traversal_ops()
@@ -158,17 +159,19 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
             from pllmod_tpu.ops import pallas_resident
             idx8, e1, e2, n_slots = pallas_resident.compile_resident(
                 part, treeinfo.tree)
+            tip_hi = pallas_resident.expanded_tip_planes(part)
 
             interp = engine_mod.fast_kernel_interpret()
             split = engine_mod.use_split_clv()
 
             @jax.jit
             def obj(xs, part=part, base=base, idx8=idx8, e1=e1, e2=e2,
-                    n_slots=n_slots, interp=interp, split=split):
+                    tip_hi=tip_hi, n_slots=n_slots, interp=interp,
+                    split=split):
                 return -jnp.stack([
                     pallas_resident.loglikelihood_resident(
-                        part, idx8, base * xs[k], (e1, e2), n_slots,
-                        interp, split)
+                        part, idx8, base * xs[k], (e1, e2), tip_hi,
+                        n_slots, interp, split)
                     for k in range(xs.shape[0])])
         else:
             @jax.jit

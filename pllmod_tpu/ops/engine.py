@@ -210,8 +210,9 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         from pllmod_tpu.ops import pallas_resident
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
             partition, tree, root_edge)
+        tip_hi = pallas_resident.expanded_tip_planes(partition)
         return pallas_resident.loglikelihood_resident(
-            partition, idx8, brlens, (e1, e2), n_slots,
+            partition, idx8, brlens, (e1, e2), tip_hi, n_slots,
             fast_kernel_interpret(), use_split_clv())
     if schedule == "fused":
         from pllmod_tpu.ops import pallas_clv

@@ -52,203 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pllmod_tpu.ops import clv as clv_mod
 from pllmod_tpu.ops.pallas_clv import (
-    _EXPAND_PREC,
     _DOT_PREC,
-    _code_table,
     _root_pair,
     block_diag_pmats,
     fused_p12,
-    split_pack_p12,
 )
-
-
-def _pick_tile_resident(P: int, CS: int, NS: int, split: bool) -> int:
-    """Largest 128-multiple tile dividing ``P`` whose VMEM working set
-    (NS resident slots + scalers + dot-assembly buffer + code scratch)
-    stays under ~10 MB (of the ~16 MB/core; headroom for the pipelined
-    P12/output blocks and compiler temporaries)."""
-    budget = 10 * 1024 * 1024
-    per_t = NS * (2 * CS * 2 if split else CS * 4)   # slots
-    per_t += NS * 4                                  # scaler rows int32
-    per_t += (4 * CS * 2 if split else 2 * CS * 4)   # asm
-    per_t += 4 * 4 * 2                               # code scratch + out
-    per_t += CS * 4 + 4                              # output blocks
-    cap = max(128, min(P, budget // per_t))
-    tile_env = _os.environ.get("PLLMOD_RESIDENT_TILE")
-    if tile_env:
-        cap = max(128, min(cap, int(tile_env)))
-    for t in range(cap - cap % 128, 127, -128):
-        if P % t == 0:
-            return t
-    return 128
-
-
-def _make_resident_kernel(n_codes: int, nW: int, nP: int, split: bool,
-                          probe: str = ""):
-    """One grid step = one node of the serial bounded schedule on one
-    pattern tile.  ``split=True`` uses the bf16x2 split-storage scheme of
-    the HBM megakernel (two single-pass DEFAULT dots ≈ HIGH precision —
-    see pallas_clv._make_fused_kernel); ``split=False`` stores f32 slots
-    and runs the exact merged HIGHEST dot.
-
-    ``probe`` (perf ablation, WRONG results — timing only): comma-joined
-    subset of {"norescale", "nocast", "noexpand", "nodot", "noasm"},
-    each skipping one stage of the per-step vector chain to measure its
-    share (PERF_NOTES methodology)."""
-    probes = set(probe.split(",")) if probe else set()
-    def _kernel(idx_ref,            # prefetch [nW, 8] int32
-                tip_codes_ref,      # ANY [n_tips, 1, Ppad] int32
-                codetab_ref,        # VMEM [CS, n_codes_pad] f32
-                P12_ref,            # VMEM block [1, 2CS, 2CS or 4CS]
-                prod_ref,           # VMEM out block [CS, T] f32
-                rsc_ref,            # VMEM out block [1, T] int32
-                slots, ssc, asm, codes_scr, rsem):
-        p = pl.program_id(0)
-        w = pl.program_id(1)
-        if split:
-            CS = asm.shape[0] // 4
-        else:
-            CS = asm.shape[0] // 2
-        T = asm.shape[-1]
-        two = jnp.asarray(2, jnp.int32)
-        nW_j = jnp.asarray(nW, jnp.int32)
-        step = (p * nW + w).astype(jnp.int32)
-
-        # -- tip-code reads with one-step lookahead (tips only; inner
-        # children are VMEM-resident).  No fences: tip codes are pure
-        # inputs, so prefetch is always safe, even across tile bounds.
-        def reads(st, start):
-            wt = jax.lax.rem(st, nW_j)
-            pt = st // nW_j
-            bf = jax.lax.rem(st, two)
-            for k in (0, 1):
-                is_tip = idx_ref[wt, 2 + k] == 1
-                tip = idx_ref[wt, 4 + k]
-
-                @pl.when(is_tip)
-                def _(tip=tip, k=k, bf=bf, pt=pt):
-                    c = pltpu.make_async_copy(
-                        tip_codes_ref.at[tip, :, pl.ds(pt * T, T)],
-                        codes_scr.at[bf, k], rsem.at[bf, k])
-                    c.start() if start else c.wait()
-
-        @pl.when(step == 0)
-        def _():
-            reads(step, True)
-
-        reads(step, False)
-
-        @pl.when(step + 1 < nW * nP)
-        def _():
-            reads(step + 1, True)
-
-        buf = jax.lax.rem(step, two)
-        is_tip1 = idx_ref[w, 2] == 1
-        is_tip2 = idx_ref[w, 3] == 1
-        slot1 = idx_ref[w, 0]
-        slot2 = idx_ref[w, 1]
-
-        # -- assemble the dot input:
-        #    split:  asm rows = [lo1, lo2, hi1, hi2]   (4CS, T) bf16
-        #    plain:  asm rows = [c1, c2]               (2CS, T) f32
-        if "noexpand" in probes:
-            always_false = pl.program_id(1) < 0
-            is_tip1 = jnp.logical_and(is_tip1, always_false)
-            is_tip2 = jnp.logical_and(is_tip2, always_false)
-        for k, is_tip, slot in ((0, is_tip1, slot1), (1, is_tip2, slot2)):
-            @pl.when(is_tip)
-            def _(k=k):
-                codes = codes_scr[buf, k]                    # [1, T]
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (n_codes, T), 0)
-                onehot = (iota == codes).astype(jnp.float32)
-                exp = jax.lax.dot_general(
-                    codetab_ref[:, :n_codes], onehot,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_EXPAND_PREC)
-                if split:
-                    asm[k * CS:(k + 1) * CS] = jnp.zeros(
-                        (CS, T), jnp.bfloat16)
-                    asm[(2 + k) * CS:(3 + k) * CS] = exp.astype(
-                        jnp.bfloat16)
-                else:
-                    asm[k * CS:(k + 1) * CS] = exp
-
-            @pl.when(jnp.logical_not(is_tip))
-            def _(k=k, slot=slot):
-                if "noasm" in probes:
-                    return
-                if split:
-                    asm[k * CS:(k + 1) * CS] = slots[slot, 0]
-                    asm[(2 + k) * CS:(3 + k) * CS] = slots[slot, 1]
-                else:
-                    asm[k * CS:(k + 1) * CS] = slots[slot]
-
-        zero_s = jnp.zeros((1, T), jnp.int32)
-        s1 = jnp.where(is_tip1, zero_s, ssc[slot1])
-        s2 = jnp.where(is_tip2, zero_s, ssc[slot2])
-
-        if "nodot" in probes:
-            lr = asm[:2 * CS, :].astype(jnp.float32)
-        elif split:
-            call = asm[:]                        # [4CS, T]
-            pack = P12_ref[0]                    # [2CS, 4CS] bf16
-            main = jax.lax.dot_general(
-                pack[:, :2 * CS], call[2 * CS:, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-            corr = jax.lax.dot_general(
-                pack, call, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-            lr = main + corr
-        else:
-            lr = jax.lax.dot_general(
-                P12_ref[0], asm[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_DOT_PREC)
-        prod = lr[:CS, :] * lr[CS:, :]
-
-        if "norescale" in probes:
-            scaled = prod
-            stot = s1 + s2
-        else:
-            # exact power-of-two rescale (identical to the XLA engines)
-            m = jnp.max(prod, axis=0, keepdims=True)
-            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
-            e = ((mi >> 23) & 0xFF) - 126
-            e = jnp.where(m > 0, e, 0)
-            e = jnp.clip(e, -125, 127)
-            scale = jax.lax.bitcast_convert_type(
-                ((127 - e) << 23).astype(jnp.int32), jnp.float32)
-            scaled = prod * scale
-            stot = s1 + s2 + e
-
-        is_root = w == nW - 1
-
-        @pl.when(jnp.logical_not(is_root))
-        def _():
-            out = idx_ref[w, 6]
-            if split:
-                oh = scaled.astype(jnp.bfloat16)
-                if "nocast" in probes:
-                    slots[out, 1] = oh
-                else:
-                    slots[out, 0] = (scaled - oh.astype(
-                        jnp.float32)).astype(jnp.bfloat16)
-                    slots[out, 1] = oh
-            else:
-                slots[out] = scaled
-            ssc[out] = stot
-
-        @pl.when(is_root)
-        def _():
-            prod_ref[...] = scaled
-            rsc_ref[...] = stot
-
-    return _kernel
 
 
 def resident_slot_bound(n_tips: int) -> int:
@@ -309,27 +117,254 @@ def compile_resident(partition, tree, root_edge=None,
             n_slots)
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
-def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
-                           interpret: bool = False, split: bool = True,
-                           _probe: str = ""):
-    """Full-tree edge logL through the VMEM-resident megakernel.
+# ---------------------------------------------------------------------------
+# The production kernel: prefilled-assembly resident kernel.
+#
+# The v1 ablation (PERF_NOTES) put 31% of the step chain in the VPU
+# copies that assemble the dot input from the slot scratch and 26% in
+# the in-kernel one-hot tip expansion.  v2 removes both:
+#  - the assembly buffer is double-buffered and PREFILLED one step ahead
+#    by ASYNC local copies (VMEM->VMEM for inner children, HBM->VMEM of
+#    pre-expanded tip rows for tips) issued after the predecessor's
+#    result store — by the serial order every child value exists then,
+#    so the copies always overlap the predecessor's compute;
+#  - tips are expanded ONCE per partition on the host
+#    (:func:`expanded_tip_planes`; exact — tip CLVs are 0/1, bf16 holds
+#    them exactly) and stream in like inner rows.
+# The assembly layout is CHILD-major ([lo1, hi1, lo2, hi2]) so one copy
+# moves a whole child; the split packs are column-permuted to match
+# (:func:`split_pack_cm`), with the main (hi-only) dot widened to K=4CS
+# with zero blocks — free on the MXU for CS<=32 (K pads to 128).
+# ---------------------------------------------------------------------------
+def expanded_tip_planes(partition):
+    """Pre-expanded tip CLV rows [n_tips, CS, Ppad] bf16 (exact: tip
+    CLVs are 0/1 indicators — the PATTERN_TIP code table rows — and the
+    C categories share them).  Built once per partition (host numpy);
+    the v2 resident kernel streams these instead of expanding codes
+    in-kernel.  Reference analog: the tipmap/tipchars expansion of
+    pll_update_partials' tip-tip cases."""
+    import ml_dtypes
+    codes = np.asarray(partition.tip_states)                # [n_tips, Ppad]
+    ctab = np.asarray(partition.code_clv, np.float32)       # [n_codes, S]
+    C = partition.n_cats
+    n_tips, Ppad = codes.shape
+    S = ctab.shape[1]
+    out = np.empty((n_tips, C * S, Ppad), ml_dtypes.bfloat16)
+    for t in range(n_tips):
+        rows = ctab[codes[t]].T                             # [S, Ppad]
+        out[t] = np.tile(rows, (C, 1)).astype(ml_dtypes.bfloat16)
+    return jnp.asarray(out)
 
-    Args:
-      idx8/e12: from :func:`compile_resident` (``e12 = (e1, e2)``; the
-        last row is the root pseudo-node, ``e12[1][-1]`` the root edge).
-      n_slots: live-slot count (≤ ~log2(n_taxa)+2).
-      split: bf16x2 split storage + two-DEFAULT-dot child application
-        (production TPU mode; ~1e-7 relative logL deviation — see
-        pallas_clv); ``False`` = exact f32 slots + HIGHEST dot.
-    """
+
+def split_pack_cm(P12):
+    """Child-major split packs [nW, 2CS, 8CS] = [corr | main] for the v2
+    kernel's two DEFAULT dots over the child-major assembly
+    [lo1, hi1, lo2, hi2]:
+        corr = [Ph1 | Pl1 | Ph2 | Pl2]   (Ph@lo12 + Pl@hi12)
+        main = [ 0  | Ph1 |  0  | Ph2]   (Ph@hi12; zero blocks pad K —
+                                          free on the MXU for CS<=32)
+    where Ph/Pl is the bf16 hi/lo split of the paired block-diagonal
+    transition matrix and the index is the child block."""
+    CS = P12.shape[1] // 2
+    Ph = P12.astype(jnp.bfloat16)
+    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    z = jnp.zeros_like(Ph[:, :, :CS])
+    corr = jnp.concatenate([Ph[:, :, :CS], Pl[:, :, :CS],
+                            Ph[:, :, CS:], Pl[:, :, CS:]], axis=2)
+    main = jnp.concatenate([z, Ph[:, :, :CS], z, Ph[:, :, CS:]], axis=2)
+    return jnp.concatenate([corr, main], axis=2)
+
+
+def _pick_tile_resident(P: int, CS: int, NS: int, split: bool) -> int:
+    """VMEM working set of the v2 kernel: NS slots ([2CS,T] bf16 split /
+    [CS,T] f32 plain) + double-buffered assembly + tip staging (plain) +
+    scalers + output blocks, under ~10 MB."""
+    if split:
+        per_t = NS * 2 * CS * 2 + 2 * 4 * CS * 2
+    else:
+        per_t = NS * CS * 4 + 2 * 2 * CS * 4 + 2 * 2 * CS * 2
+    per_t += NS * 4 + CS * 4 + 8
+    budget = 10 * 1024 * 1024
+    cap = max(128, min(P, budget // per_t))
+    tile_env = _os.environ.get("PLLMOD_RESIDENT_TILE")
+    if tile_env:
+        cap = max(128, min(cap, int(tile_env)))
+    for t in range(cap - cap % 128, 127, -128):
+        if P % t == 0:
+            return t
+    return 128
+
+
+def _make_resident_kernel(nW: int, nP: int, split: bool,
+                             probe: str = ""):
+    """v2 step: wait the tip-row DMAs (prefetched one step ahead — tip
+    rows are pure inputs, so prefetch is ALWAYS safe, no dependency
+    tracking), VPU-copy inner children from the slot scratch into the
+    assembly (child-major: ONE contiguous [2CS,T] copy per child), run
+    the child dots, rescale, store into the out slot.
+
+    Measured design notes (PERF_NOTES): prefilling the INNER children by
+    async VMEM->VMEM copies is a dead end — a node's latest child
+    completes at step-1 in post-order, so its copy gets zero overlap,
+    and the copies contend for the same DMA engines as the tip reads
+    (v2-async variant measured 0.81 ms vs 0.68 hybrid on the flagship).
+    The in-kernel one-hot tip expansion of v1 (26% of the step chain) is
+    what this version removes.
+
+    ``probe`` (timing-only ablations, wrong results): subset of
+    {"norescale", "nocast", "nodot", "nozero", "noasm"}."""
+    probes = set(probe.split(",")) if probe else set()
+
+    def _kernel(idx_ref,            # prefetch [nW, 8] int32
+                tip_hi_ref,         # ANY [n_tips, CS, Ppad] bf16
+                P12_ref,            # VMEM block [1, 2CS, 8CS or 2CS]
+                prod_ref,           # VMEM out block [CS, T] f32
+                rsc_ref,            # VMEM out block [1, T] int32
+                slots, ssc, asm, stage, rsem):
+        p = pl.program_id(0)
+        w = pl.program_id(1)
+        CS = asm.shape[1] // (4 if split else 2)
+        T = asm.shape[-1]
+        two = jnp.asarray(2, jnp.int32)
+        nW_j = jnp.asarray(nW, jnp.int32)
+        step = (p * nW + w).astype(jnp.int32)
+
+        # -- tip-row reads with one-step lookahead. Destination: the hi
+        # rows of the (double-buffered) assembly in split mode, the cast
+        # staging buffer in plain mode.
+        def reads(st, start):
+            wt = jax.lax.rem(st, nW_j)
+            pt = st // nW_j
+            bf = jax.lax.rem(st, two)
+            for k in (0, 1):
+                is_tip = idx_ref[wt, 2 + k] == 1
+                tip = idx_ref[wt, 4 + k]
+
+                @pl.when(is_tip)
+                def _(tip=tip, k=k, bf=bf, pt=pt):
+                    if split:
+                        dst = asm.at[bf, pl.ds((2 * k + 1) * CS, CS)]
+                    else:
+                        dst = stage.at[bf, k]
+                    c = pltpu.make_async_copy(
+                        tip_hi_ref.at[tip, :, pl.ds(pt * T, T)],
+                        dst, rsem.at[bf, k])
+                    c.start() if start else c.wait()
+
+        @pl.when(step == 0)
+        def _():
+            reads(step, True)
+
+        reads(step, False)
+
+        @pl.when(step + 1 < nW * nP)
+        def _():
+            reads(step + 1, True)
+
+        buf = jax.lax.rem(step, two)
+        is_tip1 = idx_ref[w, 2] == 1
+        is_tip2 = idx_ref[w, 3] == 1
+
+        for k, is_tip in ((0, is_tip1), (1, is_tip2)):
+            @pl.when(is_tip)
+            def _(k=k):
+                if split:
+                    if "nozero" not in probes:
+                        # tip lo rows are zero (bf16 tips are exact)
+                        asm[buf, 2 * k * CS:(2 * k + 1) * CS] = jnp.zeros(
+                            (CS, T), jnp.bfloat16)
+                else:
+                    asm[buf, k * CS:(k + 1) * CS] = stage[
+                        buf, k].astype(jnp.float32)
+
+            @pl.when(jnp.logical_not(is_tip))
+            def _(k=k):
+                if "noasm" in probes:
+                    return
+                slot = idx_ref[w, k]
+                if split:
+                    # child-major slot rows [lo, hi]: ONE contiguous copy
+                    asm[buf, 2 * k * CS:(2 * k + 2) * CS] = slots[slot]
+                else:
+                    asm[buf, k * CS:(k + 1) * CS] = slots[slot]
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[w, 0]])
+        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[w, 1]])
+
+        if "nodot" in probes:
+            lr = asm[buf, :2 * CS, :].astype(jnp.float32)
+        elif split:
+            call = asm[buf]                      # [4CS, T] child-major
+            corr = jax.lax.dot_general(
+                P12_ref[0, :, :4 * CS], call, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            main = jax.lax.dot_general(
+                P12_ref[0, :, 4 * CS:], call, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = main + corr
+        else:
+            lr = jax.lax.dot_general(
+                P12_ref[0], asm[buf], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_DOT_PREC)
+        prod = lr[:CS, :] * lr[CS:, :]
+
+        if "norescale" in probes:
+            scaled = prod
+            stot = s1 + s2
+        else:
+            # exact power-of-two rescale (identical to the XLA engines)
+            m = jnp.max(prod, axis=0, keepdims=True)
+            mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+            e = ((mi >> 23) & 0xFF) - 126
+            e = jnp.where(m > 0, e, 0)
+            e = jnp.clip(e, -125, 127)
+            scale = jax.lax.bitcast_convert_type(
+                ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+            scaled = prod * scale
+            stot = s1 + s2 + e
+
+        is_root = w == nW - 1
+
+        @pl.when(jnp.logical_not(is_root))
+        def _():
+            out = idx_ref[w, 6]
+            if split:
+                oh = scaled.astype(jnp.bfloat16)
+                if "nocast" in probes:
+                    slots[out, CS:] = oh
+                else:
+                    slots[out, :CS] = (scaled - oh.astype(
+                        jnp.float32)).astype(jnp.bfloat16)
+                    slots[out, CS:] = oh
+            else:
+                slots[out] = scaled
+            ssc[out] = stot
+
+        @pl.when(is_root)
+        def _():
+            prod_ref[...] = scaled
+            rsc_ref[...] = stot
+
+    return _kernel
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
+                            n_slots: int, interpret: bool = False,
+                            split: bool = True, _probe: str = ""):
+    """Full-tree edge logL through the v2 (prefilled-assembly) resident
+    kernel.  Same contract as :func:`loglikelihood_resident` plus
+    ``tip_hi`` = :func:`expanded_tip_planes` of the partition (build it
+    once per partition; it is model-parameter- and topology-invariant)."""
     from pllmod_tpu.ops import likelihood as lk_mod
     e1, e2 = e12
     Ppad = partition.n_patterns_padded
     C, S = partition.n_cats, partition.states
     CS = C * S
-    codetab, n_codes = _code_table(partition)
-    tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
     nW = int(idx8.shape[0])
 
     if partition.reversible and partition.eigen_lam is not None:
@@ -345,32 +380,35 @@ def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
         P_root = jnp.take(P, e2[-1], axis=0)
     P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
     if split:
-        P12 = split_pack_p12(P12)
+        P12 = split_pack_cm(P12)
+        pwidth = 8 * CS
+    else:
+        pwidth = 2 * CS
 
     NS = max(n_slots, 1)
     T = _pick_tile_resident(Ppad, CS, NS, split)
     nP = Ppad // T
-    pwidth = 4 * CS if split else 2 * CS
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nP, nW),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),           # tip codes
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # codetab
+            pl.BlockSpec(memory_space=pl.ANY),           # tip_hi
             pl.BlockSpec((1, 2 * CS, pwidth),
-                         lambda p, w, idx: (w, 0, 0)),   # P12
+                         lambda p, w, idx: (w, 0, 0)),   # P12 packs
         ],
         out_specs=[
             pl.BlockSpec((CS, T), lambda p, w, idx: (0, p)),
             pl.BlockSpec((1, T), lambda p, w, idx: (0, p)),
         ],
         scratch_shapes=[
-            (pltpu.VMEM((NS, 2, CS, T), jnp.bfloat16) if split
+            (pltpu.VMEM((NS, 2 * CS, T), jnp.bfloat16) if split
              else pltpu.VMEM((NS, CS, T), jnp.float32)),   # slots
             pltpu.VMEM((NS, 1, T), jnp.int32),             # ssc
-            (pltpu.VMEM((4 * CS, T), jnp.bfloat16) if split
-             else pltpu.VMEM((2 * CS, T), jnp.float32)),   # asm
-            pltpu.VMEM((2, 2, 1, T), jnp.int32),           # codes_scr
+            (pltpu.VMEM((2, 4 * CS, T), jnp.bfloat16) if split
+             else pltpu.VMEM((2, 2 * CS, T), jnp.float32)),  # asm
+            # tip staging (cast to f32 at use) — plain mode only
+            (pltpu.VMEM((1, 1, 8, 128), jnp.bfloat16) if split
+             else pltpu.VMEM((2, 2, CS, T), jnp.bfloat16)),
             pltpu.SemaphoreType.DMA((2, 2)),               # rsem
         ],
     )
@@ -379,7 +417,7 @@ def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
     fn = pl.pallas_call(
-        _make_resident_kernel(n_codes, nW, nP, split, _probe),
+        _make_resident_kernel(nW, nP, split, _probe),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((CS, Ppad), jnp.float32),
@@ -388,7 +426,7 @@ def loglikelihood_resident(partition, idx8, brlens, e12, n_slots: int,
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    prod, rsc = fn(idx8, tip_codes, codetab, P12)
+    prod, rsc = fn(idx8, tip_hi, P12)
     per_cat = prod.astype(partition.dtype).reshape(C, S, -1).sum(axis=1)
     lnl = lk_mod._site_lnl(partition, per_cat.T, rsc[0])
     return jnp.sum(lnl * partition.pattern_weights)

@@ -172,9 +172,16 @@ class TreeInfo:
                             resident_slot_bound(part.n_tips)))
                         self._fused_cache = fc
                     idx8, e1, e2, n_slots = fc[1]
+                    # tip planes are topology- and model-invariant:
+                    # build once per partition index
+                    tp = getattr(self, "_tip_planes", None)
+                    if tp is None:
+                        tp = self._tip_planes = {}
+                    if i not in tp:
+                        tp[i] = pallas_resident.expanded_tip_planes(part)
                     lnl = float(pallas_resident.loglikelihood_resident(
                         part, idx8, jnp.asarray(brl, part.dtype),
-                        (e1, e2), n_slots,
+                        (e1, e2), tp[i], n_slots,
                         engine_mod.fast_kernel_interpret(),
                         engine_mod.use_split_clv()))
                     self.counters.add_traversal(n_inner,

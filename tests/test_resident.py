@@ -44,8 +44,9 @@ def test_resident_bit_exact_vs_scan(rng, n, sites, pinv):
     l_ref = float(engine_mod.loglikelihood(
         part, jnp.asarray(ops), brl, tuple(int(x) for x in ri)))
     idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     l_res = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, False))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
     assert l_res == l_ref
 
 
@@ -56,10 +57,11 @@ def test_resident_split_accuracy(rng, n, sites):
     part, tree = _case(rng, n, sites)
     brl = jnp.asarray(tree.lengths, jnp.float32)
     idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     l_exact = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, False))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
     l_split = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, True))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, True))
     assert abs(l_split - l_exact) / abs(l_exact) < 1e-6
 
 
@@ -71,8 +73,9 @@ def test_resident_protein(rng):
     l_ref = float(engine_mod.loglikelihood(
         part, jnp.asarray(ops), brl, tuple(int(x) for x in ri)))
     idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     l_res = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, False))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
     assert l_res == l_ref
 
 
@@ -86,8 +89,9 @@ def test_resident_no_eigen_cache(rng):
     l_ref = float(engine_mod.loglikelihood(
         part, jnp.asarray(ops), brl, tuple(int(x) for x in ri)))
     idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     l_res = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, False))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
     assert l_res == l_ref
 
 
@@ -96,6 +100,7 @@ def test_resident_root_edge_choice(rng):
     (pulley principle) — exercises tip children of the root row."""
     part, tree = _case(rng, 9, 64)
     brl = jnp.asarray(tree.lengths, jnp.float32)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     vals = []
     for edge in range(min(6, len(tree.lengths))):
         u, v = tree.edge_nodes[edge]
@@ -104,7 +109,7 @@ def test_resident_root_edge_choice(rng):
         idx8, e1, e2, ns = pallas_resident.compile_resident(
             part, tree, root_edge=edge)
         vals.append(float(pallas_resident.loglikelihood_resident(
-            part, idx8, brl, (e1, e2), ns, True, False)))
+            part, idx8, brl, (e1, e2), tip_hi, ns, True, False)))
     assert len(vals) >= 3
     assert np.allclose(vals, vals[0], rtol=2e-6)
 
@@ -116,14 +121,15 @@ def test_resident_slot_bound_padding(rng):
     part, tree = _case(rng, 16, 128)
     brl = jnp.asarray(tree.lengths, jnp.float32)
     idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
     bound = pallas_resident.resident_slot_bound(part.n_tips)
     idx8b, e1b, e2b, nsb = pallas_resident.compile_resident(
         part, tree, n_slots_min=bound)
     assert nsb >= ns and nsb >= bound
     a = float(pallas_resident.loglikelihood_resident(
-        part, idx8, brl, (e1, e2), ns, True, False))
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
     b = float(pallas_resident.loglikelihood_resident(
-        part, idx8b, brl, (e1b, e2b), nsb, True, False))
+        part, idx8b, brl, (e1b, e2b), tip_hi, nsb, True, False))
     assert a == b
 
 
