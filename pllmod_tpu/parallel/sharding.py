@@ -130,3 +130,46 @@ def loglikelihood_fused_sharded(partition, tree, brlens, mesh: Mesh,
         return jax.lax.psum(lnl, axis_name)
 
     return body(partition, brlens, idx8, e1, e2)
+
+
+def loglikelihood_resident_sharded(partition, tree, brlens, mesh: Mesh,
+                                   axis_name: str = SITES_AXIS,
+                                   interpret: bool = False,
+                                   split: bool = False):
+    """Site-sharded evaluation through the VMEM-RESIDENT megakernel (the
+    single-chip production evaluation path): every device runs the whole
+    serial bounded traversal on its local pattern shard — patterns are
+    embarrassingly parallel, the resident slot scratch is per-device —
+    and the one site reduction is a psum riding ICI. Same seam as
+    :func:`loglikelihood_fused_sharded` (the reference's
+    parallel_reduce_cb, treeinfo.c:1061)."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from pllmod_tpu.ops import pallas_resident
+
+    n_dev = mesh.shape[axis_name]
+    local = partition.n_patterns_padded // n_dev
+    if partition.n_patterns_padded % n_dev or local % 128:
+        raise ValueError(
+            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
+            f" {local}) must be a multiple of 128 lanes; create the "
+            f"partition with pattern_pad=128*{n_dev}")
+
+    idx8, e1, e2, n_slots = pallas_resident.compile_resident(partition,
+                                                             tree)
+    tip_hi = pallas_resident.expanded_tip_planes(partition)
+    brlens = jnp.asarray(brlens, partition.dtype)
+    pspecs = partition_specs(partition, axis_name)
+
+    @jax.jit
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(pspecs, P(), P(), P(), P(),
+                        P(None, None, axis_name)),
+              out_specs=P(), check_vma=False)
+    def body(part_local, brl, idx8, e1, e2, tip_local):
+        lnl = pallas_resident.loglikelihood_resident(
+            part_local, idx8, brl, (e1, e2), tip_local, n_slots,
+            interpret, split)
+        return jax.lax.psum(lnl, axis_name)
+
+    return body(partition, brlens, idx8, e1, e2, tip_hi)

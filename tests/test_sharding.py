@@ -132,3 +132,25 @@ def test_fused_kernel_sharded_sites(rng):
                                              interpret=True))
     l_ref = float(tree_loglikelihood(part, tree, schedule="scan"))
     assert l_sh == pytest.approx(l_ref, abs=2e-2)
+
+
+def test_resident_sharded_parity(rng, mesh):
+    """Site-sharded resident megakernel == single-host scan (the
+    multi-chip contract for the production evaluation path)."""
+    from pllmod_tpu.parallel.sharding import (shard_partition,
+                                              loglikelihood_resident_sharded)
+    import tests.reference_impl as ref
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.ops import engine as engine_mod
+    n, sites = 12, 1200
+    tree = ref.random_binary_tree(rng, n)
+    seqs = ref.random_sequences(rng, n, sites)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float32,
+                            pattern_pad=128 * 8).cache_eigen()
+    l_one = float(engine_mod.tree_loglikelihood(part, tree,
+                                                schedule="scan"))
+    shp = shard_partition(part, mesh)
+    l_mesh = float(loglikelihood_resident_sharded(
+        shp, tree, tree.lengths, mesh, interpret=True))
+    assert abs(l_mesh - l_one) <= 5e-6 * max(1.0, abs(l_one))
