@@ -79,10 +79,10 @@ def main():
     many(brlens).block_until_ready()           # compile
     many(brlens * 1.00005).block_until_ready()  # first-exec warmup (~40ms
     # one-time penalty on the axon runtime; steady state is what matters)
-    # best of 5: the remote runtime's per-call latency varies run-to-run
+    # best of 8: the remote runtime's per-call latency varies run-to-run
     # by ~±10%; the minimum is the honest marginal rate of the kernel
     dt = float("inf")
-    for k in range(5):
+    for k in range(8):
         t0 = time.perf_counter()
         many(brlens * (1.0001 + 1e-5 * k)).block_until_ready()
         dt = min(dt, time.perf_counter() - t0)

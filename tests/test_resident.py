@@ -147,3 +147,17 @@ def test_engine_resident_schedule(rng):
                                                  schedule="scan"))
     # split-storage is off in interpret mode -> bit-exact
     assert l_res == l_scan
+
+
+def test_resident_protein_split(rng):
+    """Protein (CS=80) split mode: the child-major packs' widened main
+    dot (K=4CS) must stay inside the 1e-6 parity bar."""
+    part, tree = _case(rng, 10, 256, states=20)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
+    l_exact = float(pallas_resident.loglikelihood_resident(
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, False))
+    l_split = float(pallas_resident.loglikelihood_resident(
+        part, idx8, brl, (e1, e2), tip_hi, ns, True, True))
+    assert abs(l_split - l_exact) / abs(l_exact) < 1e-6
