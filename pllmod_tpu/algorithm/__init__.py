@@ -18,3 +18,8 @@ from pllmod_tpu.algorithm.opt_model import (  # noqa: F401
     opt_model,
 )
 from pllmod_tpu.algorithm.spr import spr_round  # noqa: F401
+from pllmod_tpu.algorithm.search import (  # noqa: F401
+    ml_search,
+    SearchResult,
+    SearchRound,
+)

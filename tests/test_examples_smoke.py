@@ -31,6 +31,13 @@ def test_genotype_demo():
     assert "optimized logL" in r.stdout
 
 
+def test_ml_search_demo():
+    r = _run("ml_search_demo.py", timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "parsimony starting tree" in r.stdout
+    assert "search:" in r.stdout and "final tree:" in r.stdout
+
+
 def test_protein_mixture_demo():
     r = _run("protein_mixture_demo.py", timeout=400)
     assert r.returncode == 0, r.stderr[-2000:]

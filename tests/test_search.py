@@ -1,0 +1,67 @@
+"""End-to-end ML search driver (algorithm.search.ml_search).
+
+The composition the reference leaves to its downstream consumer: starting
+tree -> interleaved model optimization + SPR rounds (radius escalation,
+fast -> thorough) -> stationary ML tree. The test perturbs a true topology
+and requires the search to recover at least the true tree's optimized logL.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pllmod_tpu import common
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.tree import moves
+from pllmod_tpu.tree.treeinfo import TreeInfo
+from pllmod_tpu.algorithm import ml_search, opt_brlen, spr_round
+from tests import reference_impl as ref
+from tests.test_algorithm import simulate
+
+
+def _perturbed(rng, tree, n_moves=3):
+    bad = tree.copy()
+    done, attempts = 0, 0
+    while done < n_moves and attempts < 300:
+        attempts += 1
+        e = int(rng.integers(len(bad.edge_nodes)))
+        r = int(rng.integers(len(bad.edge_nodes)))
+        try:
+            moves.spr(bad, e, r)
+            done += 1
+        except Exception:
+            continue
+    assert done == n_moves
+    return bad
+
+
+def test_ml_search_recovers_perturbed_tree(rng):
+    true_tree = ref.random_binary_tree(rng, 10, 0.05, 0.3)
+    rates = np.array([1.0, 4.0, 1.0, 1.0, 4.0, 1.0])
+    freqs = np.full(4, 0.25)
+    seqs = simulate(rng, true_tree, rates, freqs, 1.0, 1500)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=1.0,
+                            subst_rates=rates, freqs=freqs,
+                            dtype=jnp.float64)
+
+    ti_true = TreeInfo(true_tree.copy(), [part])
+    lnl_true = opt_brlen(ti_true)
+
+    bad = _perturbed(rng, true_tree, 3)
+    ti = TreeInfo(bad, [part],
+                  params_to_optimize=(common.PARAM_ALPHA
+                                      | common.PARAM_BRANCHES_ITERATIVE))
+    seen = []
+    res = ml_search(ti, radius_step=4, radius_max=8, lh_epsilon=0.01,
+                    on_round=seen.append)
+    # recovered (or beat) the generating topology's likelihood
+    assert res.loglh >= lnl_true - 1e-2
+    assert res.loglh > res.start_loglh
+    # observability: every round recorded, callback saw the same records
+    assert res.rounds == seen and res.n_rounds >= 2
+    assert {r.mode for r in res.rounds} == {"fast", "thorough"}
+    # treeinfo holds the final state: recomputing matches the reported logL
+    assert abs(ti.compute_loglh() - res.loglh) < 1e-5
+    # stationary: one more thorough round finds nothing better
+    lnl2, n_applied, _ = spr_round(ti, radius_min=1, radius_max=8,
+                                   thorough=True)
+    assert lnl2 <= res.loglh + 0.05
