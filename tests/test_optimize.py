@@ -204,3 +204,53 @@ def test_blo_local_radius(rng):
     t_full = tree.copy()
     _, l_full = optimize_branch_lengths(part, t_full)
     assert l_full >= l_loc - 1e-6
+
+
+def test_blo_hard_case_coupled_branches(rng):
+    """SAFE-mode analog on a hard, strongly-coupled case (the reference
+    reverts a worsening per-edge Newton step, pll_optimize.c:1587-1632;
+    we use color-grouped Gauss-Seidel + best-iterate damping).
+
+    Duplicate sequence pairs force near-zero terminal branches while the
+    start point puts every branch at the far bracket end -- simultaneous
+    Newton steps on adjacent edges overshoot badly here if uncorrected.
+    The production path must still land on the autodiff joint optimum,
+    and must never return an iterate worse than the best one seen.
+    """
+    n_tips, n_sites = 8, 100
+    tree = ref.random_binary_tree(rng, n_tips, 0.05, 0.3)
+    base = ref.random_sequences(rng, n_tips // 2, n_sites)
+    seqs = [base[i // 2] for i in range(n_tips)]  # tips 2k,2k+1 identical
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    # adversarial start: every branch at the far end of the bracket
+    tree.lengths[:] = 5.0
+    t_prod = tree.copy()
+    _, lnl_prod = optimize_branch_lengths(part, t_prod, max_sweeps=64,
+                                          tolerance=1e-10, newton_tol=1e-8)
+
+    # independent joint optimum via autodiff L-BFGS in log-space
+    ops, root_info = tree.traversal_ops()
+    from pllmod_tpu.ops import engine
+    ri = tuple(int(x) for x in root_info)
+
+    def neg(logb):
+        return -engine.loglikelihood(part, jnp.asarray(ops),
+                                     jnp.exp(logb), ri)
+
+    vg = jax.jit(jax.value_and_grad(neg))
+    _, f_opt, _ = minimize_lbfgsb(
+        lambda z: tuple(map(np.asarray, vg(jnp.asarray(z)))),
+        np.log(np.clip(tree.lengths, 1e-4, None)),
+        np.full(len(tree.lengths), np.log(1e-4)),
+        np.full(len(tree.lengths), np.log(100.0)), max_iters=500)
+    assert lnl_prod >= -f_opt - 1e-3
+
+    # plain Jacobi (colored=False) relies on the damped retry + best
+    # iterate: must also recover, and never regress below the start
+    t_jac = tree.copy()
+    l0 = float(tree_loglikelihood(part, t_jac))
+    _, lnl_jac = optimize_branch_lengths(part, t_jac, max_sweeps=64,
+                                         tolerance=1e-10, colored=False)
+    assert lnl_jac >= l0 - 1e-9
+    assert lnl_jac >= -f_opt - 0.5   # damping keeps it near the optimum
