@@ -1,0 +1,392 @@
+"""Fused Pallas kernels for the branch-length derivative pipeline.
+
+TPU production path for the reference's second hot loop (SURVEY.md §3.2):
+``pll_update_sumtable`` + ``pll_compute_likelihood_derivatives``
+(call sites pll_optimize.c:1462-1475, 1223-1287). The XLA formulation in
+:mod:`pllmod_tpu.ops.derivatives` + :func:`pllmod_tpu.optimize.blo._edge_sumtables`
+stays the golden reference (and the f64/CPU path); these kernels compute
+the same quantities but straight from the megakernel's CS×P (optionally
+split-storage bf16x2) directed-CLV buffers:
+
+* **sumtable kernel** — grid (edges, pattern tiles); per edge DMAs the two
+  facing CLV rows (manual double-buffered reads with one-step lookahead —
+  pure streaming, no fences needed because nothing is written back to the
+  buffer), expands tip children in-VMEM via the exact one-hot MXU dot,
+  applies the paired block-diagonal basis  blockdiag(Vᵀdiag(π), V⁻¹)  in
+  ONE [2CS,2CS]@[2CS,T] HIGHEST dot and writes  st = left ⊙ right.
+  Replaces: csp→standard layout conversion (750 MB of traffic at the
+  flagship) + two gather HLOs + two einsums (measured 13.1 ms → target
+  ~roofline of one 0.5 GB read).
+
+* **derivative kernel** — grid (edges, pattern tiles); reads st once and
+  emits per-edge (logL, d logL/dt, d² logL/dt²) with the scaler/p-inv
+  log-space mixture of :func:`pllmod_tpu.ops.derivatives.edge_derivatives`.
+  The per-edge exponential weights exp(λ·r·t) are tiny [E, CS] arrays
+  computed outside in XLA, so one kernel serves every Newton iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pllmod_tpu.ops.clv import LN2
+from pllmod_tpu.ops.pallas_clv import (_code_table, _pick_tile_fused,
+                                       _EXPAND_PREC)
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# host-side compilation
+# ---------------------------------------------------------------------------
+def compile_edge_refs(edge_ref, edge_mask, n_tips: int):
+    """Pack a DirectedTraversal's ``edge_ref`` [E, 2] into the kernel's
+    [E, 6] int32 rows (slot1, slot2, is_tip1, is_tip2, tip1, tip2) —
+    same column convention as the megakernel's idx8[:, :6]. Dead edge
+    slots become tip0/tip0 dummies (mask downstream)."""
+    edge_ref = np.asarray(edge_ref)
+    edge_mask = np.asarray(edge_mask)
+    E = edge_ref.shape[0]
+    out = np.zeros((E, 6), np.int64)
+    out[:, 2] = out[:, 3] = 1                      # dummy: tip/tip
+    for e in range(E):
+        if not edge_mask[e]:
+            continue
+        for k in (0, 1):
+            r = int(edge_ref[e, k])
+            if r < n_tips:
+                out[e, k] = 0
+                out[e, 2 + k] = 1
+                out[e, 4 + k] = r
+            else:
+                out[e, k] = r - n_tips
+                out[e, 2 + k] = 0
+                out[e, 4 + k] = 0
+    return jnp.asarray(out.astype(np.int32))
+
+
+def sumtable_basis(partition, eigen=None):
+    """Paired block-diagonal sumtable basis AB [2CS, 2CS] f32:
+    top-left  blockdiag_c(A_c),  A_c[k, i] = π_c[i]·V_c[i, k]
+    bottom-right blockdiag_c(V⁻¹_c)
+    so that  [left; right] = AB @ [clv_p; clv_c]  and  st = left ⊙ right
+    (the factorization of ops/derivatives.sumtable)."""
+    if eigen is None:
+        eigen = partition.eigen()
+    _, V, Vinv = eigen
+    pidx = partition.param_indices
+    V_c = V[pidx].astype(jnp.float32)              # [C,S,S]
+    Vinv_c = Vinv[pidx].astype(jnp.float32)
+    pi_c = partition.freqs_per_cat().astype(jnp.float32)   # [C,S]
+    A_c = jnp.einsum("cik,ci->cki", V_c, pi_c, precision=_PREC)
+    C = partition.n_cats
+    S = partition.states
+    CS = C * S
+    AB = jnp.zeros((2 * CS, 2 * CS), jnp.float32)
+    for c in range(C):
+        o = c * S
+        AB = AB.at[o:o + S, o:o + S].set(A_c[c])
+        AB = AB.at[CS + o:CS + o + S, CS + o:CS + o + S].set(Vinv_c[c])
+    return AB
+
+
+# ---------------------------------------------------------------------------
+# sumtable kernel
+# ---------------------------------------------------------------------------
+def _make_sumtable_kernel(n_codes: int, nE: int, nP: int, split: bool):
+    def _kernel(eref_ref,          # prefetch [nE, 6] int32
+                tip_codes_ref,     # ANY [n_tips, 1, Ppad] int32
+                codetab_ref,       # VMEM [CS, n_codes_pad] f32
+                AB_ref,            # VMEM block [2CS, 2CS] f32
+                clvs_ref,          # ANY [n_slots, (2,) CS, Ppad]
+                sc_in_ref,         # ANY [n_slots, 1, Ppad] int32
+                st_ref,            # out block [1, CS, T] f32
+                sc_out_ref,        # out block [1, 1, T] int32
+                c_scr, codes_scr, s_scr, rsem):
+        e = pl.program_id(0)
+        p = pl.program_id(1)
+        CS = st_ref.shape[-2]
+        T = st_ref.shape[-1]
+        two = jnp.asarray(2, jnp.int32)
+        step = (e * nP + p).astype(jnp.int32)
+        par = jax.lax.rem(step, two)
+
+        # pure streaming reads: double-buffered, one-step lookahead, no
+        # fences (inputs are never written by this kernel)
+        def reads(st, start):
+            et = st // nP
+            pt = jax.lax.rem(st, jnp.asarray(nP, jnp.int32))
+            bf = jax.lax.rem(st, two)
+            nsem = 3 if split else 2
+            for k in (0, 1):
+                sem = nsem * k
+                slot = eref_ref[et, k]
+                is_tip = eref_ref[et, 2 + k] == 1
+                tip = eref_ref[et, 4 + k]
+
+                @pl.when(is_tip)
+                def _(slot=slot, tip=tip, k=k, sem=sem, bf=bf, pt=pt):
+                    c = pltpu.make_async_copy(
+                        tip_codes_ref.at[tip, :, pl.ds(pt * T, T)],
+                        codes_scr.at[bf, k], rsem.at[bf, sem])
+                    c.start() if start else c.wait()
+
+                @pl.when(jnp.logical_not(is_tip))
+                def _(slot=slot, k=k, sem=sem, bf=bf, pt=pt):
+                    if split:
+                        for pp in range(2):
+                            c = pltpu.make_async_copy(
+                                clvs_ref.at[slot, pp, :, pl.ds(pt * T, T)],
+                                c_scr.at[bf, pp, k], rsem.at[bf, sem + pp])
+                            c.start() if start else c.wait()
+                        sc_sem = sem + 2
+                    else:
+                        c = pltpu.make_async_copy(
+                            clvs_ref.at[slot, :, pl.ds(pt * T, T)],
+                            c_scr.at[bf, k], rsem.at[bf, sem])
+                        c.start() if start else c.wait()
+                        sc_sem = sem + 1
+                    c2 = pltpu.make_async_copy(
+                        sc_in_ref.at[slot, :, pl.ds(pt * T, T)],
+                        s_scr.at[bf, k], rsem.at[bf, sc_sem])
+                    c2.start() if start else c2.wait()
+
+        @pl.when(step == 0)
+        def _():
+            reads(step, True)
+
+        reads(step, False)
+        nxt = step + 1
+
+        @pl.when(nxt < nE * nP)
+        def _():
+            reads(nxt, True)
+
+        buf = par
+        is_tip1 = eref_ref[e, 2] == 1
+        is_tip2 = eref_ref[e, 3] == 1
+
+        def expand(k, is_tip):
+            @pl.when(is_tip)
+            def _():
+                codes = codes_scr[buf, k]                   # [1, T] int32
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_codes, T), 0)
+                onehot = (iota == codes).astype(jnp.float32)
+                exp = jax.lax.dot_general(
+                    codetab_ref[:, :n_codes], onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_EXPAND_PREC)
+                if split:
+                    c_scr[buf, 1, k] = exp.astype(jnp.bfloat16)
+                    c_scr[buf, 0, k] = jnp.zeros((CS, T), jnp.bfloat16)
+                else:
+                    c_scr[buf, k] = exp
+
+        expand(0, is_tip1)
+        expand(1, is_tip2)
+
+        if split:
+            call = (c_scr[buf, 0].astype(jnp.float32) +
+                    c_scr[buf, 1].astype(jnp.float32)).reshape(2 * CS, T)
+        else:
+            call = c_scr[buf].reshape(2 * CS, T)
+        lr = jax.lax.dot_general(
+            AB_ref[...], call, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC)
+        st_ref[0] = lr[:CS, :] * lr[CS:, :]
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        s1 = jnp.where(is_tip1, zero_s, s_scr[buf, 0])
+        s2 = jnp.where(is_tip2, zero_s, s_scr[buf, 1])
+        sc_out_ref[0] = s1 + s2
+
+    return _kernel
+
+
+def edge_sumtables_pallas(partition, clvs, scalers, eref6,
+                          split: bool = False, interpret: bool = False,
+                          AB=None):
+    """Batched per-edge sumtables straight from CS×P directed-CLV buffers.
+
+    Args:
+      clvs: [n_slots, CS, Ppad] f32 or split [n_slots, 2, CS, Ppad] bf16
+        (the megakernel's native layouts — NO csp_to_standard conversion)
+      scalers: [n_slots, 1, Ppad] int32 cumulative
+      eref6: [E, 6] int32 from :func:`compile_edge_refs`
+    Returns:
+      (st [E, CS, Ppad] f32, sc [E, 1, Ppad] int32)
+    """
+    Ppad = partition.n_patterns_padded
+    CS = partition.n_cats * partition.states
+    codetab, n_codes = _code_table(partition)
+    tip_codes = partition.tip_states[:, None, :].astype(jnp.int32)
+    if AB is None:
+        AB = sumtable_basis(partition)
+    nE = eref6.shape[0]
+    TILE_P = _pick_tile_fused(Ppad, CS)
+    nP = Ppad // TILE_P
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nE, nP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # tip_codes
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
+            pl.BlockSpec((2 * CS, 2 * CS), lambda e, p, er: (0, 0)),  # AB
+            pl.BlockSpec(memory_space=pl.ANY),             # clvs
+            pl.BlockSpec(memory_space=pl.ANY),             # scalers
+        ],
+        out_specs=[
+            pl.BlockSpec((1, CS, TILE_P), lambda e, p, er: (e, 0, p)),
+            pl.BlockSpec((1, 1, TILE_P), lambda e, p, er: (e, 0, p)),
+        ],
+        scratch_shapes=[
+            (pltpu.VMEM((2, 2, 2, CS, TILE_P), jnp.bfloat16) if split
+             else pltpu.VMEM((2, 2, CS, TILE_P), jnp.float32)),  # c_scr
+            pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),     # codes_scr
+            pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),     # s_scr
+            pltpu.SemaphoreType.DMA((2, 6 if split else 4)),  # rsem
+        ],
+    )
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    fn = pl.pallas_call(
+        _make_sumtable_kernel(n_codes, nE, nP, split),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nE, CS, Ppad), jnp.float32),
+            jax.ShapeDtypeStruct((nE, 1, Ppad), jnp.int32),
+        ],
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    return fn(eref6, tip_codes, codetab, AB, clvs, scalers)
+
+
+# ---------------------------------------------------------------------------
+# derivative kernel
+# ---------------------------------------------------------------------------
+def _make_deriv_kernel(nP: int):
+    def _kernel(st_ref,            # block [1, CS, T] f32
+                sc_ref,            # block [1, 1, T] int32
+                emul_ref,          # block [1, 8, CS] f32
+                lnB_ref,           # block [1, 1, T] f32
+                pw_ref,            # block [1, 1, T] f32
+                out_ref):          # block [1, 1, 128] f32 (accumulated)
+        p = pl.program_id(1)
+        st = st_ref[0]                                  # [CS, T]
+        rows = jax.lax.dot_general(
+            emul_ref[0], st, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC)  # [8, T]
+        L = rows[0:1, :]
+        dL = rows[1:2, :]
+        ddL = rows[2:3, :]
+        tiny = jnp.asarray(1e-37, jnp.float32)
+        Lsafe = jnp.maximum(L, tiny)
+        ln_a = jnp.log(Lsafe) + sc_ref[0].astype(jnp.float32) * LN2
+        ln_b = lnB_ref[0]                               # [1, T]
+        mx = jnp.maximum(ln_a, ln_b)
+        site_lnl = mx + jnp.log1p(jnp.exp(-jnp.abs(ln_a - ln_b)))
+        frac = jnp.exp(ln_a - site_lnl)
+        r1 = frac * dL / Lsafe
+        site_ddf = frac * ddL / Lsafe - r1 * r1
+        w = pw_ref[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        row = (jnp.where(lane == 0, jnp.sum(site_lnl * w), 0.0) +
+               jnp.where(lane == 1, jnp.sum(r1 * w), 0.0) +
+               jnp.where(lane == 2, jnp.sum(site_ddf * w), 0.0))
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[0] = row
+
+        @pl.when(p != 0)
+        def _():
+            out_ref[0] = out_ref[0] + row
+
+    return _kernel
+
+
+def deriv_coeffs(partition, t, eigen=None):
+    """Per-edge exponential weight rows for the derivative kernel:
+    emul [E, 8, CS] f32, rows (w·e^{λrt}, w·λr·e^{λrt}, w·(λr)²·e^{λrt},
+    0...) with w = rate_weight·(1−p_c) per category (the libpll effective
+    weights; ops/derivatives.edge_derivatives)."""
+    if eigen is None:
+        eigen = partition.eigen()
+    pidx = partition.param_indices
+    lam_c = eigen[0][pidx]                              # [C,S]
+    pinv_c = partition.prop_invar[pidx]
+    rc = partition.rate_cats / (1.0 - pinv_c)
+    lr = (lam_c * rc[:, None]).astype(jnp.float32)      # [C,S]
+    S = partition.states
+    CS = partition.n_cats * S
+    lr_f = lr.reshape(CS)
+    w_f = jnp.repeat((partition.rate_weights *
+                      (1.0 - pinv_c)).astype(jnp.float32), S)  # [CS]
+    t32 = jnp.asarray(t, jnp.float32)
+    expo = jnp.exp(t32[:, None] * lr_f[None, :])        # [E, CS]
+    r0 = w_f[None, :] * expo
+    emul = jnp.stack([r0, r0 * lr_f[None, :],
+                      r0 * lr_f[None, :] * lr_f[None, :]], axis=1)
+    return jnp.pad(emul, ((0, 0), (0, 5), (0, 0)))      # [E, 8, CS]
+
+
+def invar_log_plane(partition):
+    """Constant per-partition p-inv mixture term B (log space, −1e30 for
+    B=0) as a [1, 1, Ppad] f32 plane (ops/derivatives.edge_derivatives)."""
+    pidx = partition.param_indices
+    pinv_c = partition.prop_invar[pidx]
+    inv_pc = jnp.einsum("ps,cs->pc", partition.inv_indicator,
+                        partition.freqs_per_cat(), precision=_PREC)
+    B = jnp.einsum("pc,c->p", inv_pc,
+                   partition.rate_weights * pinv_c, precision=_PREC)
+    lnB = jnp.where(B > 0, jnp.log(jnp.maximum(B, 1e-37)), -1e30)
+    return lnB.astype(jnp.float32)[None, None, :]
+
+
+def edge_derivatives_pallas(partition, st, sc, t, eigen=None,
+                            lnB=None, interpret: bool = False):
+    """(logL, df, ddf) per edge from pallas sumtables — one st read total.
+
+    Args:
+      st: [E, CS, Ppad] f32, sc: [E, 1, Ppad] int32 (edge_sumtables_pallas)
+      t: [E] branch lengths (traced — fine inside Newton iterations)
+    Returns (lnl [E], df [E], ddf [E]) f32."""
+    E, CS, Ppad = st.shape
+    emul = deriv_coeffs(partition, t, eigen)
+    if lnB is None:
+        lnB = invar_log_plane(partition)
+    pw = partition.pattern_weights.astype(jnp.float32)[None, None, :]
+    TILE_P = _pick_tile_fused(Ppad, CS)
+    nP = Ppad // TILE_P
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    fn = pl.pallas_call(
+        _make_deriv_kernel(nP),
+        grid=(E, nP),
+        in_specs=[
+            pl.BlockSpec((1, CS, TILE_P), lambda e, p: (e, 0, p)),
+            pl.BlockSpec((1, 1, TILE_P), lambda e, p: (e, 0, p)),
+            pl.BlockSpec((1, 8, CS), lambda e, p: (e, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_P), lambda e, p: (0, 0, p)),
+            pl.BlockSpec((1, 1, TILE_P), lambda e, p: (0, 0, p)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda e, p: (e, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((E, 1, 128), jnp.float32),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    out = fn(st, sc, emul, lnB, pw)
+    return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]

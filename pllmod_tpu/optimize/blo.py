@@ -167,14 +167,24 @@ def _directed_clvs(partition, P, levels, offsets, n_slots, fused):
 
 
 def _fused_args(partition, trav):
-    """Fused-kernel kwargs for the BLO sweeps, or {} off the TPU path."""
+    """Fused-kernel kwargs for the BLO sweeps, or {} off the TPU path.
+
+    Includes ``eref6`` (the edge-ref rows for the pallas sumtable/
+    derivative kernels): when present the sweeps run the FULLY fused
+    pipeline — megakernel directed CLVs in CS×P layout → pallas
+    sumtables → pallas derivative evals per Newton iteration — with no
+    layout conversion and no gather HLO (measured 29.6 → single-digit
+    ms/sweep on the flagship, PERF_NOTES)."""
     from pllmod_tpu.ops import engine as engine_mod
     if not engine_mod.use_fast_kernel(partition):
         return {}
-    from pllmod_tpu.ops import pallas_clv
+    from pllmod_tpu.ops import pallas_clv, pallas_deriv
     idx8, e1, e2, ns = pallas_clv.compile_fused_ops(partition, trav.ops)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           partition.n_tips)
     return dict(fused_idx=(idx8, e1, e2), fused_nslots=ns,
-                fused_interp=engine_mod.fast_kernel_interpret())
+                fused_interp=engine_mod.fast_kernel_interpret(),
+                eref6=eref6)
 
 
 def _edge_colors(tree, edge_mask=None):
@@ -204,33 +214,68 @@ def _edge_colors(tree, edge_mask=None):
     return masks
 
 
+def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
+                         fused_interp, eref6):
+    """Fully fused TPU derivative pipeline: megakernel directed CLVs in
+    native CS×P (split) layout → pallas per-edge sumtables. Returns
+    (st, sc, eigen, lnB) ready for :func:`edge_derivatives_pallas`."""
+    from pllmod_tpu.ops import engine as engine_mod
+    from pllmod_tpu.ops import pallas_clv, pallas_deriv
+    split = engine_mod.use_split_clv()
+    idx8, fe1, fe2 = fused_idx
+    P12 = pallas_clv.fused_p12(partition, brlens, fe1, fe2)
+    clvs, scalers = pallas_clv.update_partials_fused(
+        partition, None, idx8, fe1, fe2, fused_nslots,
+        interpret=fused_interp, P12=P12, split=split)
+    eigen = partition.eigen()
+    st, sc = pallas_deriv.edge_sumtables_pallas(
+        partition, clvs, scalers, eref6, split=split,
+        interpret=fused_interp)
+    return st, sc, eigen, pallas_deriv.invar_log_plane(partition)
+
+
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
                max_newton_iters: int = 10, fused_idx=None,
-               fused_nslots=None, fused_interp=False):
+               fused_nslots=None, fused_interp=False, eref6=None):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens).
 
     ``edge_mask`` doubles as the update selector: a color sub-sweep
     passes only its color class (see :func:`_edge_colors`)."""
-    P = partition.prob_matrices(brlens)
-    fused = None if fused_nslots is None else (
-        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
-    clvs, scalers = _directed_clvs(partition, P, levels, offsets, n_slots,
-                                   fused)
-    eigen = partition.eigen()
-    st, sc = _edge_sumtables(partition, clvs, scalers, edge_ref, eigen)
-
-    lnl0_all, _, _ = deriv_mod.edge_derivatives_batch(
-        partition, st, sc, brlens, eigen)
     live_idx = jnp.argmax(edge_mask)               # any live edge
-    lnl0 = lnl0_all[live_idx]
+    if eref6 is not None:
+        from pllmod_tpu.ops import pallas_deriv
+        st, sc, eigen, lnB = _deriv_pipeline_fast(
+            partition, brlens, fused_idx, fused_nslots, fused_interp,
+            eref6)
+        lnl0_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+            partition, st, sc, brlens, eigen, lnB, fused_interp)
+        lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
 
-    def deriv_fn(t):
-        _, df, ddf = deriv_mod.edge_derivatives_batch(
-            partition, st, sc, t, eigen)
-        return df, ddf
+        def deriv_fn(t):
+            _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                partition, st, sc, t, eigen, lnB, fused_interp)
+            return df.astype(t.dtype), ddf.astype(t.dtype)
+    else:
+        P = partition.prob_matrices(brlens)
+        fused = None if fused_nslots is None else (
+            fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots,
+            fused_interp)
+        clvs, scalers = _directed_clvs(partition, P, levels, offsets,
+                                       n_slots, fused)
+        eigen = partition.eigen()
+        st, sc = _edge_sumtables(partition, clvs, scalers, edge_ref, eigen)
+
+        lnl0_all, _, _ = deriv_mod.edge_derivatives_batch(
+            partition, st, sc, brlens, eigen)
+        lnl0 = lnl0_all[live_idx]
+
+        def deriv_fn(t):
+            _, df, ddf = deriv_mod.edge_derivatives_batch(
+                partition, st, sc, t, eigen)
+            return df, ddf
 
     t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
@@ -241,7 +286,15 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                                    "fused_interp"))
 def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
             n_slots: int, fused_idx=None, fused_nslots=None,
-            fused_interp=False):
+            fused_interp=False, eref6=None):
+    if eref6 is not None:
+        from pllmod_tpu.ops import pallas_deriv
+        st, sc, eigen, lnB = _deriv_pipeline_fast(
+            partition, brlens, fused_idx, fused_nslots, fused_interp,
+            eref6)
+        lnl_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+            partition, st, sc, brlens, eigen, lnB, fused_interp)
+        return lnl_all[jnp.argmax(edge_mask)].astype(brlens.dtype)
     P = partition.prob_matrices(brlens)
     fused = None if fused_nslots is None else (
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
@@ -266,7 +319,7 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
                      n_slots: int, max_newton_iters: int = 10,
                      fused_idx=None, fused_nslots=None,
-                     fused_interp=False):
+                     fused_interp=False, eref6=None):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -278,31 +331,49 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
       scalers: tuple of scalar brlen scalers (SCALED mode; 1.0 otherwise)
     Returns (new_brlens, logL at incoming brlens).
     """
-    st_all, sc_all, eig_all = [], [], []
+    st_all, sc_all, eig_all, lnb_all = [], [], [], []
     lnl0 = 0.0
     live_idx = jnp.argmax(edge_mask)
     fused = None if fused_nslots is None else (
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    if eref6 is not None:
+        from pllmod_tpu.ops import pallas_deriv
     for part, s in zip(partitions, scalers):
-        P = part.prob_matrices(brlens * s)
-        clvs, sclr = _directed_clvs(part, P, levels, offsets, n_slots,
-                                    fused)
-        eigen = part.eigen()
-        st, sc = _edge_sumtables(part, clvs, sclr, edge_ref, eigen)
+        if eref6 is not None:
+            st, sc, eigen, lnB = _deriv_pipeline_fast(
+                part, brlens * s, fused_idx, fused_nslots, fused_interp,
+                eref6)
+            lnb_all.append(lnB)
+            l0_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                part, st, sc, brlens * s, eigen, lnB, fused_interp)
+            l0 = l0_all[live_idx].astype(brlens.dtype)
+        else:
+            P = part.prob_matrices(brlens * s)
+            clvs, sclr = _directed_clvs(part, P, levels, offsets, n_slots,
+                                        fused)
+            eigen = part.eigen()
+            st, sc = _edge_sumtables(part, clvs, sclr, edge_ref, eigen)
+            l0, _, _ = deriv_mod.edge_derivatives(
+                part, st[live_idx], sc[live_idx], brlens[live_idx] * s,
+                eigen)
         st_all.append(st)
         sc_all.append(sc)
         eig_all.append(eigen)
-        l0, _, _ = deriv_mod.edge_derivatives(
-            part, st[live_idx], sc[live_idx], brlens[live_idx] * s, eigen)
         lnl0 = lnl0 + l0
 
     def deriv_fn(t):
         df_tot = jnp.zeros_like(t)
         ddf_tot = jnp.zeros_like(t)
-        for part, s, st, sc, eigen in zip(partitions, scalers, st_all,
-                                          sc_all, eig_all):
-            _, df, ddf = deriv_mod.edge_derivatives_batch(
-                part, st, sc, t * s, eigen)
+        for i, (part, s, st, sc, eigen) in enumerate(
+                zip(partitions, scalers, st_all, sc_all, eig_all)):
+            if eref6 is not None:
+                _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                    part, st, sc, t * s, eigen, lnb_all[i], fused_interp)
+                df = df.astype(t.dtype)
+                ddf = ddf.astype(t.dtype)
+            else:
+                _, df, ddf = deriv_mod.edge_derivatives_batch(
+                    part, st, sc, t * s, eigen)
             df_tot = df_tot + df * s
             ddf_tot = ddf_tot + ddf * s * s
         return df_tot, ddf_tot

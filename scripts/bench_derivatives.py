@@ -55,15 +55,23 @@ def main(out=None):
 
     def eval_all_derivs(brl):
         """logL + (df, ddf) for every edge — one number summarizing all."""
-        P = partition.prob_matrices(brl)
-        clvs, scalers = blo_mod._directed_clvs(
-            partition, P, levels, offsets, n_slots, fused)
-        eigen = partition.eigen()
-        st, sc = blo_mod._edge_sumtables(partition, clvs, scalers,
-                                         edge_ref, eigen)
-        lnl, df, ddf = deriv_mod.edge_derivatives_batch(
-            partition, st, sc, brl, eigen)
         live = jnp.argmax(edge_mask)
+        if fargs:
+            from pllmod_tpu.ops import pallas_deriv
+            st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
+                partition, brl, fargs["fused_idx"], fargs["fused_nslots"],
+                fargs["fused_interp"], fargs["eref6"])
+            lnl, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                partition, st, sc, brl, eigen, lnB, fargs["fused_interp"])
+        else:
+            P = partition.prob_matrices(brl)
+            clvs, scalers = blo_mod._directed_clvs(
+                partition, P, levels, offsets, n_slots, fused)
+            eigen = partition.eigen()
+            st, sc = blo_mod._edge_sumtables(partition, clvs, scalers,
+                                             edge_ref, eigen)
+            lnl, df, ddf = deriv_mod.edge_derivatives_batch(
+                partition, st, sc, brl, eigen)
         return lnl[live] + 1e-12 * (jnp.sum(df) + jnp.sum(ddf))
 
     iters = 20

