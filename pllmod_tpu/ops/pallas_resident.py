@@ -175,6 +175,131 @@ def split_pack_cm(P12):
     return jnp.concatenate([corr, main], axis=2)
 
 
+def split_pack_ip(P12):
+    """Per-child split packs [nW, CS, 4CS] = [Ph1 | Pl1 | Ph2 | Pl2] for
+    the IN-PLACE kernel variant: child k's correction dot is
+    pack[:, 2kCS:(2k+2)CS] @ [lo_k; hi_k] (= Ph@lo + Pl@hi) and its main
+    dot reuses the Ph slice pack[:, 2kCS:(2k+1)CS] @ hi_k — no column
+    duplication, half the pack rows of :func:`split_pack_cm`."""
+    CS = P12.shape[1] // 2
+    Ph = P12.astype(jnp.bfloat16)
+    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([Ph[:, :CS, :CS], Pl[:, :CS, :CS],
+                            Ph[:, CS:, CS:], Pl[:, CS:, CS:]], axis=2)
+
+
+def _make_resident_kernel_ip(nW: int, nP: int, NS: int):
+    """IN-PLACE variant (split storage only): each child is dotted
+    straight from its VMEM slot — no assembly copies at all. Tip rows DMA
+    into 4 staging SLOT rows (double-buffered × child; lo halves zeroed
+    once per pattern tile), so the dot operand is uniformly
+    ``slots[opk]`` with ``opk = is_tip ? NS+2buf+k : idx[w,k]``.
+
+    Trade measured against the prefilled-assembly kernel (PERF_NOTES):
+    +2 DEFAULT dot fixed costs per step, −(one [2CS,T] VPU copy per
+    inner child + per-step tip lo zero-stores)."""
+    def _kernel(idx_ref,            # prefetch [nW, 8] int32
+                tip_hi_ref,         # ANY [n_tips, CS, Ppad] bf16
+                Pip_ref,            # VMEM block [1, CS, 4CS] bf16
+                prod_ref,           # VMEM out block [CS, T] f32
+                rsc_ref,            # VMEM out block [1, T] int32
+                slots, ssc, rsem):
+        p = pl.program_id(0)
+        w = pl.program_id(1)
+        CS = prod_ref.shape[0]
+        T = prod_ref.shape[-1]
+        two = jnp.asarray(2, jnp.int32)
+        nW_j = jnp.asarray(nW, jnp.int32)
+        step = (p * nW + w).astype(jnp.int32)
+
+        def reads(st, start):
+            wt = jax.lax.rem(st, nW_j)
+            pt = st // nW_j
+            bf = jax.lax.rem(st, two)
+            for k in (0, 1):
+                is_tip = idx_ref[wt, 2 + k] == 1
+                tip = idx_ref[wt, 4 + k]
+
+                @pl.when(is_tip)
+                def _(tip=tip, k=k, bf=bf, pt=pt):
+                    c = pltpu.make_async_copy(
+                        tip_hi_ref.at[tip, :, pl.ds(pt * T, T)],
+                        slots.at[NS + 2 * bf + k, pl.ds(CS, CS)],
+                        rsem.at[bf, k])
+                    c.start() if start else c.wait()
+
+        @pl.when(w == 0)
+        def _():
+            # staging lo halves are zero (tips are exact in bf16); they
+            # are only ever READ, so zero once per pattern tile
+            for r in range(4):
+                slots[NS + r, :CS] = jnp.zeros((CS, T), jnp.bfloat16)
+
+        @pl.when(step == 0)
+        def _():
+            reads(step, True)
+
+        reads(step, False)
+
+        @pl.when(step + 1 < nW * nP)
+        def _():
+            reads(step + 1, True)
+
+        buf = jax.lax.rem(step, two)
+        is_tip1 = idx_ref[w, 2] == 1
+        is_tip2 = idx_ref[w, 3] == 1
+
+        def child(k, is_tip):
+            opk = jnp.where(is_tip, NS + 2 * buf + k, idx_ref[w, k])
+            ch = slots[opk]                               # [2CS, T] bf16
+            corr = jax.lax.dot_general(
+                Pip_ref[0, :, 2 * k * CS:(2 * k + 2) * CS], ch,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            main = jax.lax.dot_general(
+                Pip_ref[0, :, 2 * k * CS:(2 * k + 1) * CS], ch[CS:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            return main + corr
+
+        prod = child(0, is_tip1) * child(1, is_tip2)
+
+        zero_s = jnp.zeros((1, T), jnp.int32)
+        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[w, 0]])
+        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[w, 1]])
+
+        # exact power-of-two rescale (identical to the XLA engines)
+        m = jnp.max(prod, axis=0, keepdims=True)
+        mi = jax.lax.bitcast_convert_type(m, jnp.int32)
+        e = ((mi >> 23) & 0xFF) - 126
+        e = jnp.where(m > 0, e, 0)
+        e = jnp.clip(e, -125, 127)
+        scale = jax.lax.bitcast_convert_type(
+            ((127 - e) << 23).astype(jnp.int32), jnp.float32)
+        scaled = prod * scale
+        stot = s1 + s2 + e
+
+        is_root = w == nW - 1
+
+        @pl.when(jnp.logical_not(is_root))
+        def _():
+            out = idx_ref[w, 6]
+            oh = scaled.astype(jnp.bfloat16)
+            slots[out, :CS] = (scaled - oh.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+            slots[out, CS:] = oh
+            ssc[out] = stot
+
+        @pl.when(is_root)
+        def _():
+            prod_ref[...] = scaled
+            rsc_ref[...] = stot
+
+    return _kernel
+
+
 def _pick_tile_resident(P: int, CS: int, NS: int, split: bool) -> int:
     """VMEM working set of the v2 kernel: NS slots ([2CS,T] bf16 split /
     [CS,T] f32 plain) + double-buffered assembly + tip staging (plain) +
@@ -352,14 +477,19 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
     return _kernel
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
                             n_slots: int, interpret: bool = False,
-                            split: bool = True, _probe: str = ""):
+                            split: bool = True, _probe: str = "",
+                            inplace: bool | None = None):
     """Full-tree edge logL through the v2 (prefilled-assembly) resident
     kernel.  Same contract as :func:`loglikelihood_resident` plus
     ``tip_hi`` = :func:`expanded_tip_planes` of the partition (build it
-    once per partition; it is model-parameter- and topology-invariant)."""
+    once per partition; it is model-parameter- and topology-invariant).
+
+    ``inplace`` (split mode only; default = PLLMOD_RESIDENT_INPLACE env,
+    off): per-child dots straight from the slot scratch instead of the
+    prefilled assembly — see :func:`_make_resident_kernel_ip`."""
     from pllmod_tpu.ops import likelihood as lk_mod
     e1, e2 = e12
     Ppad = partition.n_patterns_padded
@@ -379,28 +509,30 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
         P12 = P12.at[:, CS:, CS:].set(Pbd[e2[:-1]])
         P_root = jnp.take(P, e2[-1], axis=0)
     P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
-    if split:
+    if inplace is None:
+        inplace = bool(int(_os.environ.get("PLLMOD_RESIDENT_INPLACE", "0")))
+    inplace = inplace and split
+    if inplace:
+        P12 = split_pack_ip(P12)
+        prow, pwidth = CS, 4 * CS
+    elif split:
         P12 = split_pack_cm(P12)
-        pwidth = 8 * CS
+        prow, pwidth = 2 * CS, 8 * CS
     else:
-        pwidth = 2 * CS
+        prow, pwidth = 2 * CS, 2 * CS
 
     NS = max(n_slots, 1)
-    T = _pick_tile_resident(Ppad, CS, NS, split)
+    T = _pick_tile_resident(Ppad, CS, NS + (4 if inplace else 0), split)
     nP = Ppad // T
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nP, nW),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),           # tip_hi
-            pl.BlockSpec((1, 2 * CS, pwidth),
-                         lambda p, w, idx: (w, 0, 0)),   # P12 packs
-        ],
-        out_specs=[
-            pl.BlockSpec((CS, T), lambda p, w, idx: (0, p)),
-            pl.BlockSpec((1, T), lambda p, w, idx: (0, p)),
-        ],
-        scratch_shapes=[
+    if inplace:
+        scratch_shapes = [
+            pltpu.VMEM((NS + 4, 2 * CS, T), jnp.bfloat16),  # slots+staging
+            pltpu.VMEM((NS, 1, T), jnp.int32),              # ssc
+            pltpu.SemaphoreType.DMA((2, 2)),                # rsem
+        ]
+        kernel = _make_resident_kernel_ip(nW, nP, NS)
+    else:
+        scratch_shapes = [
             (pltpu.VMEM((NS, 2 * CS, T), jnp.bfloat16) if split
              else pltpu.VMEM((NS, CS, T), jnp.float32)),   # slots
             pltpu.VMEM((NS, 1, T), jnp.int32),             # ssc
@@ -410,14 +542,28 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
             (pltpu.VMEM((1, 1, 8, 128), jnp.bfloat16) if split
              else pltpu.VMEM((2, 2, CS, T), jnp.bfloat16)),
             pltpu.SemaphoreType.DMA((2, 2)),               # rsem
+        ]
+        kernel = _make_resident_kernel(nW, nP, split, _probe)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nP, nW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),           # tip_hi
+            pl.BlockSpec((1, prow, pwidth),
+                         lambda p, w, idx: (w, 0, 0)),   # P12 packs
         ],
+        out_specs=[
+            pl.BlockSpec((CS, T), lambda p, w, idx: (0, p)),
+            pl.BlockSpec((1, T), lambda p, w, idx: (0, p)),
+        ],
+        scratch_shapes=scratch_shapes,
     )
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
     fn = pl.pallas_call(
-        _make_resident_kernel(nW, nP, split, _probe),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((CS, Ppad), jnp.float32),

@@ -161,3 +161,20 @@ def test_resident_protein_split(rng):
     l_split = float(pallas_resident.loglikelihood_resident(
         part, idx8, brl, (e1, e2), tip_hi, ns, True, True))
     assert abs(l_split - l_exact) / abs(l_exact) < 1e-6
+
+
+def test_resident_inplace_variant(rng):
+    """IN-PLACE kernel variant (per-child dots straight from the slot
+    scratch, staged tips): bit-exact vs the prefilled-assembly kernel in
+    interpret mode, DNA and protein."""
+    for states in (4, 20):
+        part, tree = _case(rng, 10, 256, states=states)
+        part = part.cache_eigen()
+        brl = jnp.asarray(tree.lengths, jnp.float32)
+        idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+        tip_hi = pallas_resident.expanded_tip_planes(part)
+        l_asm = float(pallas_resident.loglikelihood_resident(
+            part, idx8, brl, (e1, e2), tip_hi, ns, True, True))
+        l_ip = float(pallas_resident.loglikelihood_resident(
+            part, idx8, brl, (e1, e2), tip_hi, ns, True, True, "", True))
+        assert l_ip == l_asm
