@@ -173,3 +173,76 @@ def loglikelihood_resident_sharded(partition, tree, brlens, mesh: Mesh,
         return jax.lax.psum(lnl, axis_name)
 
     return body(partition, brlens, idx8, e1, e2, tip_hi)
+
+
+def blo_sweep_fast_sharded(partition, tree, brlens, mesh: Mesh,
+                           axis_name: str = SITES_AXIS,
+                           min_brlen: float = 1e-4, max_brlen: float = 100.0,
+                           newton_tol: float = 1e-6,
+                           max_newton_iters: int = 10,
+                           interpret: bool = False):
+    """Site-sharded Newton BLO sweep through the FUSED derivative
+    pipeline (megakernel directed CLVs → pallas sumtables → pallas
+    per-edge derivatives): each device builds sumtables over its local
+    pattern shard; every Newton iteration's (df, ddf) are psum-reduced —
+    the reference's per-iteration collective
+    (``pll_optimize.c:1270-1286``), with every shard advancing the same
+    lock-step bracketed Newton so the collective count is identical on
+    all ranks (SPMD gives the reference's all-ranks-same-order invariant
+    for free).
+
+    Returns (new_brlens [n_edge_slots] replicated, logL at the incoming
+    brlens).
+    """
+    from functools import partial as _partial
+    from jax import shard_map
+    from pllmod_tpu.optimize import blo as blo_mod
+    from pllmod_tpu.optimize.newton import minimize_newton_multi
+    from pllmod_tpu.ops import pallas_clv, pallas_deriv
+
+    n_dev = mesh.shape[axis_name]
+    local = partition.n_patterns_padded // n_dev
+    if partition.n_patterns_padded % n_dev or local % 128:
+        raise ValueError(
+            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
+            f" {local}) must be a multiple of 128 lanes; create the "
+            f"partition with pattern_pad=128*{n_dev}")
+    if partition.eigen_lam is None:
+        partition = partition.cache_eigen()
+
+    trav = blo_mod.DirectedTraversal(tree)
+    idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(partition,
+                                                         trav.ops)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           partition.n_tips)
+    edge_mask = jnp.asarray(trav.edge_mask)
+    dtype = partition.dtype
+    brl = jnp.asarray(jnp.clip(jnp.asarray(brlens, dtype),
+                               min_brlen, max_brlen))
+    pspecs = partition_specs(partition, axis_name)
+
+    @jax.jit
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(pspecs, P(), P(), P(), P(), P(), P()),
+              out_specs=(P(), P()), check_vma=False)
+    def body(part_local, brl, idx8j, e1j, e2j, eref6j, emask):
+        st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
+            part_local, brl, (idx8j, e1j, e2j), n_slots, interpret, eref6j)
+        lnl_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+            part_local, st, sc, brl, eigen, lnB, interpret)
+        lnl0 = jax.lax.psum(lnl_all[jnp.argmax(emask)], axis_name)
+
+        def deriv_fn(t):
+            _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                part_local, st, sc, t, eigen, lnB, interpret)
+            return (jax.lax.psum(df, axis_name).astype(t.dtype),
+                    jax.lax.psum(ddf, axis_name).astype(t.dtype))
+
+        t_opt = minimize_newton_multi(
+            deriv_fn, brl, jnp.asarray(min_brlen, brl.dtype),
+            jnp.asarray(max_brlen, brl.dtype),
+            tol=jnp.asarray(newton_tol, brl.dtype),
+            max_iters=max_newton_iters)
+        return jnp.where(emask, t_opt, brl), lnl0.astype(brl.dtype)
+
+    return body(partition, brl, idx8, e1, e2, eref6, edge_mask)

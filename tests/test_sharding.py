@@ -154,3 +154,42 @@ def test_resident_sharded_parity(rng, mesh):
     l_mesh = float(loglikelihood_resident_sharded(
         shp, tree, tree.lengths, mesh, interpret=True))
     assert abs(l_mesh - l_one) <= 5e-6 * max(1.0, abs(l_one))
+
+
+def test_sharded_fast_blo_sweep_matches(rng, mesh):
+    """Fused-pipeline BLO sweep under the site mesh (pallas kernels per
+    shard + psum'd Newton derivatives) == the single-device fused sweep.
+    The multi-chip production BLO path."""
+    from pllmod_tpu.ops import engine as engine_mod
+    from pllmod_tpu.optimize.blo import DirectedTraversal, _blo_sweep, \
+        _fused_args
+    from pllmod_tpu.parallel.sharding import (blo_sweep_fast_sharded,
+                                              shard_partition)
+
+    tree = ref.random_binary_tree(rng, 8, 0.05, 0.3)
+    seqs = ref.random_sequences(rng, 8, 700)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            prop_invar=0.1, dtype=jnp.float32,
+                            compress=False, pattern_pad=1024).cache_eigen()
+    brl = jnp.asarray(np.clip(tree.lengths, 1e-4, 100.0), jnp.float32)
+
+    engine_mod.FORCE_FAST_KERNEL = True
+    try:
+        trav = DirectedTraversal(tree)
+        levels, offsets, _eref, n_slots = trav.schedule()
+        fargs = _fused_args(part, trav)
+        nb_1, l0_1 = _blo_sweep(
+            part, levels, offsets, jnp.asarray(trav.edge_ref),
+            jnp.asarray(trav.edge_mask), brl,
+            jnp.asarray(1e-4, jnp.float32), jnp.asarray(100.0, jnp.float32),
+            jnp.asarray(1e-6, jnp.float32), n_slots, **fargs)
+
+        m = make_mesh(jax.devices()[:8])
+        sh = shard_partition(part, m)
+        nb_8, l0_8 = blo_sweep_fast_sharded(sh, tree, brl, m,
+                                            interpret=True)
+    finally:
+        engine_mod.FORCE_FAST_KERNEL = None
+    assert float(l0_8) == pytest.approx(float(l0_1), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(nb_8), np.asarray(nb_1),
+                               rtol=1e-3, atol=1e-5)
