@@ -133,6 +133,40 @@ class RTree:
     def rollback(self, snap):
         self.restore(snap)
 
+    def nodes_at_node_dist(self, node, min_dist: int, max_dist: int):
+        """Nodes within UNDIRECTED BFS distance [min_dist, max_dist] of
+        ``node`` — the rooted SPR candidate generator
+        (pllmod_rtree_get_nodes_at_node_dist, rtree_operations.c:282-344).
+        The start node is excluded; floating nodes are skipped."""
+        children = {n: [] for n in range(self.n_nodes)}
+        for n in range(self.n_nodes):
+            p = int(self.parent[n])
+            if p >= 0:
+                children[p].append(n)
+
+        def nbrs(x):
+            out = list(children[x])
+            p = int(self.parent[x])
+            if p >= 0:
+                out.append(p)
+            return out
+
+        seen = {node}
+        frontier = [(node, 0)]
+        hits = []
+        while frontier:
+            x, d = frontier.pop()
+            if d >= max_dist:
+                continue
+            for nbr in nbrs(x):
+                if nbr in seen or int(self.parent[nbr]) == -2:
+                    continue
+                seen.add(nbr)
+                if d + 1 >= min_dist:
+                    hits.append(nbr)
+                frontier.append((nbr, d + 1))
+        return sorted(hits)
+
     # ------------------------------------------------------------------
     @classmethod
     def from_unrooted(cls, tree, root_edge: int,

@@ -175,3 +175,50 @@ def compute_lk(partition, tree: Tree) -> float:
     """pllmod_utree_compute_lk: p-matrices + partials + edge logL."""
     from pllmod_tpu.ops.engine import tree_loglikelihood
     return float(tree_loglikelihood(partition, tree))
+
+
+def nodes_at_node_dist(tree: Tree, node: int, min_dist: int, max_dist: int):
+    """Nodes within BFS distance [min_dist, max_dist] of ``node`` — the
+    SPR regraft-candidate generator (pllmod_utree_nodes_at_node_dist,
+    utree_operations.c:389-457). Returns a sorted list of node ids; the
+    start node itself is excluded."""
+    adj = tree.adjacency()
+    out = []
+    seen = {node}
+    frontier = [(node, 0)]
+    while frontier:
+        u, d = frontier.pop()
+        if d >= max_dist:
+            continue
+        for nbr, _e in adj[u]:
+            if nbr in seen:
+                continue
+            seen.add(nbr)
+            if d + 1 >= min_dist:
+                out.append(nbr)
+            frontier.append((nbr, d + 1))
+    return sorted(out)
+
+
+def nodes_at_edge_dist(tree: Tree, edge: int, min_dist: int, max_dist: int):
+    """Nodes within BFS distance of an EDGE (both endpoints at distance
+    0 — pllmod_utree_nodes_at_edge_dist, utree_operations.c:459-503)."""
+    u, v = (int(x) for x in tree.edge_nodes[edge])
+    if u < 0:
+        raise TreeError(TREE_ERROR_INVALID_TREE, f"edge {edge} is dead")
+    adj = tree.adjacency()
+    out = []
+    seen = {u, v}
+    frontier = [(u, 0), (v, 0)]
+    while frontier:
+        x, d = frontier.pop()
+        if d >= max_dist:
+            continue
+        for nbr, _e in adj[x]:
+            if nbr in seen:
+                continue
+            seen.add(nbr)
+            if d + 1 >= min_dist:
+                out.append(nbr)
+            frontier.append((nbr, d + 1))
+    return sorted(out)

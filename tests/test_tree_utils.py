@@ -155,3 +155,40 @@ def test_treeinfo_compute_ancestral(rng):
     (nodes, probs), = ti.compute_ancestral()
     assert probs.shape[0] == len(nodes) == t.n_inner
     np.testing.assert_allclose(probs.sum(-1)[:, :50], 1.0, atol=1e-10)
+
+
+def test_nodes_at_node_dist():
+    """BFS candidate enumeration (utree_operations.c:389-503): exact
+    distances on a known caterpillar topology."""
+    from pllmod_tpu.tree import Tree
+    from pllmod_tpu.tree.utils import nodes_at_node_dist, nodes_at_edge_dist
+    t = Tree.from_newick("((a:1,b:1):1,(c:1,d:1):1,e:1);")
+    # node ids: tips a=0,b=1,c=2,d=3,e=4; inner ab=?, cd=?, root=?
+    adj = t.adjacency()
+    root = next(n for n in range(t.n_tips, t.n_nodes) if len(adj[n]) == 3)
+    # distance-1 neighborhood of the root: its three neighbors
+    d1 = nodes_at_node_dist(t, root, 1, 1)
+    assert len(d1) == 3 and all(x != root for x in d1)
+    # everything is within distance 3 of the root (5 tips + 2 inners)
+    dall = nodes_at_node_dist(t, root, 1, 10)
+    assert len(dall) == t.n_nodes - 1
+    # min_dist excludes the near ring
+    far = nodes_at_node_dist(t, root, 2, 10)
+    assert set(far) | set(d1) == set(dall) and not set(far) & set(d1)
+    # edge version: both endpoints at distance 0
+    e_ab = next(e for n, e in adj[0])
+    near = nodes_at_edge_dist(t, e_ab, 1, 1)
+    assert 0 in near or 1 in near or root in near
+
+
+def test_rtree_nodes_at_node_dist():
+    from pllmod_tpu.tree.rtree import RTree
+    rt = RTree.from_newick("(((a:1,b:1):1,c:1):1,(d:1,e:1):1);")
+    root = rt.root
+    d1 = rt.nodes_at_node_dist(root, 1, 1)
+    assert len(d1) == 2            # root's two children
+    dall = rt.nodes_at_node_dist(root, 1, 10)
+    assert len(dall) == rt.n_nodes - 1
+    # prune floats a node; floating nodes never appear as candidates
+    orphan = rt.prune(0)
+    assert orphan not in rt.nodes_at_node_dist(rt.root, 1, 10)
