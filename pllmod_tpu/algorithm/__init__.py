@@ -8,6 +8,7 @@
 
 from pllmod_tpu.algorithm.opt_model import (  # noqa: F401
     opt_alpha,
+    opt_onedim_custom,
     opt_pinv,
     opt_alpha_pinv,
     opt_subst_rates,

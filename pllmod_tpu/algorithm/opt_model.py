@@ -85,7 +85,8 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
     scalar; evaluations are batched per partition."""
     total = 0.0
     for i in treeinfo.local_indices():
-        if not (treeinfo.params_to_optimize[i] & mask_bit):
+        if mask_bit is not None and \
+                not (treeinfo.params_to_optimize[i] & mask_bit):
             continue
         part = treeinfo.partitions[i]
         # alpha/pinv/scaler leave rates+freqs fixed: cache the eigendecomp
@@ -111,6 +112,20 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
         treeinfo.partition_loglh[i] = -float(f_opt[0])
         total += -float(f_opt[0])
     return total
+
+
+def opt_onedim_custom(treeinfo, make_partition, get_x0, xmin, xmax,
+                      mask_bit=None, tol=1e-4):
+    """Public generic one-dimensional treeinfo optimization with
+    user-supplied getter/setter callbacks
+    (pllmod_algo_opt_onedim_treeinfo_custom, pllmod_algorithm.c:803-853):
+    ``make_partition(partition, x) -> partition`` writes the scalar into
+    a partition, ``get_x0(partition) -> x`` reads the starting point.
+    ``mask_bit=None`` optimizes the scalar on every local partition
+    regardless of ``params_to_optimize``. Returns the total logL."""
+    return _opt_onedim(treeinfo, make_partition=make_partition,
+                       get_x0=get_x0, xmin=xmin, xmax=xmax,
+                       mask_bit=mask_bit, tol=tol)
 
 
 def opt_alpha(treeinfo, min_alpha=common.MIN_ALPHA,

@@ -243,3 +243,25 @@ def test_spr_round_multipartition_thorough(rng):
     lnl, n_applied, _ = spr_round(ti, radius_min=1, radius_max=6,
                                   thorough=True)
     assert lnl >= l_bad - 1e-6
+
+
+def test_opt_onedim_custom(rng):
+    """Public custom one-dim treeinfo optimization
+    (pllmod_algo_opt_onedim_treeinfo_custom): user getter/setter drive
+    the same Brent machinery — recover alpha through the custom hook."""
+    from pllmod_tpu.algorithm import opt_onedim_custom
+    tree = ref.random_binary_tree(rng, 8, 0.05, 0.4)
+    seqs = ref.random_sequences(rng, 8, 300)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.3,
+                            dtype=jnp.float64)
+    ti = TreeInfo(tree, [part], params_to_optimize=0)  # mask ignored
+    l0 = ti.compute_loglh()
+    lnl = opt_onedim_custom(
+        ti, make_partition=lambda p, a: p.with_alpha(a),
+        get_x0=lambda p: p.alpha, xmin=0.02, xmax=100.0)
+    assert lnl > l0
+    direct = TreeInfo(tree, [create_partition(
+        seqs, states=4, n_rate_cats=4, alpha=0.3, dtype=jnp.float64)])
+    from pllmod_tpu.algorithm import opt_alpha
+    lnl2 = opt_alpha(direct)
+    assert abs(lnl - lnl2) < 1e-6
