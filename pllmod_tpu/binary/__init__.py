@@ -3,6 +3,8 @@
 from pllmod_tpu.binary.binary import (  # noqa: F401
     BinaryFile,
     attach_skeleton,
+    save_treeinfo,
+    load_treeinfo,
     ACCESS_SEQUENTIAL,
     ACCESS_RANDOM,
     BLOCK_PARTITION,

@@ -330,3 +330,63 @@ def attach_skeleton(skeleton, source):
         pattern_weights=source.pattern_weights,
         inv_indicator=source.inv_indicator,
         n_patterns=source.n_patterns)
+
+
+# ---------------------------------------------------------------------------
+# TreeInfo-level checkpointing (the RAxML-NG checkpoint composition:
+# model state of every partition + topology/branch lengths + search
+# bookkeeping, built on the reference's block primitives).
+# ---------------------------------------------------------------------------
+def save_treeinfo(path: str, treeinfo, extra: bytes = b""):
+    """Checkpoint a TreeInfo: one PARTITION block per local partition
+    (remote ``None`` slots recorded and skipped), one TREE block, and a
+    CUSTOM block holding linkage mode / scalers / brlens / param masks
+    (the reference's downstream checkpoint composition over
+    pll_binary.c:204-1270). ``extra`` rides along for caller state
+    (e.g. an optimizer's bookkeeping)."""
+    import json
+    import numpy as np
+
+    meta = {
+        "n_partitions": treeinfo.n_partitions,
+        "local": [i for i, p in enumerate(treeinfo.partitions)
+                  if p is not None],
+        "brlen_linkage": int(treeinfo.brlen_linkage),
+        "brlen_scalers": np.asarray(treeinfo.brlen_scalers).tolist(),
+        "params_to_optimize": [int(m) for m in treeinfo.params_to_optimize],
+        "brlens": (np.asarray(treeinfo.brlens).tolist()
+                   if treeinfo.brlens is not None else None),
+        "extra_len": len(extra),
+    }
+    blob = json.dumps(meta).encode() + b"\0" + extra
+    with BinaryFile.create(path,
+                           max_blocks=treeinfo.n_partitions + 2) as f:
+        f.dump_custom(0, blob)
+        f.dump_tree(1, treeinfo.tree)
+        for i in meta["local"]:
+            f.dump_partition(2 + i, treeinfo.partitions[i])
+
+
+def load_treeinfo(path: str):
+    """Restore a TreeInfo checkpoint. Returns (treeinfo, extra_bytes);
+    remote partitions come back as ``None`` slots (re-init them with the
+    owning rank's data, mirroring pllmod_treeinfo_init_partition)."""
+    import json
+    import numpy as np
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+
+    with BinaryFile.open(path) as f:
+        blob = f.load_custom(0)
+        head, _, extra = blob.partition(b"\0")
+        meta = json.loads(head.decode())
+        tree = f.load_tree(1)
+        partitions = [None] * meta["n_partitions"]
+        for i in meta["local"]:
+            partitions[i] = f.load_partition(2 + i)
+    ti = TreeInfo(tree, partitions,
+                  brlen_linkage=meta["brlen_linkage"],
+                  params_to_optimize=meta["params_to_optimize"])
+    ti.brlen_scalers = np.asarray(meta["brlen_scalers"])
+    if meta["brlens"] is not None and ti.brlens is not None:
+        ti.brlens = np.asarray(meta["brlens"])
+    return ti, extra[:meta["extra_len"]]

@@ -125,3 +125,39 @@ def test_bad_magic(tmp_path):
     p.write_bytes(b"NOTAPLLF" + b"\0" * 64)
     with pytest.raises(BinaryError):
         BinaryFile.open(str(p))
+
+
+def test_treeinfo_checkpoint_roundtrip(rng, tmp_path):
+    """save_treeinfo/load_treeinfo: resume gives the identical logL and
+    preserves linkage state, remote slots, and the extra blob (the
+    RAxML-NG checkpoint composition)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pllmod_tpu import common
+    from pllmod_tpu.binary import save_treeinfo, load_treeinfo
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from tests import reference_impl as ref
+
+    tree = ref.random_binary_tree(rng, 7, 0.05, 0.4)
+    seqs = ref.random_sequences(rng, 7, 120)
+    p1 = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.7,
+                          prop_invar=0.1, dtype=jnp.float64)
+    p2 = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.3,
+                          dtype=jnp.float64)
+    ti = TreeInfo(tree, [p1, None, p2],
+                  brlen_linkage=common.BRLEN_SCALED,
+                  params_to_optimize=[common.PARAM_ALPHA, 0,
+                                      common.PARAM_BRANCHES_ITERATIVE])
+    ti.brlen_scalers[:] = (1.0, 1.0, 1.9)
+    l0 = ti.compute_loglh()
+
+    path = str(tmp_path / "ck.bin")
+    save_treeinfo(path, ti, extra=b"round=3")
+    ti2, extra = load_treeinfo(path)
+    assert extra == b"round=3"
+    assert ti2.partitions[1] is None
+    assert ti2.brlen_linkage == common.BRLEN_SCALED
+    assert ti2.params_to_optimize == ti.params_to_optimize
+    np.testing.assert_allclose(ti2.brlen_scalers, ti.brlen_scalers)
+    assert ti2.compute_loglh() == pytest.approx(l0, abs=1e-9)
