@@ -191,3 +191,49 @@ def test_blo_end_to_end_fast(rng, force_fast):
     engine_mod.FORCE_FAST_KERNEL = False
     l_check = float(tree_loglikelihood(part, t_fast))
     assert abs(l_check - l_fast) / abs(l_fast) < 1e-5
+
+
+def test_kernel_fuzz_random_configs(rng):
+    """Fuzz: random states/cats/pinv/branch regimes (incl. the odd-state
+    padding path, blopt-5states analog) — pallas st+derivs must match the
+    XLA formulation on every live edge."""
+    from pllmod_tpu.ops import charmap
+
+    for trial in range(4):
+        states = int(rng.choice([4, 5, 8, 20]))
+        cats = int(rng.choice([1, 2, 4]))
+        n_tips = int(rng.integers(5, 12))
+        n_sites = int(rng.choice([96, 160]))
+        pinv = float(rng.choice([0.0, 0.3]))
+        blmax = float(rng.choice([0.3, 2.0]))
+        tree = ref.random_binary_tree(rng, n_tips, 0.01, blmax)
+        cm = charmap.for_states(states)
+        syms = charmap.MULTI_SYMBOLS[:states] if states != 4 else "ACGT"
+        seqs = ["".join(rng.choice(list(syms), n_sites))
+                for _ in range(n_tips)]
+        nr = states * (states - 1) // 2
+        part = create_partition(
+            seqs, states=states, n_rate_cats=cats,
+            alpha=float(rng.uniform(0.3, 2.0)),
+            subst_rates=rng.uniform(0.5, 3.0, nr),
+            freqs=rng.dirichlet([8] * states), prop_invar=pinv,
+            dtype=jnp.float32).cache_eigen()
+        trav = blo_mod.DirectedTraversal(tree)
+        brl = jnp.asarray(tree.lengths, jnp.float32)
+        idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+        P = part.prob_matrices(brl)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            part, P, idx8, e1, e2, ns, interpret=True, split=False)
+        eref6 = pallas_deriv.compile_edge_refs(
+            trav.edge_ref, trav.edge_mask, part.n_tips)
+        st, sc = pallas_deriv.edge_sumtables_pallas(
+            part, clvs, scalers, eref6, split=False, interpret=True)
+        got = pallas_deriv.edge_derivatives_pallas(part, st, sc, brl,
+                                                   interpret=True)
+        want = _xla_golden(part, tree, trav, brl)
+        mask = trav.edge_mask
+        for name, a, b in zip(("lnl", "df", "ddf"), got, want):
+            a = np.asarray(a)[mask]
+            b = np.asarray(b, np.float32)[mask]
+            rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-2))
+            assert rel < 5e-5, (trial, states, cats, pinv, name, rel)
