@@ -61,7 +61,8 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
               ntopol_keep: int = 20, subtree_cutoff: float = 1.0,
               blo_params: dict | None = None, symmetries=None,
               constraint=None, max_rounds: int = 50, thorough: bool = True,
-              on_round=None):
+              on_round=None, checkpoint_path: str | None = None,
+              resume: bool = False):
     """Search for the maximum-likelihood tree, modifying ``treeinfo``
     in place (its tree ends at the best topology found, its partitions at
     the re-optimized model parameters).
@@ -81,18 +82,63 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
       constraint: optional :class:`pllmod_tpu.tree.constraint.Constraint`.
       max_rounds: hard cap across both stages.
       on_round: optional callback ``f(SearchRound)`` after every round.
+      checkpoint_path: when given, the full search state (treeinfo via
+        :func:`pllmod_tpu.binary.save_treeinfo` + stage/radius/round
+        records) is written after every SPR round — the RAxML-NG-style
+        search checkpoint built on the binary module (SURVEY §2.7).
+      resume: with ``checkpoint_path`` pointing at an existing file,
+        restore ``treeinfo`` and continue from the recorded stage and
+        radius instead of starting over.
 
     Returns:
       :class:`SearchResult`; ``treeinfo`` holds the best tree/model.
     """
-    start_lnl = treeinfo.compute_loglh()
-    lnl = opt_model(treeinfo, symmetries=symmetries, tol=model_epsilon,
-                    blo_kwargs=blo_params)
+    import json
+    import os
+
+    ck_state = None
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        from pllmod_tpu.binary import load_treeinfo
+        ti2, extra = load_treeinfo(checkpoint_path)
+        treeinfo.tree = ti2.tree
+        treeinfo.partitions = ti2.partitions
+        treeinfo.brlens = ti2.brlens
+        treeinfo.brlen_scalers = ti2.brlen_scalers
+        treeinfo.params_to_optimize = ti2.params_to_optimize
+        treeinfo.brlen_linkage = ti2.brlen_linkage
+        ck_state = json.loads(extra.decode())
+
+    def save_ck(mode, cur_radius, rounds, lnl, start_lnl):
+        if not checkpoint_path:
+            return
+        from pllmod_tpu.binary import save_treeinfo
+        state = {"mode": mode, "radius": cur_radius, "lnl": lnl,
+                 "start_lnl": start_lnl,
+                 "rounds": [[r.mode, r.radius, r.loglh, r.n_applied]
+                            for r in rounds]}
+        save_treeinfo(checkpoint_path, treeinfo,
+                      extra=json.dumps(state).encode())
+
     rounds: list[SearchRound] = []
     modes = ("fast", "thorough") if thorough else ("fast",)
+    if ck_state is not None:
+        start_lnl = ck_state["start_lnl"]
+        lnl = ck_state["lnl"]
+        rounds = [SearchRound(*r) for r in ck_state["rounds"]]
+        modes = tuple(m for m in modes
+                      if modes.index(m) >= modes.index(ck_state["mode"]))
+        resume_radius = ck_state["radius"]
+    else:
+        start_lnl = treeinfo.compute_loglh()
+        lnl = opt_model(treeinfo, symmetries=symmetries, tol=model_epsilon,
+                        blo_kwargs=blo_params)
+        resume_radius = None
     for mode in modes:
         cur_radius = min(max(radius_min + radius_step - 1, radius_min),
                          radius_max)
+        if resume_radius is not None:
+            cur_radius = max(cur_radius, min(resume_radius, radius_max))
+            resume_radius = None    # only the interrupted stage resumes
         while len(rounds) < max_rounds:
             best, n_applied, _ = spr_round(
                 treeinfo, radius_min=radius_min, radius_max=cur_radius,
@@ -108,6 +154,7 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
                 lnl = max(lnl, best)
             rec = SearchRound(mode, cur_radius, float(lnl), int(n_applied))
             rounds.append(rec)
+            save_ck(mode, cur_radius, rounds, float(lnl), float(start_lnl))
             if on_round is not None:
                 on_round(rec)
             if not improved:

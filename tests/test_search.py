@@ -65,3 +65,38 @@ def test_ml_search_recovers_perturbed_tree(rng):
     lnl2, n_applied, _ = spr_round(ti, radius_min=1, radius_max=8,
                                    thorough=True)
     assert lnl2 <= res.loglh + 0.05
+
+
+def test_ml_search_checkpoint_resume(rng, tmp_path):
+    """Interrupt a search (max_rounds=1, checkpointed), then resume from
+    the checkpoint into a FRESH TreeInfo: the resumed search must pick up
+    the stage/radius, keep the earlier round records, and end at least as
+    good as an uninterrupted run."""
+    true_tree = ref.random_binary_tree(rng, 9, 0.05, 0.3)
+    rates = np.array([1.0, 4.0, 1.0, 1.0, 4.0, 1.0])
+    freqs = np.full(4, 0.25)
+    seqs = simulate(rng, true_tree, rates, freqs, 1.0, 1000)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=1.0,
+                            subst_rates=rates, freqs=freqs,
+                            dtype=jnp.float64)
+    bad = _perturbed(rng, true_tree, 2)
+    popt = common.PARAM_BRANCHES_ITERATIVE
+    kw = dict(radius_step=3, radius_max=6, lh_epsilon=0.01)
+    ck = str(tmp_path / "search.ck")
+
+    # uninterrupted baseline
+    ti_full = TreeInfo(bad.copy(), [part], params_to_optimize=popt)
+    res_full = ml_search(ti_full, **kw)
+
+    # interrupted run: one round, checkpointed
+    ti_a = TreeInfo(bad.copy(), [part], params_to_optimize=popt)
+    res_a = ml_search(ti_a, max_rounds=1, checkpoint_path=ck, **kw)
+    assert res_a.n_rounds == 1
+
+    # resume into a FRESH TreeInfo built from the perturbed start
+    ti_b = TreeInfo(bad.copy(), [part], params_to_optimize=popt)
+    res_b = ml_search(ti_b, checkpoint_path=ck, resume=True, **kw)
+    assert res_b.n_rounds > 1
+    assert res_b.rounds[0] == res_a.rounds[0]       # history preserved
+    assert res_b.loglh >= res_full.loglh - 0.1
+    assert abs(ti_b.compute_loglh() - res_b.loglh) < 1e-5
