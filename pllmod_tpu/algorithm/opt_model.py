@@ -54,7 +54,8 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     if not need_grad and engine_mod.use_fast_kernel(part0):
         from pllmod_tpu.ops import pallas_resident
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-            part0, treeinfo.tree)
+            part0, treeinfo.tree,
+            n_slots_min=pallas_resident.resident_slot_bound(part0.n_tips))
         tip_hi = pallas_resident.expanded_tip_planes(part0)
 
         interp = engine_mod.fast_kernel_interpret()
@@ -173,7 +174,9 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
         if engine_mod.use_fast_kernel(part):
             from pllmod_tpu.ops import pallas_resident
             idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-                part, treeinfo.tree)
+                part, treeinfo.tree,
+                n_slots_min=pallas_resident.resident_slot_bound(
+                    part.n_tips))
             tip_hi = pallas_resident.expanded_tip_planes(part)
 
             interp = engine_mod.fast_kernel_interpret()

@@ -438,10 +438,19 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     if partition.eigen_lam is None:
         partition = partition.cache_eigen()   # hot path: brlens-only grads
     trav = DirectedTraversal(tree)
-    levels, offsets, edge_ref, n_slots = trav.schedule()
     fargs = _fused_args(partition, trav)
     if fargs:
+        # fast pipeline: don't build (or pass) the level schedule at all —
+        # its per-level widths are TOPOLOGY-DEPENDENT shapes that would
+        # retrace+recompile _blo_sweep after every SPR even though the
+        # fast branch never reads them (measured: 35 XLA recompiles /
+        # 129 s inside one 40-taxon spr_round). The fast-path arrays
+        # (idx8/e1/e2/eref6/edge_ref) have topology-INDEPENDENT shapes,
+        # so one compiled sweep serves every topology of the same size.
+        levels, offsets, n_slots = (), (), 0
         edge_ref = jnp.asarray(trav.edge_ref)   # original slot numbering
+    else:
+        levels, offsets, edge_ref, n_slots = trav.schedule()
     mask_np = trav.edge_mask.copy()
     if around_edge is not None:
         edges = _edges_within_radius(tree, around_edge,
@@ -733,11 +742,14 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     dtype = parts[0].dtype
 
     trav = DirectedTraversal(tree)
-    levels, offsets, edge_ref, n_slots = trav.schedule()
     fargs = _fused_args(parts[0], trav) \
         if all(p.dtype == parts[0].dtype for p in parts) else {}
     if fargs:
+        # topology-independent shapes only (see optimize_branch_lengths)
+        levels, offsets, n_slots = (), (), 0
         edge_ref = jnp.asarray(trav.edge_ref)   # original slot numbering
+    else:
+        levels, offsets, edge_ref, n_slots = trav.schedule()
     edge_mask = jnp.asarray(trav.edge_mask)
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 

@@ -237,3 +237,37 @@ def test_kernel_fuzz_random_configs(rng):
             b = np.asarray(b, np.float32)[mask]
             rel = np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-2))
             assert rel < 5e-5, (trial, states, cats, pinv, name, rel)
+
+
+def test_blo_no_retrace_across_topologies(rng, force_fast):
+    """The fast BLO pipeline's jit cache key must be topology-INDEPENDENT
+    (fixed-shape idx8/eref6 arrays; no level schedule): an SPR must not
+    trigger a recompile of the sweep — the reference's per-move BLO cost
+    is per-edge work, not a fresh program (measured round 2: 35 XLA
+    recompiles / 129 s inside one 40-taxon spr_round before this fix)."""
+    from pllmod_tpu.tree import moves
+    tree = ref.random_binary_tree(rng, 10, 0.05, 0.3)
+    seqs = ref.random_sequences(rng, 10, 150)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.9,
+                            dtype=jnp.float32)
+    t1 = tree.copy()
+    blo_mod.optimize_branch_lengths(part, t1, max_sweeps=2)
+    n_sweep = blo_mod._blo_sweep._cache_size()
+    n_lnl = blo_mod._lnl_at._cache_size()
+    # a different topology, same size
+    t2 = tree.copy()
+    done = 0
+    for _ in range(200):
+        e = int(rng.integers(len(t2.edge_nodes)))
+        r = int(rng.integers(len(t2.edge_nodes)))
+        try:
+            moves.spr(t2, e, r)
+            done += 1
+            if done == 2:
+                break
+        except Exception:
+            continue
+    assert done == 2
+    blo_mod.optimize_branch_lengths(part, t2, max_sweeps=2)
+    assert blo_mod._blo_sweep._cache_size() == n_sweep
+    assert blo_mod._lnl_at._cache_size() == n_lnl
