@@ -119,6 +119,9 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
         save_treeinfo(checkpoint_path, treeinfo,
                       extra=json.dumps(state).encode())
 
+    # one cutoff_info_t threaded through the whole search (RAxML-NG's
+    # usage of pllmod_algorithm.h:41-47)
+    cutoff_state: dict = {"sum": 0.0, "n": 0}
     rounds: list[SearchRound] = []
     modes = ("fast", "thorough") if thorough else ("fast",)
     if ck_state is not None:
@@ -144,7 +147,7 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
                 treeinfo, radius_min=radius_min, radius_max=cur_radius,
                 ntopol_keep=ntopol_keep, thorough=(mode == "thorough"),
                 blo_params=blo_params, subtree_cutoff=subtree_cutoff,
-                constraint=constraint)
+                constraint=constraint, cutoff_state=cutoff_state)
             improved = best > lnl + lh_epsilon
             if improved:
                 # topology changed: re-fit the model before the next round

@@ -296,7 +296,8 @@ def _radius_mask(tree_R, a, b, radius_min, radius_max, n_edge_slots):
 def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
               ntopol_keep: int = 20, thorough: bool = False,
               epsilon: float = 1e-6, blo_params: dict | None = None,
-              subtree_cutoff: float = 0.0, constraint=None):
+              subtree_cutoff: float = 0.0, constraint=None,
+              cutoff_state: dict | None = None):
     """One SPR round over all prunable subtrees.
 
     Returns (best_lnl, n_applied, toplist) — treeinfo holds the best
@@ -309,6 +310,11 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     ``constraint`` (tree.constraint.Constraint) filters regraft
     candidates via the reference's SPR fast check
     (constraint_check_spr, algo_search.c:737).
+
+    ``cutoff_state``: optional mutable dict ``{"sum": float, "n": int}``
+    persisting the adaptive-cutoff statistics ACROSS rounds, the way
+    RAxML-NG threads one ``cutoff_info_t`` through its whole search
+    (pllmod_algorithm.h:41-47); omitted = per-round statistics.
     """
     tree = treeinfo.tree
     part_idx = list(treeinfo.local_indices())
@@ -322,7 +328,10 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     best_lnl = start_lnl
     n_applied = 0
     toplist: list[SprEntry] = []
-    cutoff_sum, cutoff_n = 0.0, 0
+    if cutoff_state is None:
+        cutoff_state = {"sum": 0.0, "n": 0}
+    cutoff_state.setdefault("sum", 0.0)
+    cutoff_state.setdefault("n", 0)
 
     # per-topology caches: full-tree directed traversal + per-partition CLVs
     cache_version = -1
@@ -493,14 +502,15 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             n_applied += 1
         else:
             drop = best_lnl - cand_lnl
-            cutoff_sum += drop
-            cutoff_n += 1
+            cutoff_state["sum"] += drop
+            cutoff_state["n"] += 1
             toplist.append(SprEntry(cand_lnl, prune_edge, junction,
                                     best_edge))
             toplist.sort(key=lambda t: -t.lnl)
             del toplist[ntopol_keep:]
-            if (subtree_cutoff > 0 and cutoff_n > 5
-                    and drop > subtree_cutoff * (cutoff_sum / cutoff_n)):
+            if (subtree_cutoff > 0 and cutoff_state["n"] > 5
+                    and drop > subtree_cutoff
+                    * (cutoff_state["sum"] / cutoff_state["n"])):
                 continue
 
     # full branch-length optimization (algo_search.c:1232)
