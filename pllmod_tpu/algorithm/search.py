@@ -128,8 +128,11 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
         start_lnl = ck_state["start_lnl"]
         lnl = ck_state["lnl"]
         rounds = [SearchRound(*r) for r in ck_state["rounds"]]
-        modes = tuple(m for m in modes
-                      if modes.index(m) >= modes.index(ck_state["mode"]))
+        if ck_state["mode"] in modes:
+            skip = modes.index(ck_state["mode"])
+            modes = modes[skip:]
+        else:       # checkpointed stage not requested on resume: finish up
+            modes = ()
         resume_radius = ck_state["radius"]
     else:
         start_lnl = treeinfo.compute_loglh()
