@@ -1,0 +1,273 @@
+"""Command-line front end: the RAxML-NG-shaped workflows a reference
+user assembles from pll-modules' example programs, as one binary.
+
+    python -m pllmod_tpu eval      --msa a.fasta --tree t.nwk --model GTR+G
+    python -m pllmod_tpu search    --msa a.fasta --model GTR+G+I [--seed 1]
+    python -m pllmod_tpu parsimony --msa a.fasta [--seed 1]
+    python -m pllmod_tpu rf        t1.nwk t2.nwk        (or one multi-tree file)
+    python -m pllmod_tpu consensus trees.nwk [--threshold 0.5]
+
+Model strings follow the downstream convention ``NAME[+G[n]][+I][+FC|+FE]``:
+``NAME`` resolves against the DNA (22), protein (37), genotype (9) and
+MULTIx registries (``src/util/models_*.c``); ``+G[n]`` adds n (default 4)
+discrete Gamma categories with a free shape; ``+I`` a free proportion of
+invariant sites; ``+FE``/``+FC`` force equal / empirical (counted) base
+frequencies (default: the model's own frequencies, empirical when the
+model leaves them free).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# model-string parsing
+# ---------------------------------------------------------------------------
+def resolve_model(name: str):
+    """Resolve a bare model name against every registry (DNA, AA, GT,
+    MULTI). Returns a SubstModel."""
+    from pllmod_tpu.common import UtilError
+    from pllmod_tpu.utils import models_dna, models_aa, models_gt, \
+        models_mult
+    for reg in (models_dna, models_gt, models_aa, models_mult):
+        try:
+            return reg.info(name)
+        except (UtilError, KeyError, ValueError):
+            continue
+    raise SystemExit(f"unknown model: {name!r}")
+
+
+def parse_model_string(spec: str):
+    """``NAME[+G[n]][+I][+FC|+FE]`` -> (SubstModel, n_cats, use_pinv,
+    freq_mode). freq_mode in {"model", "empirical", "equal"}."""
+    parts = spec.split("+")
+    model = resolve_model(parts[0])
+    n_cats, use_pinv, freq_mode = 1, False, "model"
+    for tok in parts[1:]:
+        t = tok.upper()
+        if t.startswith("G"):
+            n_cats = int(t[1:]) if len(t) > 1 else 4
+        elif t == "I":
+            use_pinv = True
+        elif t in ("FC", "F"):
+            freq_mode = "empirical"
+        elif t == "FE":
+            freq_mode = "equal"
+        else:
+            raise SystemExit(f"unknown model modifier: +{tok}")
+    return model, n_cats, use_pinv, freq_mode
+
+
+def build_partition(msa, spec: str, dtype=None):
+    """MSA + model string -> (Partition, SubstModel, params_to_optimize)."""
+    import jax.numpy as jnp
+    from pllmod_tpu import common
+    from pllmod_tpu.msa.msa import empirical_frequencies
+    from pllmod_tpu.ops import charmap as charmap_mod
+    from pllmod_tpu.ops.partition import create_partition
+
+    model, n_cats, use_pinv, freq_mode = parse_model_string(spec)
+    cm = charmap_mod.for_states(model.states)
+    if freq_mode == "equal":
+        freqs = np.full(model.states, 1.0 / model.states)
+    elif freq_mode == "empirical" or model.freqs is None:
+        freqs = empirical_frequencies(msa, cm)
+    else:
+        freqs = np.asarray(model.freqs, float)
+    n_rates = model.states * (model.states - 1) // 2
+    rates = (np.asarray(model.rates, float) if model.rates is not None
+             else np.ones(n_rates))
+    part = create_partition(
+        msa.sequences, charmap=cm, n_rate_cats=n_cats,
+        alpha=1.0, subst_rates=rates, freqs=freqs,
+        prop_invar=0.02 if use_pinv else 0.0,
+        dtype=dtype if dtype is not None else jnp.float32)
+
+    mask = common.PARAM_BRANCHES_ITERATIVE
+    if n_cats > 1:
+        mask |= common.PARAM_ALPHA
+    if use_pinv:
+        mask |= common.PARAM_PINV
+    if model.rates is None:
+        mask |= common.PARAM_SUBST_RATES
+    if model.freqs is None and freq_mode == "model":
+        mask |= common.PARAM_FREQUENCIES
+    return part, model, mask
+
+
+def _read_msa(path):
+    from pllmod_tpu.msa.io import load_msa
+    return load_msa(path)
+
+
+def _read_trees(path):
+    from pllmod_tpu.tree import Tree
+    with open(path) as fh:
+        text = fh.read()
+    return [Tree.from_newick(chunk.strip() + ";")
+            for chunk in text.split(";") if chunk.strip()]
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+def cmd_eval(args):
+    from pllmod_tpu.ops.engine import tree_loglikelihood
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.algorithm import opt_model
+
+    msa = _read_msa(args.msa)
+    tree = _read_trees(args.tree)[0]
+    _order_tree_tips(tree, msa)
+    part, model, mask = build_partition(msa, args.model)
+    print(f"model {model.name}: {part.states} states, "
+          f"{part.n_cats} rate cats, {part.n_patterns} patterns")
+    lnl = float(tree_loglikelihood(part, tree))
+    print(f"logL = {lnl:.6f}")
+    if args.opt:
+        ti = TreeInfo(tree, [part], params_to_optimize=mask)
+        lnl = opt_model(ti, tol=args.tol)
+        print(f"optimized logL = {lnl:.6f} "
+              f"(alpha={float(ti.partitions[0].alpha):.4f})")
+        print(tree.to_newick())
+    return 0
+
+
+def cmd_search(args):
+    from pllmod_tpu.ops import charmap as charmap_mod
+    from pllmod_tpu.tree.starting import parsimony_stepwise, random_tree
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.algorithm import ml_search
+
+    msa = _read_msa(args.msa)
+    part, model, mask = build_partition(msa, args.model)
+    if args.tree:
+        start = _read_trees(args.tree)[0]
+        _order_tree_tips(start, msa)
+    elif args.random_start:
+        start = random_tree(msa.labels, seed=args.seed)
+    else:
+        cm = charmap_mod.for_states(model.states)
+        start, steps = parsimony_stepwise(msa.labels, msa.sequences, cm,
+                                          seed=args.seed)
+        print(f"parsimony starting tree: {steps} steps")
+    ti = TreeInfo(start, [part], params_to_optimize=mask)
+    res = ml_search(
+        ti, radius_step=args.radius_step, radius_max=args.radius_max,
+        lh_epsilon=args.epsilon, checkpoint_path=args.checkpoint,
+        resume=args.resume,
+        on_round=lambda r: print(f"[{r.mode:8s}] radius={r.radius:2d} "
+                                 f"applied={r.n_applied:3d} "
+                                 f"logL={r.loglh:.4f}", flush=True))
+    print(f"final logL = {res.loglh:.6f} ({res.n_rounds} rounds)")
+    print(ti.tree.to_newick())
+    return 0
+
+
+def cmd_parsimony(args):
+    from pllmod_tpu.ops import charmap as charmap_mod
+    from pllmod_tpu.tree.starting import parsimony_stepwise
+
+    msa = _read_msa(args.msa)
+    cm = charmap_mod.for_states(args.states)
+    tree, steps = parsimony_stepwise(msa.labels, msa.sequences, cm,
+                                     seed=args.seed)
+    print(f"parsimony score: {steps}")
+    print(tree.to_newick())
+    return 0
+
+
+def cmd_rf(args):
+    from pllmod_tpu.tree.splits import rf_distance, max_rf_distance
+
+    trees = []
+    for path in args.trees:
+        trees.extend(_read_trees(path))
+    if len(trees) < 2:
+        raise SystemExit("need at least two trees")
+    n = len(trees)
+    print(f"{n} trees; max RF = {max_rf_distance(trees[0].n_tips)}")
+    for i in range(n):
+        row = [rf_distance(trees[i], trees[j]) for j in range(n)]
+        print(" ".join(f"{d:4d}" for d in row))
+    return 0
+
+
+def cmd_consensus(args):
+    from pllmod_tpu.tree.consensus import consensus_from_file
+    from pllmod_tpu.tree.utils import newick_with_support
+
+    tree, supports = consensus_from_file(args.trees, args.threshold)
+    print(newick_with_support(tree, supports))
+    return 0
+
+
+def _order_tree_tips(tree, msa):
+    """Reorder MSA rows to the tree's tip order (label match)."""
+    idx = {lab: i for i, lab in enumerate(msa.labels)}
+    missing = [l for l in tree.labels[:tree.n_tips] if l not in idx]
+    if missing:
+        raise SystemExit(f"taxa in tree but not in MSA: {missing[:5]}")
+    msa.sequences = [msa.sequences[idx[l]]
+                     for l in tree.labels[:tree.n_tips]]
+    msa.labels = list(tree.labels[:tree.n_tips])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pllmod_tpu", description=__doc__)
+    ap.add_argument("--platform", choices=("cpu", "tpu", "auto"),
+                    default="auto",
+                    help="force the JAX platform (default: auto)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("eval", help="evaluate (and optionally optimize) "
+                                    "a tree's likelihood")
+    p.add_argument("--msa", required=True)
+    p.add_argument("--tree", required=True)
+    p.add_argument("--model", default="GTR+G")
+    p.add_argument("--opt", action="store_true",
+                   help="optimize model parameters + branch lengths")
+    p.add_argument("--tol", type=float, default=1e-3)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("search", help="full ML tree search")
+    p.add_argument("--msa", required=True)
+    p.add_argument("--model", default="GTR+G")
+    p.add_argument("--tree", help="starting tree (default: parsimony)")
+    p.add_argument("--random-start", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--radius-step", type=int, default=5)
+    p.add_argument("--radius-max", type=int, default=20)
+    p.add_argument("--epsilon", type=float, default=0.1)
+    p.add_argument("--checkpoint")
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_search)
+
+    p = sub.add_parser("parsimony", help="parsimony starting tree")
+    p.add_argument("--msa", required=True)
+    p.add_argument("--states", type=int, default=4)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_parsimony)
+
+    p = sub.add_parser("rf", help="pairwise RF distance matrix")
+    p.add_argument("trees", nargs="+")
+    p.set_defaults(fn=cmd_rf)
+
+    p = sub.add_parser("consensus", help="majority-rule consensus")
+    p.add_argument("trees")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.set_defaults(fn=cmd_consensus)
+
+    args = ap.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,3 +43,38 @@ def test_protein_mixture_demo():
     assert r.returncode == 0, r.stderr[-2000:]
     assert "37 models" in r.stdout
     assert "bounded" in r.stdout
+
+
+def test_cli_eval_and_rf(tmp_path):
+    """The CLI front end (python -m pllmod_tpu): eval + rf end-to-end."""
+    import numpy as np
+    np.random.seed(0)
+    rng = np.random.default_rng(5)
+    sys.path.insert(0, REPO)
+    from tests import reference_impl as ref
+    from tests.test_algorithm import simulate
+    tree = ref.random_binary_tree(rng, 8, 0.05, 0.3)
+    seqs = simulate(rng, tree, np.array([1., 3., 1., 1., 3., 1.]),
+                    np.full(4, 0.25), 1.0, 300)
+    fasta = tmp_path / "a.fasta"
+    fasta.write_text("".join(f">t{i}\n{s}\n" for i, s in enumerate(seqs)))
+    tree.labels = [f"t{i}" for i in range(8)] + tree.labels[8:]
+    nwk = tmp_path / "t.nwk"
+    nwk.write_text(tree.to_newick())
+
+    env = {**os.environ, "PYTHONPATH": REPO}  # drop the axon hook: CPU
+    r = subprocess.run(
+        [sys.executable, "-m", "pllmod_tpu", "--platform", "cpu", "eval",
+         "--msa", str(fasta), "--tree", str(nwk), "--model", "HKY+G"],
+        capture_output=True, text=True, timeout=420, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "logL = -" in r.stdout
+
+    trees = tmp_path / "trees.nwk"
+    trees.write_text(tree.to_newick() + "\n" + tree.to_newick())
+    r = subprocess.run(
+        [sys.executable, "-m", "pllmod_tpu", "--platform", "cpu", "rf",
+         str(trees)],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "max RF" in r.stdout
