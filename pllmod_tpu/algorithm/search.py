@@ -113,7 +113,7 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
             return
         from pllmod_tpu.binary import save_treeinfo
         state = {"mode": mode, "radius": cur_radius, "lnl": lnl,
-                 "start_lnl": start_lnl,
+                 "start_lnl": start_lnl, "cutoff": dict(cutoff_state),
                  "rounds": [[r.mode, r.radius, r.loglh, r.n_applied]
                             for r in rounds]}
         save_treeinfo(checkpoint_path, treeinfo,
@@ -127,6 +127,7 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
     if ck_state is not None:
         start_lnl = ck_state["start_lnl"]
         lnl = ck_state["lnl"]
+        cutoff_state.update(ck_state.get("cutoff", {}))
         rounds = [SearchRound(*r) for r in ck_state["rounds"]]
         if ck_state["mode"] in modes:
             skip = modes.index(ck_state["mode"])

@@ -144,17 +144,21 @@ def cmd_search(args):
     from pllmod_tpu.algorithm import ml_search
 
     msa = _read_msa(args.msa)
-    part, model, mask = build_partition(msa, args.model)
     if args.tree:
         start = _read_trees(args.tree)[0]
+        # reorder the MSA rows BEFORE encoding tip states: the tree-tip ->
+        # partition-row mapping is positional
         _order_tree_tips(start, msa)
-    elif args.random_start:
-        start = random_tree(msa.labels, seed=args.seed)
+        part, model, mask = build_partition(msa, args.model)
     else:
-        cm = charmap_mod.for_states(model.states)
-        start, steps = parsimony_stepwise(msa.labels, msa.sequences, cm,
-                                          seed=args.seed)
-        print(f"parsimony starting tree: {steps} steps")
+        part, model, mask = build_partition(msa, args.model)
+        if args.random_start:
+            start = random_tree(msa.labels, seed=args.seed)
+        else:
+            cm = charmap_mod.for_states(model.states)
+            start, steps = parsimony_stepwise(msa.labels, msa.sequences,
+                                              cm, seed=args.seed)
+            print(f"parsimony starting tree: {steps} steps")
     ti = TreeInfo(start, [part], params_to_optimize=mask)
     res = ml_search(
         ti, radius_step=args.radius_step, radius_max=args.radius_max,
@@ -191,8 +195,11 @@ def cmd_rf(args):
         raise SystemExit("need at least two trees")
     n = len(trees)
     print(f"{n} trees; max RF = {max_rf_distance(trees[0].n_tips)}")
+    dist = np.zeros((n, n), int)
     for i in range(n):
-        row = [rf_distance(trees[i], trees[j]) for j in range(n)]
+        for j in range(i + 1, n):
+            dist[i, j] = dist[j, i] = rf_distance(trees[i], trees[j])
+    for row in dist:
         print(" ".join(f"{d:4d}" for d in row))
     return 0
 
@@ -207,14 +214,20 @@ def cmd_consensus(args):
 
 
 def _order_tree_tips(tree, msa):
-    """Reorder MSA rows to the tree's tip order (label match)."""
+    """Reorder MSA rows to the tree's tip order (label match); the taxon
+    sets must be identical (either-direction mismatch is an error, the
+    RAxML-NG behavior)."""
     idx = {lab: i for i, lab in enumerate(msa.labels)}
-    missing = [l for l in tree.labels[:tree.n_tips] if l not in idx]
+    tip_labels = list(tree.labels[:tree.n_tips])
+    missing = [l for l in tip_labels if l not in idx]
     if missing:
         raise SystemExit(f"taxa in tree but not in MSA: {missing[:5]}")
-    msa.sequences = [msa.sequences[idx[l]]
-                     for l in tree.labels[:tree.n_tips]]
-    msa.labels = list(tree.labels[:tree.n_tips])
+    extra = sorted(set(msa.labels) - set(tip_labels))
+    if extra:
+        raise SystemExit(f"taxa in MSA but not in tree: {extra[:5]} "
+                         f"(filter the alignment first)")
+    msa.sequences = [msa.sequences[idx[l]] for l in tip_labels]
+    msa.labels = tip_labels
 
 
 def main(argv=None):
@@ -265,7 +278,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.platform != "auto":
         import jax
-        jax.config.update("jax_platforms", args.platform)
+        plat = args.platform
+        if plat == "tpu":
+            # TPU-class backends may register under a plugin name (this
+            # machine's remote TPU registers as "axon"): accept either
+            plat = "tpu,axon"
+        jax.config.update("jax_platforms", plat)
     return args.fn(args)
 
 

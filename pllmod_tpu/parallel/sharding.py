@@ -87,6 +87,37 @@ def partition_specs(partition, axis_name: str = SITES_AXIS):
                               "inv_indicator")})
 
 
+def _check_local_shard(partition, mesh: Mesh, axis_name: str):
+    """Pallas kernels need lane-aligned local shards."""
+    n_dev = mesh.shape[axis_name]
+    local = partition.n_patterns_padded // n_dev
+    if partition.n_patterns_padded % n_dev or local % 128:
+        raise ValueError(
+            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
+            f" {local}) must be a multiple of 128 lanes; create the "
+            f"partition with pattern_pad=128*{n_dev}")
+
+
+def _spec_sig(partition):
+    """Cache key part: which optional Partition fields are present (the
+    PartitionSpec pytree structure depends on it)."""
+    return tuple(f for f in ("eigen_lam", "eigen_V", "eigen_Vinv")
+                 if getattr(partition, f) is not None)
+
+
+# jitted shard_map bodies are memoized: a fresh closure per call would
+# re-trace (and on the remote TPU compiler potentially re-compile) the
+# whole pallas program on every invocation
+_BODY_CACHE: dict = {}
+
+
+def _cached_body(key, build):
+    fn = _BODY_CACHE.get(key)
+    if fn is None:
+        fn = _BODY_CACHE[key] = build()
+    return fn
+
+
 def loglikelihood_fused_sharded(partition, tree, brlens, mesh: Mesh,
                                 axis_name: str = SITES_AXIS,
                                 interpret: bool = False):
@@ -104,31 +135,30 @@ def loglikelihood_fused_sharded(partition, tree, brlens, mesh: Mesh,
     from jax import shard_map
     from pllmod_tpu.ops import pallas_clv
 
-    n_dev = mesh.shape[axis_name]
-    local = partition.n_patterns_padded // n_dev
-    if partition.n_patterns_padded % n_dev or local % 128:
-        raise ValueError(
-            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
-            f" {local}) must be a multiple of 128 lanes; create the "
-            f"partition with pattern_pad=128*{n_dev}")
-
+    _check_local_shard(partition, mesh, axis_name)
     idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(partition, tree)
     u, v, e = ri
     brlens = jnp.asarray(brlens, partition.dtype)
-    pspecs = partition_specs(partition, axis_name)
 
-    @jax.jit
-    @_partial(shard_map, mesh=mesh,
-              in_specs=(pspecs, P(), P(), P(), P()),
-              out_specs=P(), check_vma=False)
-    def body(part_local, brl, idx8, e1, e2):
-        Pm = part_local.prob_matrices(brl)
-        clvs, scalers = pallas_clv.update_partials_fused(
-            part_local, Pm, idx8, e1, e2, n_slots, interpret=interpret)
-        lnl = pallas_clv.root_loglikelihood_csp(part_local, clvs, scalers,
-                                                u, v, Pm[e])
-        return jax.lax.psum(lnl, axis_name)
+    def build():
+        pspecs = partition_specs(partition, axis_name)
 
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(), P()),
+                  out_specs=P(), check_vma=False)
+        def body(part_local, brl, idx8, e1, e2):
+            Pm = part_local.prob_matrices(brl)
+            clvs, scalers = pallas_clv.update_partials_fused(
+                part_local, Pm, idx8, e1, e2, n_slots, interpret=interpret)
+            lnl = pallas_clv.root_loglikelihood_csp(
+                part_local, clvs, scalers, u, v, Pm[e])
+            return jax.lax.psum(lnl, axis_name)
+
+        return body
+
+    body = _cached_body(("fused", mesh, axis_name, interpret, n_slots,
+                         u, v, e, _spec_sig(partition)), build)
     return body(partition, brlens, idx8, e1, e2)
 
 
@@ -147,31 +177,31 @@ def loglikelihood_resident_sharded(partition, tree, brlens, mesh: Mesh,
     from jax import shard_map
     from pllmod_tpu.ops import pallas_resident
 
-    n_dev = mesh.shape[axis_name]
-    local = partition.n_patterns_padded // n_dev
-    if partition.n_patterns_padded % n_dev or local % 128:
-        raise ValueError(
-            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
-            f" {local}) must be a multiple of 128 lanes; create the "
-            f"partition with pattern_pad=128*{n_dev}")
-
-    idx8, e1, e2, n_slots = pallas_resident.compile_resident(partition,
-                                                             tree)
+    _check_local_shard(partition, mesh, axis_name)
+    idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+        partition, tree,
+        n_slots_min=pallas_resident.resident_slot_bound(partition.n_tips))
     tip_hi = pallas_resident.expanded_tip_planes(partition)
     brlens = jnp.asarray(brlens, partition.dtype)
-    pspecs = partition_specs(partition, axis_name)
 
-    @jax.jit
-    @_partial(shard_map, mesh=mesh,
-              in_specs=(pspecs, P(), P(), P(), P(),
-                        P(None, None, axis_name)),
-              out_specs=P(), check_vma=False)
-    def body(part_local, brl, idx8, e1, e2, tip_local):
-        lnl = pallas_resident.loglikelihood_resident(
-            part_local, idx8, brl, (e1, e2), tip_local, n_slots,
-            interpret, split)
-        return jax.lax.psum(lnl, axis_name)
+    def build():
+        pspecs = partition_specs(partition, axis_name)
 
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(), P(),
+                            P(None, None, axis_name)),
+                  out_specs=P(), check_vma=False)
+        def body(part_local, brl, idx8, e1, e2, tip_local):
+            lnl = pallas_resident.loglikelihood_resident(
+                part_local, idx8, brl, (e1, e2), tip_local, n_slots,
+                interpret, split)
+            return jax.lax.psum(lnl, axis_name)
+
+        return body
+
+    body = _cached_body(("resident", mesh, axis_name, interpret, split,
+                         n_slots, _spec_sig(partition)), build)
     return body(partition, brlens, idx8, e1, e2, tip_hi)
 
 
@@ -200,13 +230,7 @@ def blo_sweep_fast_sharded(partition, tree, brlens, mesh: Mesh,
     from pllmod_tpu.optimize.newton import minimize_newton_multi
     from pllmod_tpu.ops import pallas_clv, pallas_deriv
 
-    n_dev = mesh.shape[axis_name]
-    local = partition.n_patterns_padded // n_dev
-    if partition.n_patterns_padded % n_dev or local % 128:
-        raise ValueError(
-            f"local pattern shard ({partition.n_patterns_padded}/{n_dev} ="
-            f" {local}) must be a multiple of 128 lanes; create the "
-            f"partition with pattern_pad=128*{n_dev}")
+    _check_local_shard(partition, mesh, axis_name)
     if partition.eigen_lam is None:
         partition = partition.cache_eigen()
 
@@ -219,30 +243,39 @@ def blo_sweep_fast_sharded(partition, tree, brlens, mesh: Mesh,
     dtype = partition.dtype
     brl = jnp.asarray(jnp.clip(jnp.asarray(brlens, dtype),
                                min_brlen, max_brlen))
-    pspecs = partition_specs(partition, axis_name)
 
-    @jax.jit
-    @_partial(shard_map, mesh=mesh,
-              in_specs=(pspecs, P(), P(), P(), P(), P(), P()),
-              out_specs=(P(), P()), check_vma=False)
-    def body(part_local, brl, idx8j, e1j, e2j, eref6j, emask):
-        st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
-            part_local, brl, (idx8j, e1j, e2j), n_slots, interpret, eref6j)
-        lnl_all, _, _ = pallas_deriv.edge_derivatives_pallas(
-            part_local, st, sc, brl, eigen, lnB, interpret)
-        lnl0 = jax.lax.psum(lnl_all[jnp.argmax(emask)], axis_name)
+    def build():
+        pspecs = partition_specs(partition, axis_name)
 
-        def deriv_fn(t):
-            _, df, ddf = pallas_deriv.edge_derivatives_pallas(
-                part_local, st, sc, t, eigen, lnB, interpret)
-            return (jax.lax.psum(df, axis_name).astype(t.dtype),
-                    jax.lax.psum(ddf, axis_name).astype(t.dtype))
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(), P(), P(), P()),
+                  out_specs=(P(), P()), check_vma=False)
+        def body(part_local, brl, idx8j, e1j, e2j, eref6j, emask):
+            st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
+                part_local, brl, (idx8j, e1j, e2j), n_slots, interpret,
+                eref6j)
+            lnl_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                part_local, st, sc, brl, eigen, lnB, interpret)
+            lnl0 = jax.lax.psum(lnl_all[jnp.argmax(emask)], axis_name)
 
-        t_opt = minimize_newton_multi(
-            deriv_fn, brl, jnp.asarray(min_brlen, brl.dtype),
-            jnp.asarray(max_brlen, brl.dtype),
-            tol=jnp.asarray(newton_tol, brl.dtype),
-            max_iters=max_newton_iters)
-        return jnp.where(emask, t_opt, brl), lnl0.astype(brl.dtype)
+            def deriv_fn(t):
+                _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                    part_local, st, sc, t, eigen, lnB, interpret)
+                return (jax.lax.psum(df, axis_name).astype(t.dtype),
+                        jax.lax.psum(ddf, axis_name).astype(t.dtype))
 
+            t_opt = minimize_newton_multi(
+                deriv_fn, brl, jnp.asarray(min_brlen, brl.dtype),
+                jnp.asarray(max_brlen, brl.dtype),
+                tol=jnp.asarray(newton_tol, brl.dtype),
+                max_iters=max_newton_iters)
+            return jnp.where(emask, t_opt, brl), lnl0.astype(brl.dtype)
+
+        return body
+
+    body = _cached_body(
+        ("blo", mesh, axis_name, interpret, n_slots, max_newton_iters,
+         float(min_brlen), float(max_brlen), float(newton_tol),
+         _spec_sig(partition)), build)
     return body(partition, brl, idx8, e1, e2, eref6, edge_mask)
