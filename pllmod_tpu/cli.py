@@ -62,7 +62,7 @@ def parse_model_string(spec: str):
     return model, n_cats, use_pinv, freq_mode
 
 
-def build_partition(msa, spec: str, dtype=None):
+def build_partition(msa, spec: str, dtype=None, compress: bool = True):
     """MSA + model string -> (Partition, SubstModel, params_to_optimize)."""
     import jax.numpy as jnp
     from pllmod_tpu import common
@@ -84,7 +84,7 @@ def build_partition(msa, spec: str, dtype=None):
     part = create_partition(
         msa.sequences, charmap=cm, n_rate_cats=n_cats,
         alpha=1.0, subst_rates=rates, freqs=freqs,
-        prop_invar=0.02 if use_pinv else 0.0,
+        prop_invar=0.02 if use_pinv else 0.0, compress=compress,
         dtype=dtype if dtype is not None else jnp.float32)
 
     mask = common.PARAM_BRANCHES_ITERATIVE
@@ -185,6 +185,30 @@ def cmd_parsimony(args):
     return 0
 
 
+def cmd_ancestral(args):
+    from pllmod_tpu.algorithm.ancestral import ancestral_states
+    from pllmod_tpu.ops import charmap as charmap_mod
+
+    msa = _read_msa(args.msa)
+    tree = _read_trees(args.tree)[0]
+    _order_tree_tips(tree, msa)
+    # uncompressed: per-site output in alignment order (RAxML-NG
+    # --ancestral prints one state string per inner node)
+    part, model, _mask = build_partition(msa, args.model, compress=False)
+    if model.states == 4:
+        syms = "ACGT"
+    elif model.states == 20:
+        syms = charmap_mod.AA_ORDER
+    else:
+        syms = charmap_mod.MULTI_SYMBOLS[:model.states]
+    nodes, states = ancestral_states(part, tree)
+    n_sites = len(msa.sequences[0])
+    for node, st in zip(nodes, states):
+        print(f">node_{node}")
+        print("".join(syms[int(s)] for s in st[:n_sites]))
+    return 0
+
+
 def cmd_rf(args):
     from pllmod_tpu.tree.splits import rf_distance, max_rf_distance
 
@@ -265,6 +289,13 @@ def main(argv=None):
     p.add_argument("--states", type=int, default=4)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_parsimony)
+
+    p = sub.add_parser("ancestral", help="marginal ancestral states at "
+                                         "every inner node")
+    p.add_argument("--msa", required=True)
+    p.add_argument("--tree", required=True)
+    p.add_argument("--model", default="GTR+G")
+    p.set_defaults(fn=cmd_ancestral)
 
     p = sub.add_parser("rf", help="pairwise RF distance matrix")
     p.add_argument("trees", nargs="+")
