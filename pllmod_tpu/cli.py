@@ -6,6 +6,7 @@ user assembles from pll-modules' example programs, as one binary.
     python -m pllmod_tpu parsimony --msa a.fasta [--seed 1]
     python -m pllmod_tpu rf        t1.nwk t2.nwk        (or one multi-tree file)
     python -m pllmod_tpu consensus trees.nwk [--threshold 0.5]
+    python -m pllmod_tpu support   --tree best.nwk boots.nwk [--metric tbe]
 
 Model strings follow the downstream convention ``NAME[+G[n]][+I][+FC|+FE]``:
 ``NAME`` resolves against the DNA (22), protein (37), genotype (9) and
@@ -228,6 +229,31 @@ def cmd_rf(args):
     return 0
 
 
+def cmd_support(args):
+    """Map bootstrap support onto a best tree (the reference's
+    tbe_functions.c / pllmod_utree_draw_support workflow): FBP = classic
+    Felsenstein proportions (exact split matches), TBE = transfer
+    bootstrap expectation (Lemoine et al. 2018, tbe_naive driver)."""
+    from pllmod_tpu.tree.tbe import fbp_support, tbe_support
+    from pllmod_tpu.tree.utils import newick_with_support
+
+    ref = _read_trees(args.tree)[0]
+    boots = []
+    for path in args.bootstraps:
+        boots.extend(_read_trees(path))
+    if not boots:
+        raise SystemExit("need at least one bootstrap tree")
+    print(f"{len(boots)} bootstrap trees")
+    metrics = (("fbp", fbp_support), ("tbe", tbe_support))
+    for name, fn in metrics:
+        if args.metric not in (name, "both"):
+            continue
+        sup = fn(ref, boots)
+        print(f"{name.upper()} tree: "
+              f"{newick_with_support(ref, sup, as_fraction=args.fraction)}")
+    return 0
+
+
 def cmd_consensus(args):
     from pllmod_tpu.tree.consensus import consensus_from_file
     from pllmod_tpu.tree.utils import newick_with_support
@@ -300,6 +326,17 @@ def main(argv=None):
     p = sub.add_parser("rf", help="pairwise RF distance matrix")
     p.add_argument("trees", nargs="+")
     p.set_defaults(fn=cmd_rf)
+
+    p = sub.add_parser("support", help="bootstrap support (FBP / TBE) "
+                                       "drawn onto a best tree")
+    p.add_argument("--tree", required=True, help="best/reference tree")
+    p.add_argument("bootstraps", nargs="+",
+                   help="bootstrap tree file(s), multi-Newick")
+    p.add_argument("--metric", choices=("fbp", "tbe", "both"),
+                   default="both")
+    p.add_argument("--fraction", action="store_true",
+                   help="print supports as fractions instead of percent")
+    p.set_defaults(fn=cmd_support)
 
     p = sub.add_parser("consensus", help="majority-rule consensus")
     p.add_argument("trees")

@@ -78,3 +78,25 @@ def test_cli_eval_and_rf(tmp_path):
         capture_output=True, text=True, timeout=240, cwd=REPO, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "max RF" in r.stdout
+
+
+def test_cli_support(tmp_path):
+    """CLI support subcommand: FBP + TBE drawn onto a best tree."""
+    sys.path.insert(0, REPO)
+    from tests.test_tree_parity import REF_TREE, BOOT1_TREE, BOOT2_TREE
+    best = tmp_path / "best.nwk"
+    best.write_text(REF_TREE)
+    boots = tmp_path / "boots.nwk"
+    boots.write_text(BOOT1_TREE + "\n" + BOOT2_TREE + "\n")
+    env = {**os.environ, "PYTHONPATH": REPO}
+    r = subprocess.run(
+        [sys.executable, "-m", "pllmod_tpu", "--platform", "cpu",
+         "support", "--tree", str(best), str(boots),
+         "--metric", "both", "--fraction"],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 bootstrap trees" in r.stdout
+    assert "FBP tree: " in r.stdout and "TBE tree: " in r.stdout
+    # the cherry (Tamarin,PMarmoset) is present in boot1 only: FBP 0.5;
+    # its TBE over {boot1: exact, boot2: mindist 1, p-1=1} is also 0.5
+    assert "(Tamarin:0.018821,PMarmoset:0.018728)0.5:" in r.stdout
