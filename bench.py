@@ -13,10 +13,14 @@ socket for the same 4-state × 4-category kernel: ~2.5e9 pattern-node
 updates/s (order-of-magnitude from libpll AVX throughput of ~1e8/s/core ×
 ~24 cores). vs_baseline = value / 2.5e9.
 
-Comparability note: PLL_ATTRIB_SITE_REPEATS is deliberately not
-implemented (STATUS.md) — both sides of this comparison are dense
-(no-repeats) kernels; on alignments with heavy subtree repetition the
-reference's repeats mode can do asymptotically less work per traversal.
+Comparability note: both sides of this comparison are dense (no-repeats)
+kernels. Site repeats exist as a host engine + analysis tool
+(ops/repeats.py: `repeats_stats` reports the work ratio a repeats mode
+would save on a given dataset); on the TPU production kernels dense
+batching wins — repeats make shapes data-dependent and reads gather-like,
+the two measured slow paths (PERF_NOTES). On alignments with heavy
+subtree repetition the reference's repeats mode can do asymptotically
+less work per traversal; this benchmark's random alignment has ~none.
 """
 
 from __future__ import annotations

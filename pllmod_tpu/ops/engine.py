@@ -199,8 +199,11 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
     fastest evaluation path, PERF_NOTES), "fused" (whole-traversal HBM
     megakernel — the path that also materializes CLV buffers), "pallas"
     (per-level kernels, kept for comparison), "levels" (level-batched
-    XLA) or "scan" (one node per step — the reference-equivalent serial
-    schedule, kept for kernel-equivalence testing)."""
+    XLA), "scan" (one node per step — the reference-equivalent serial
+    schedule, kept for kernel-equivalence testing) or "repeats" (host
+    numpy float64, computes only each node's unique site classes — the
+    PLL_ATTRIB_SITE_REPEATS analog, ops/repeats.py; returns a Python
+    float)."""
     if brlens is None:
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
@@ -222,6 +225,10 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
                                               e1, e2, ri, n_slots,
                                               fast_kernel_interpret(),
                                               use_split_clv())
+    if schedule == "repeats":
+        from pllmod_tpu.ops import repeats
+        return repeats.loglikelihood_repeats(partition, tree, brlens,
+                                             root_edge)
     if schedule == "pallas":
         from pllmod_tpu.ops import pallas_clv
         levels, offsets, ri, n_slots = compile_schedule(partition, tree,
