@@ -46,6 +46,7 @@ BLOCK_PARTITION = 0
 BLOCK_CLV = 1
 BLOCK_TREE = 2
 BLOCK_CUSTOM = 3
+BLOCK_REPEATS = 4
 
 _HDR = struct.Struct("<8sIIIIq")          # magic, ver, n, max, access, map_off
 _BLK = struct.Struct("<qIIq")             # block_id, type, attributes, len
@@ -297,6 +298,26 @@ class BinaryFile:
         meta = named["meta"]
         return Tree(int(meta[0]), labels, named["edge_nodes"],
                     named["lengths"], n_nodes=int(meta[1]))
+
+    # -- site-repeats dump/load (pll_binary.c:517-884 REPEATS path) ----
+    def dump_repeats(self, block_id: int, site_id: dict, id_site: dict):
+        """REPEATS block: per-inner-slot ``site_id`` / ``id_site`` arrays
+        (ops.repeats.compute_repeats output — the reference round-trips
+        exactly these identity arrays alongside the CLVs)."""
+        named = {}
+        for s, arr in site_id.items():
+            named[f"sid{int(s)}"] = np.asarray(arr, np.int32)
+        for s, arr in id_site.items():
+            named[f"ids{int(s)}"] = np.asarray(arr, np.int64)
+        self._dump_block(block_id, BLOCK_REPEATS, _pack_arrays(named))
+
+    def load_repeats(self, block_id: int):
+        """Returns (site_id, id_site) dicts keyed by inner slot."""
+        _, _, _, data = self._load_block(block_id, BLOCK_REPEATS)
+        site_id, id_site = {}, {}
+        for k, v in _unpack_arrays(data).items():
+            (site_id if k.startswith("sid") else id_site)[int(k[3:])] = v
+        return site_id, id_site
 
     # -- custom blobs (pll_binary.c:1125-1270) -------------------------
     def dump_custom(self, block_id: int, blob: bytes):

@@ -93,3 +93,23 @@ def test_repeats_class_structure(rng):
         assert sid.min() >= 0 and sid.max() < K
         assert len(id_site[s]) == K
         np.testing.assert_array_equal(sid[id_site[s]], np.arange(K))
+
+
+def test_repeats_binary_roundtrip(rng, tmp_path):
+    """REPEATS block round-trip (pll_binary.c:517-884 analog)."""
+    from pllmod_tpu.binary.binary import BinaryFile
+    part, tree = _make(rng, 8, 60)
+    ops, _ = tree.traversal_ops()
+    Pn = part.n_patterns
+    codes = np.asarray(part.tip_states)[:, :Pn]
+    site_id, _k, id_site = rp.compute_repeats(
+        codes, ops, part.n_tips, int(part.code_clv.shape[0]))
+    path = str(tmp_path / "reps.bin")
+    with BinaryFile.create(path) as bf:
+        bf.dump_repeats(7, site_id, id_site)
+    with BinaryFile.open(path) as bf:
+        sid2, ids2 = bf.load_repeats(7)
+    assert set(sid2) == set(site_id) and set(ids2) == set(id_site)
+    for s in site_id:
+        np.testing.assert_array_equal(sid2[s], site_id[s])
+        np.testing.assert_array_equal(ids2[s], id_site[s])
