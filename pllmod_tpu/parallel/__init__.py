@@ -17,8 +17,11 @@ from pllmod_tpu.parallel.sharding import (  # noqa: F401
 )
 from pllmod_tpu.parallel.partition_dp import (  # noqa: F401
     PARTS_AXIS,
+    SITES_AXIS,
     make_parts_mesh,
+    make_2d_mesh,
     stack_partitions,
     total_loglh_partition_dp,
+    total_loglh_partition_dp_2d,
     treeinfo_loglh_partition_dp,
 )

@@ -122,6 +122,66 @@ def total_loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
     return body(stacked, ops, brlens_stacked)
 
 
+SITES_AXIS = "sites"
+
+
+def make_2d_mesh(shape, devices=None,
+                 axis_names=(PARTS_AXIS, SITES_AXIS)) -> Mesh:
+    """2-D device mesh (parts × sites)."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def total_loglh_partition_dp_2d(stacked, ops, brlens_stacked, root_info,
+                                mesh: Mesh, parts_axis: str = PARTS_AXIS,
+                                sites_axis: str = SITES_AXIS):
+    """Partition-level DP composed with site-pattern sharding on a 2-D
+    mesh: each device owns one (partition shard × pattern shard) tile —
+    the reference's remote partitions (treeinfo.c:152-213) and per-rank
+    site splits (§2.10 reduce seam) in ONE SPMD program. Both reduces
+    are a single ``psum`` over both mesh axes (per-site power-of-two
+    rescaling has no cross-site coupling, so site sharding is exact).
+    """
+    from jax import shard_map
+
+    n_parts = brlens_stacked.shape[0]
+    n_pdev = mesh.shape[parts_axis]
+    n_sdev = mesh.shape[sites_axis]
+    wide = stacked.tip_states.shape[2]
+    if n_parts % n_pdev:
+        raise ValueError(f"{n_parts} partitions not divisible over "
+                         f"{n_pdev} devices on '{parts_axis}'")
+    if wide % n_sdev:
+        raise ValueError(f"{wide} padded patterns not divisible over "
+                         f"{n_sdev} devices on '{sites_axis}'")
+    u, v, e = (int(x) for x in root_info)
+
+    specs = jax.tree.map(lambda _: P(parts_axis), stacked)
+    specs = specs.replace(
+        tip_states=P(parts_axis, None, sites_axis),
+        pattern_weights=P(parts_axis, sites_axis),
+        inv_indicator=P(parts_axis, sites_axis, None))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs, P(), P(parts_axis)),
+             out_specs=P(), check_vma=False)
+    def body(stacked_local, ops, brl_local):
+        n_local = brl_local.shape[0]
+
+        def one(i):
+            part = jax.tree.map(lambda x: x[i], stacked_local)
+            Pm = part.prob_matrices(brl_local[i])
+            clvs, scalers = clv_mod.update_partials(part, Pm, ops)
+            return lk_mod.edge_loglikelihood(part, clvs, scalers, u, v,
+                                             Pm[e])
+
+        local = jnp.sum(jax.lax.map(one, jnp.arange(n_local)))
+        return jax.lax.psum(local, (parts_axis, sites_axis))
+
+    return body(stacked, ops, brlens_stacked)
+
+
 def treeinfo_loglh_partition_dp(treeinfo, mesh: Mesh,
                                 axis_name: str = PARTS_AXIS):
     """Evaluate a TreeInfo's total logL with partitions distributed over

@@ -66,3 +66,36 @@ def test_partition_dp_shape_mismatch_raises(rng):
                              dtype=jnp.float64)
     with pytest.raises(ValueError, match="equal states"):
         stack_partitions([p4, p2cat])
+
+
+def test_partition_dp_2d_mesh_matches_serial(rng):
+    """2-D (parts × sites) mesh: partition DP composed with site-pattern
+    sharding gives the serial total exactly (one psum over both axes)."""
+    from pllmod_tpu.parallel import make_2d_mesh, total_loglh_partition_dp_2d
+    tree = ref.random_binary_tree(rng, 10)
+    parts = _partitions(rng, tree, n_parts=4)
+    want = sum(float(engine_mod.tree_loglikelihood(p, tree))
+               for p in parts)
+    stacked = stack_partitions(parts)
+    ops, root_info = tree.traversal_ops()
+    brl = jnp.stack([jnp.asarray(tree.lengths, jnp.float64)] * 4)
+    mesh = make_2d_mesh((2, 4))
+    got = float(total_loglh_partition_dp_2d(
+        stacked, jnp.asarray(ops), brl,
+        tuple(int(x) for x in root_info), mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_partition_dp_2d_indivisible_raises(rng):
+    from pllmod_tpu.common import UtilError  # noqa: F401  (import check)
+    from pllmod_tpu.parallel import make_2d_mesh, total_loglh_partition_dp_2d
+    tree = ref.random_binary_tree(rng, 6)
+    parts = _partitions(rng, tree, n_parts=3, n=6)
+    stacked = stack_partitions(parts)
+    ops, root_info = tree.traversal_ops()
+    brl = jnp.stack([jnp.asarray(tree.lengths, jnp.float64)] * 3)
+    mesh = make_2d_mesh((2, 4))
+    with pytest.raises(ValueError, match="not divisible"):
+        total_loglh_partition_dp_2d(
+            stacked, jnp.asarray(ops), brl,
+            tuple(int(x) for x in root_info), mesh)
