@@ -52,18 +52,10 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     part0 = treeinfo.partitions[idx]
     brl = jnp.asarray(treeinfo.partition_brlens(idx), part0.dtype)
     if not need_grad and engine_mod.use_fast_kernel(part0):
-        from pllmod_tpu.ops import pallas_resident
-        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-            part0, treeinfo.tree,
-            n_slots_min=pallas_resident.resident_slot_bound(part0.n_tips))
-        tip_hi = pallas_resident.expanded_tip_planes(part0)
-
-        interp = engine_mod.fast_kernel_interpret()
-        split = engine_mod.use_split_clv()
+        ev = engine_mod.compile_fast_eval(part0, treeinfo.tree)
 
         def f(part):
-            return pallas_resident.loglikelihood_resident(
-                part, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
+            return ev(part, brl)
 
         return f
     ops, root_info = treeinfo.tree.traversal_ops()
@@ -172,25 +164,12 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
         base = jnp.asarray(treeinfo.tree.lengths, part.dtype)
 
         if engine_mod.use_fast_kernel(part):
-            from pllmod_tpu.ops import pallas_resident
-            idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-                part, treeinfo.tree,
-                n_slots_min=pallas_resident.resident_slot_bound(
-                    part.n_tips))
-            tip_hi = pallas_resident.expanded_tip_planes(part)
-
-            interp = engine_mod.fast_kernel_interpret()
-            split = engine_mod.use_split_clv()
+            ev = engine_mod.compile_fast_eval(part, treeinfo.tree)
 
             @jax.jit
-            def obj(xs, part=part, base=base, idx8=idx8, e1=e1, e2=e2,
-                    tip_hi=tip_hi, n_slots=n_slots, interp=interp,
-                    split=split):
-                return -jnp.stack([
-                    pallas_resident.loglikelihood_resident(
-                        part, idx8, base * xs[k], (e1, e2), tip_hi,
-                        n_slots, interp, split)
-                    for k in range(xs.shape[0])])
+            def obj(xs, part=part, base=base, ev=ev):
+                return -jnp.stack([ev(part, base * xs[k])
+                                   for k in range(xs.shape[0])])
         else:
             @jax.jit
             def obj(xs, part=part, base=base):

@@ -159,12 +159,23 @@ FORCE_FAST_KERNEL: bool | None = None
 
 
 def use_fast_kernel(partition) -> bool:
-    """True when the fused Pallas megakernel is the right engine: TPU-class
-    device + f32 partition (the kernel's rescaling is f32-exponent based)."""
+    """True when the Pallas kernels are the right engine: TPU-class
+    device + f32 partition (the kernels' rescaling is f32-exponent based)
+    + CS = cats·states aligned to the Mosaic sublane tiling (8): the
+    kernels DMA per-row [CS, T] slices of tiled buffers, which real-TPU
+    Mosaic rejects when a partial slice of the sublane dim is neither
+    8-aligned nor inside one tile — measured: CS ∈ {16,32,40,64,80} and
+    CS=4 (DNA, 1 rate category; fused + deriv kernels bit-checked vs
+    XLA on-chip) compile; CS=20 (e.g. 5-state ×4 cats, or 20-state
+    cats=1) is rejected and routes to the XLA engines. Interpret mode
+    does not enforce tiling, so FORCE_FAST_KERNEL (tests) keeps
+    exercising unaligned shapes on CPU."""
     if FORCE_FAST_KERNEL is not None:
         return FORCE_FAST_KERNEL and partition.dtype == jnp.float32
     from pllmod_tpu.common import is_tpu
-    return is_tpu() and partition.dtype == jnp.float32
+    cs = partition.n_cats * partition.states
+    return (is_tpu() and partition.dtype == jnp.float32
+            and (cs % 8 == 0 or cs == 4))
 
 
 def fast_kernel_interpret() -> bool:
@@ -173,20 +184,89 @@ def fast_kernel_interpret() -> bool:
     return not is_tpu()
 
 
-# None = auto (split-storage bf16x2 CLVs on real TPU runs, exact-f32 in
-# interpret mode); True/False = forced. Split mode trades exactness for
-# speed: two single-pass DEFAULT dots instead of one 6-pass HIGHEST
-# (~20% faster end to end), logL deviation ~1e-7 relative (PERF_NOTES) —
-# far inside the reference-parity bar, but tests that assert bit-equality
-# against the XLA engines run with split off.
+# Measured resident-vs-fused crossover on the v5e (64 taxa × 4096
+# patterns, ms/eval): CS=16 resident 0.56-0.60 vs fused 0.82; CS=32
+# 0.581 vs 0.566 (tie); CS=40 0.673 vs 0.634; CS=64 0.767 vs 0.720;
+# CS=80 1.18 vs 0.98. Bigger CS forces smaller VMEM pattern tiles for
+# the resident slot set, so the HBM fused kernel overtakes it around
+# CS=32 (PERF_NOTES).
+RESIDENT_CS_MAX = 32
+
+
+def fast_eval_schedule(partition) -> str:
+    """The production evaluation kernel for this partition's shape.
+
+    The resident kernel additionally requires CS ≡ 0 (mod 8): it
+    partially slices the sublane-tiled CS dim of its VMEM scratch
+    (measured: CS=4 is rejected by Mosaic where the fused kernel
+    compiles and is bit-identical to XLA)."""
+    cs = partition.n_cats * partition.states
+    return "resident" if (cs <= RESIDENT_CS_MAX and cs % 8 == 0) \
+        else "fused"
+
+
+def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None):
+    """Compile the production fast evaluation path (CS-gated resident or
+    fused megakernel) for this (partition shape, topology).
+
+    Returns ``eval(part, brl) -> logL`` where ``part`` is traced (the
+    model-opt drivers close over topology but differentiate/search over
+    partition parameters) and ``brl`` are the edge branch lengths.
+    """
+    from pllmod_tpu.ops import pallas_clv, pallas_resident
+
+    interp = fast_kernel_interpret()
+    split = use_split_clv(partition)
+    if fast_eval_schedule(partition) == "resident":
+        if n_slots_min is None:
+            n_slots_min = pallas_resident.resident_slot_bound(
+                partition.n_tips)
+        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+            partition, tree, root_edge, n_slots_min=n_slots_min)
+        tip_hi = pallas_resident.expanded_tip_planes(partition)
+
+        def ev(part, brl):
+            return pallas_resident.loglikelihood_resident(
+                part, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
+
+        return ev
+
+    idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+        partition, tree, root_edge, fuse_root=True)
+
+    def ev(part, brl):
+        return pallas_clv.loglikelihood_fused(part, idx8, brl, e1, e2,
+                                              ri, n_slots, interp, split)
+
+    return ev
+
+
+# None = auto (split-storage bf16x2 CLVs on real TPU runs for SMALL
+# state counts, exact-f32 otherwise); True/False = forced. Split mode
+# trades exactness for speed: two single-pass DEFAULT dots instead of
+# one 6-pass HIGHEST (~20-30% faster end to end). Measured logL error vs
+# the f64 oracle: DNA (4 states) 8e-8 relative — far inside the 1e-6
+# reference-parity bar — but protein (20 states) 6.5e-6 (+6.1 logL units
+# on -947363): the dropped bf16 cross terms accumulate with the state
+# count. Auto therefore enables split only for states ≤ 8; wider models
+# run the exact-HIGHEST kernels (protein fused exact: 1.29 ms vs 0.96
+# split at the 64×4096 flagship — correctness first).
 SPLIT_CLV: bool | None = None
+SPLIT_STATES_MAX = 8
 
 
-def use_split_clv() -> bool:
+def use_split_clv(partition=None) -> bool:
     if SPLIT_CLV is not None:
         return SPLIT_CLV
     from pllmod_tpu.common import is_tpu
-    return is_tpu()
+    if partition is None:
+        return is_tpu()
+    cs = partition.n_cats * partition.states
+    # CS % 8: sub-sublane split planes measured 1.6e-4 relative at CS=4
+    # (vs 8e-8 at CS=16) — exact kernels there, they are bit-identical
+    # to XLA and still fast
+    return (is_tpu() and partition.states <= SPLIT_STATES_MAX
+            and cs % 8 == 0)
 
 
 def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
@@ -208,7 +288,14 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         brlens = tree.lengths
     brlens = jnp.asarray(brlens, partition.dtype)
     if schedule == "auto":
-        schedule = "resident" if use_fast_kernel(partition) else "scan"
+        if use_fast_kernel(partition):
+            schedule = fast_eval_schedule(partition)
+        else:
+            # TPU shapes the kernels can't take (CS % 8, f64): the
+            # level-batched XLA engine is ~20× the serial scan there;
+            # on CPU the scan stays the f64 reference path
+            from pllmod_tpu.common import is_tpu
+            schedule = "levels" if is_tpu() else "scan"
     if schedule == "resident":
         from pllmod_tpu.ops import pallas_resident
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
@@ -216,7 +303,7 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         tip_hi = pallas_resident.expanded_tip_planes(partition)
         return pallas_resident.loglikelihood_resident(
             partition, idx8, brlens, (e1, e2), tip_hi, n_slots,
-            fast_kernel_interpret(), use_split_clv())
+            fast_kernel_interpret(), use_split_clv(partition))
     if schedule == "fused":
         from pllmod_tpu.ops import pallas_clv
         idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
@@ -224,7 +311,7 @@ def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,
         return pallas_clv.loglikelihood_fused(partition, idx8, brlens,
                                               e1, e2, ri, n_slots,
                                               fast_kernel_interpret(),
-                                              use_split_clv())
+                                              use_split_clv(partition))
     if schedule == "repeats":
         from pllmod_tpu.ops import repeats
         return repeats.loglikelihood_repeats(partition, tree, brlens,

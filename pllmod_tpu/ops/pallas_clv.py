@@ -1073,7 +1073,7 @@ def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,
     path, inside the parity bar of every BLO/SPR consumer."""
     if split is None:
         from pllmod_tpu.ops import engine as engine_mod
-        split = engine_mod.use_split_clv()
+        split = engine_mod.use_split_clv(partition)
     clvs_csp, scalers = update_partials_fused(partition, P, idx8, e1, e2,
                                               n_slots, interpret=interpret,
                                               split=split)

@@ -221,7 +221,7 @@ def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
     (st, sc, eigen, lnB) ready for :func:`edge_derivatives_pallas`."""
     from pllmod_tpu.ops import engine as engine_mod
     from pllmod_tpu.ops import pallas_clv, pallas_deriv
-    split = engine_mod.use_split_clv()
+    split = engine_mod.use_split_clv(partition)
     idx8, fe1, fe2 = fused_idx
     P12 = pallas_clv.fused_p12(partition, brlens, fe1, fe2)
     clvs, scalers = pallas_clv.update_partials_fused(

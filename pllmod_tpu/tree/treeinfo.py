@@ -157,33 +157,25 @@ class TreeInfo:
                     self.counters.add_traversal(n_ops_run,
                                                 part.n_patterns_padded)
                 elif engine_mod.use_fast_kernel(part):
-                    # VMEM-resident megakernel; idx rows are TRACED args
-                    # and the slot scratch is padded to a topology-
-                    # independent bound, so one compiled executable
-                    # serves every topology of this taxon count (the
-                    # role the dyn-root fused path used to play).
-                    from pllmod_tpu.ops import pallas_resident
-                    fkey = (ops.tobytes(), ri, part.n_tips)
+                    # CS-gated production kernel (VMEM-resident for small
+                    # CS, fused HBM megakernel above the crossover —
+                    # engine.compile_fast_eval). idx rows are TRACED args
+                    # and the resident slot scratch is padded to a
+                    # topology-independent bound, so one compiled
+                    # executable serves every topology of this taxon
+                    # count. The closure holds the per-partition tip
+                    # planes, so it is cached per (topology, partition).
+                    fkey = (ops.tobytes(), ri, part.n_tips,
+                            part.n_cats * part.states, i)
                     fc = getattr(self, "_fused_cache", None)
-                    if fc is None or fc[0] != fkey:
-                        fc = (fkey, pallas_resident.compile_resident(
-                            part, self.tree,
-                            n_slots_min=pallas_resident.
-                            resident_slot_bound(part.n_tips)))
-                        self._fused_cache = fc
-                    idx8, e1, e2, n_slots = fc[1]
-                    # tip planes are topology- and model-invariant:
-                    # build once per partition index
-                    tp = getattr(self, "_tip_planes", None)
-                    if tp is None:
-                        tp = self._tip_planes = {}
-                    if i not in tp:
-                        tp[i] = pallas_resident.expanded_tip_planes(part)
-                    lnl = float(pallas_resident.loglikelihood_resident(
-                        part, idx8, jnp.asarray(brl, part.dtype),
-                        (e1, e2), tp[i], n_slots,
-                        engine_mod.fast_kernel_interpret(),
-                        engine_mod.use_split_clv()))
+                    if fc is None:
+                        fc = self._fused_cache = {}
+                    if fc.get(i, (None,))[0] != fkey:
+                        fc[i] = (fkey,
+                                 engine_mod.compile_fast_eval(part,
+                                                              self.tree))
+                    ev = fc[i][1]
+                    lnl = float(ev(part, jnp.asarray(brl, part.dtype)))
                     self.counters.add_traversal(n_inner,
                                                 part.n_patterns_padded)
                 else:
