@@ -235,6 +235,7 @@ def cmd_support(args):
     Felsenstein proportions (exact split matches), TBE = transfer
     bootstrap expectation (Lemoine et al. 2018, tbe_naive driver)."""
     from pllmod_tpu.tree.tbe import fbp_support, tbe_support
+    from pllmod_tpu.tree.topology import set_tip_order
     from pllmod_tpu.tree.utils import newick_with_support
 
     ref = _read_trees(args.tree)[0]
@@ -243,6 +244,10 @@ def cmd_support(args):
         boots.extend(_read_trees(path))
     if not boots:
         raise SystemExit("need at least one bootstrap tree")
+    # normalize tip order once: with --metric both each support function
+    # would otherwise redo the label matching for every bootstrap tree
+    boots = [set_tip_order(bt, ref.labels) if bt.labels != ref.labels
+             else bt for bt in boots]
     print(f"{len(boots)} bootstrap trees")
     metrics = (("fbp", fbp_support), ("tbe", tbe_support))
     for name, fn in metrics:

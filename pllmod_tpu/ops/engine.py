@@ -205,13 +205,21 @@ def fast_eval_schedule(partition) -> str:
         else "fused"
 
 
-def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None):
+def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,
+                      tip_hi=None):
     """Compile the production fast evaluation path (CS-gated resident or
     fused megakernel) for this (partition shape, topology).
 
     Returns ``eval(part, brl) -> logL`` where ``part`` is traced (the
     model-opt drivers close over topology but differentiate/search over
     partition parameters) and ``brl`` are the edge branch lengths.
+
+    ``tip_hi``: optional precomputed ``expanded_tip_planes(partition)``
+    (topology- and model-invariant, so callers evaluating many
+    topologies should build it once per partition). NOTE the resident
+    closure embeds the tip data — it is only valid for partitions
+    sharing ``partition``'s alignment (the fused closure takes all
+    partition data from the traced ``part`` argument instead).
     """
     from pllmod_tpu.ops import pallas_clv, pallas_resident
 
@@ -223,7 +231,8 @@ def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None):
                 partition.n_tips)
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
             partition, tree, root_edge, n_slots_min=n_slots_min)
-        tip_hi = pallas_resident.expanded_tip_planes(partition)
+        if tip_hi is None:
+            tip_hi = pallas_resident.expanded_tip_planes(partition)
 
         def ev(part, brl):
             return pallas_resident.loglikelihood_resident(

@@ -80,31 +80,36 @@ def make_parts_mesh(devices=None, axis_name: str = PARTS_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def total_loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
-                             mesh: Mesh, axis_name: str = PARTS_AXIS):
-    """Total logL = Σ over partitions, each evaluated ONLY on its owner
-    devices (shard_map over the parts axis + psum).
-
-    Args:
-      stacked: stacked Partition from :func:`stack_partitions`
-      ops: int32 [n_inner, 5]
-      brlens_stacked: [n_parts, n_edges] per-partition branch lengths
-        (broadcast the shared lengths for LINKED, scale for SCALED)
-      root_info: static (u, v, root_edge)
-    """
+def _loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
+                        mesh: Mesh, parts_axis: str,
+                        sites_axis: str | None):
+    """Shared shard_map body for the 1-D (parts) and 2-D (parts × sites)
+    partition-DP evaluations; one psum over the participating axes."""
     from jax import shard_map
 
     n_parts = brlens_stacked.shape[0]
-    n_dev = mesh.devices.size
-    if n_parts % n_dev:
+    n_pdev = mesh.shape[parts_axis]
+    if n_parts % n_pdev:
         raise ValueError(f"{n_parts} partitions not divisible over "
-                         f"{n_dev} devices; pad with weight-0 partitions")
-    spec_parts = P(axis_name)
+                         f"{n_pdev} devices on '{parts_axis}'; pad with "
+                         f"weight-0 partitions")
+    specs = jax.tree.map(lambda _: P(parts_axis), stacked)
+    axes = (parts_axis,)
+    if sites_axis is not None:
+        wide = stacked.tip_states.shape[2]
+        n_sdev = mesh.shape[sites_axis]
+        if wide % n_sdev:
+            raise ValueError(f"{wide} padded patterns not divisible over "
+                             f"{n_sdev} devices on '{sites_axis}'")
+        specs = specs.replace(
+            tip_states=P(parts_axis, None, sites_axis),
+            pattern_weights=P(parts_axis, sites_axis),
+            inv_indicator=P(parts_axis, sites_axis, None))
+        axes = (parts_axis, sites_axis)
     u, v, e = (int(x) for x in root_info)
 
     @partial(shard_map, mesh=mesh,
-             in_specs=(jax.tree.map(lambda _: spec_parts, stacked),
-                       P(), spec_parts),
+             in_specs=(specs, P(), P(parts_axis)),
              out_specs=P(), check_vma=False)
     def body(stacked_local, ops, brl_local):
         n_local = brl_local.shape[0]
@@ -117,9 +122,25 @@ def total_loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
                                              Pm[e])
 
         local = jnp.sum(jax.lax.map(one, jnp.arange(n_local)))
-        return jax.lax.psum(local, axis_name)
+        return jax.lax.psum(local, axes)
 
     return body(stacked, ops, brlens_stacked)
+
+
+def total_loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
+                             mesh: Mesh, axis_name: str = PARTS_AXIS):
+    """Total logL = Σ over partitions, each evaluated ONLY on its owner
+    devices (shard_map over the parts axis + psum).
+
+    Args:
+      stacked: stacked Partition from :func:`stack_partitions`
+      ops: int32 [n_inner, 5]
+      brlens_stacked: [n_parts, n_edges] per-partition branch lengths
+        (broadcast the shared lengths for LINKED, scale for SCALED)
+      root_info: static (u, v, root_edge)
+    """
+    return _loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
+                               mesh, axis_name, None)
 
 
 SITES_AXIS = "sites"
@@ -143,43 +164,8 @@ def total_loglh_partition_dp_2d(stacked, ops, brlens_stacked, root_info,
     are a single ``psum`` over both mesh axes (per-site power-of-two
     rescaling has no cross-site coupling, so site sharding is exact).
     """
-    from jax import shard_map
-
-    n_parts = brlens_stacked.shape[0]
-    n_pdev = mesh.shape[parts_axis]
-    n_sdev = mesh.shape[sites_axis]
-    wide = stacked.tip_states.shape[2]
-    if n_parts % n_pdev:
-        raise ValueError(f"{n_parts} partitions not divisible over "
-                         f"{n_pdev} devices on '{parts_axis}'")
-    if wide % n_sdev:
-        raise ValueError(f"{wide} padded patterns not divisible over "
-                         f"{n_sdev} devices on '{sites_axis}'")
-    u, v, e = (int(x) for x in root_info)
-
-    specs = jax.tree.map(lambda _: P(parts_axis), stacked)
-    specs = specs.replace(
-        tip_states=P(parts_axis, None, sites_axis),
-        pattern_weights=P(parts_axis, sites_axis),
-        inv_indicator=P(parts_axis, sites_axis, None))
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(specs, P(), P(parts_axis)),
-             out_specs=P(), check_vma=False)
-    def body(stacked_local, ops, brl_local):
-        n_local = brl_local.shape[0]
-
-        def one(i):
-            part = jax.tree.map(lambda x: x[i], stacked_local)
-            Pm = part.prob_matrices(brl_local[i])
-            clvs, scalers = clv_mod.update_partials(part, Pm, ops)
-            return lk_mod.edge_loglikelihood(part, clvs, scalers, u, v,
-                                             Pm[e])
-
-        local = jnp.sum(jax.lax.map(one, jnp.arange(n_local)))
-        return jax.lax.psum(local, (parts_axis, sites_axis))
-
-    return body(stacked, ops, brlens_stacked)
+    return _loglh_partition_dp(stacked, ops, brlens_stacked, root_info,
+                               mesh, parts_axis, sites_axis)
 
 
 def treeinfo_loglh_partition_dp(treeinfo, mesh: Mesh,

@@ -163,18 +163,13 @@ class TreeInfo:
                     # and the resident slot scratch is padded to a
                     # topology-independent bound, so one compiled
                     # executable serves every topology of this taxon
-                    # count. The closure holds the per-partition tip
-                    # planes, so it is cached per (topology, partition).
-                    fkey = (ops.tobytes(), ri, part.n_tips,
-                            part.n_cats * part.states, i)
-                    fc = getattr(self, "_fused_cache", None)
-                    if fc is None:
-                        fc = self._fused_cache = {}
-                    if fc.get(i, (None,))[0] != fkey:
-                        fc[i] = (fkey,
-                                 engine_mod.compile_fast_eval(part,
-                                                              self.tree))
-                    ev = fc[i][1]
+                    # count. Cached per partition on (topology, alignment
+                    # identity): the resident closure embeds the tip
+                    # planes, so set_partition must invalidate it; the
+                    # planes themselves are topology-invariant and are
+                    # cached separately so SPR/NNI loops rebuild only the
+                    # cheap index compile per accepted move.
+                    ev = self._fast_eval(i, part, ops, ri)
                     lnl = float(ev(part, jnp.asarray(brl, part.dtype)))
                     self.counters.add_traversal(n_inner,
                                                 part.n_patterns_padded)
@@ -188,6 +183,36 @@ class TreeInfo:
                 self.partition_loglh[i] = lnl
                 total += lnl
         return total
+
+    def _fast_eval(self, i, part, ops, ri):
+        """Cached engine.compile_fast_eval closure for partition ``i``.
+
+        Tip planes (alignment-derived, topology-invariant) are cached by
+        object identity of ``part.tip_states``; the compiled closure is
+        additionally keyed on the traversal, so a topology change
+        rebuilds only the index compile while ``set_partition`` (new
+        alignment object) rebuilds both."""
+        tp = getattr(self, "_tip_planes", None)
+        if tp is None:
+            tp = self._tip_planes = {}
+        tip_hi = None
+        if engine_mod.fast_eval_schedule(part) == "resident":
+            cached = tp.get(i)
+            if cached is None or cached[0] is not part.tip_states:
+                from pllmod_tpu.ops import pallas_resident
+                cached = (part.tip_states,
+                          pallas_resident.expanded_tip_planes(part))
+                tp[i] = cached
+            tip_hi = cached[1]
+        fkey = (ops.tobytes(), ri, part.n_tips,
+                part.n_cats * part.states, id(part.tip_states))
+        fc = getattr(self, "_fused_cache", None)
+        if fc is None:
+            fc = self._fused_cache = {}
+        if fc.get(i, (None,))[0] != fkey:
+            fc[i] = (fkey, engine_mod.compile_fast_eval(
+                part, self.tree, tip_hi=tip_hi))
+        return fc[i][1]
 
     def _loglh_incremental(self, i, part, ops, ri, brl):
         """One partition's partial-traversal evaluation. Returns

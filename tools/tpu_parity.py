@@ -1,0 +1,81 @@
+"""On-chip parity sweep: every engine-auto decision vs the f64 oracle.
+
+Runs ON THE REAL TPU (leave the platform alone; do not set
+JAX_PLATFORMS). For each representative partition shape it evaluates
+``tree_loglikelihood`` through the auto-selected production kernel and
+checks it against the level-batched XLA engine (f32) and the host f64
+site-repeats oracle (ops/repeats.py) at the 1e-6 reference-parity bar
+(BASELINE.md §1). This is the real-hardware complement of the CPU test
+suite: Mosaic tiling legality and split-storage accuracy only show up
+on-chip (interpret mode enforces neither — see PERF_NOTES "CS crossover
++ kernel-shape constraints").
+
+Usage:  PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_parity.py
+(takes several minutes: one remote kernel compile per shape)
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+SHAPES = [
+    # (states, cats, label)
+    (4, 4, "DNA+G4 (CS=16, resident+split)"),
+    (4, 8, "DNA+G8 (CS=32, resident+split)"),
+    (4, 1, "DNA no-gamma (CS=4, fused exact)"),
+    (10, 4, "GT10+G4 (CS=40, fused exact)"),
+    (16, 4, "GT16+G4 (CS=64, fused exact)"),
+    (20, 4, "protein+G4 (CS=80, fused exact)"),
+    (20, 1, "20-state cats=1 (CS=20, XLA levels fallback)"),
+    (5, 4, "5-state+G4 (CS=20, XLA levels fallback)"),
+]
+
+
+def main(n_taxa: int = 16, n_sites: int = 512) -> int:
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import engine, repeats
+    from pllmod_tpu.ops import charmap
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree.topology import Tree
+    from __graft_entry__ import _random_newick
+
+    rng = np.random.default_rng(3)
+    tree = Tree.from_newick(_random_newick(n_taxa, rng))
+    failures = 0
+    for states, cats, label in SHAPES:
+        syms = charmap.MULTI_SYMBOLS[:states]
+        mat = np.array(list(syms))[rng.integers(0, states,
+                                                (n_taxa, n_sites))]
+        seqs = ["".join(r) for r in mat]
+        nr = states * (states - 1) // 2
+        part = create_partition(
+            seqs, states=states, n_rate_cats=cats,
+            charmap=charmap.multistate(states),
+            alpha=0.8 if cats > 1 else None,
+            subst_rates=rng.uniform(0.5, 2.0, nr),
+            freqs=rng.dirichlet([8] * states),
+            compress=False, dtype=jnp.float32).cache_eigen()
+        sched = (engine.fast_eval_schedule(part)
+                 if engine.use_fast_kernel(part) else "levels")
+        split = engine.use_split_clv(part)
+        oracle = repeats.loglikelihood_repeats(part, tree)
+        got = float(engine.tree_loglikelihood(part, tree))
+        lvl = float(engine.tree_loglikelihood(part, tree,
+                                              schedule="levels"))
+        rel = abs(got - oracle) / abs(oracle)
+        rel_l = abs(lvl - oracle) / abs(oracle)
+        ok = rel < 1e-6
+        failures += not ok
+        print(f"{'OK ' if ok else 'FAIL'} {label:45s} "
+              f"auto={sched}{'+split' if split else '':7s} "
+              f"logL {got:.4f} oracle {oracle:.4f} "
+              f"rel {rel:.2e} (levels {rel_l:.2e})", flush=True)
+    print("PASS" if failures == 0 else f"{failures} FAILURES", flush=True)
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(main())
