@@ -250,32 +250,37 @@ def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,
     return ev
 
 
-# None = auto (split-storage bf16x2 CLVs on real TPU runs for SMALL
-# state counts, exact-f32 otherwise); True/False = forced. Split mode
-# trades exactness for speed: two single-pass DEFAULT dots instead of
-# one 6-pass HIGHEST (~20-30% faster end to end). Measured logL error vs
-# the f64 oracle: DNA (4 states) 8e-8 relative — far inside the 1e-6
-# reference-parity bar — but protein (20 states) 6.5e-6 (+6.1 logL units
-# on -947363): the dropped bf16 cross terms accumulate with the state
-# count. Auto therefore enables split only for states ≤ 8; wider models
-# run the exact-HIGHEST kernels (protein fused exact: 1.29 ms vs 0.96
-# split at the 64×4096 flagship — correctness first).
-SPLIT_CLV: bool | None = None
+# None = auto; True/False/"read" = forced. Split modes replace the one
+# 6-pass HIGHEST child dot with single-pass DEFAULT dots:
+#   True   — split-STORAGE bf16x2 CLVs, 2 dots (drops Pl@lo ~2^-18).
+#   "read" — exact f32 storage + READ-TIME hi/lo casts + 3 dots: same
+#            dot scheme without the per-node storage quantization, so
+#            errors do not accumulate along tree depth. ~2% slower than
+#            storage mode (protein 64x4096: 0.989 vs 0.969 ms/eval).
+# Measured on-chip vs the f64 oracle AFTER the round-2 pack fix (the
+# XLA bf16-propagation pass silently zeroed device-built Pl planes —
+# see pallas_clv._bf16_residual): DNA+G4 6.9e-8, CS=4 1.1e-7, GT10
+# 7.6e-8, GT16 6.1e-8, protein True 1.6e-7 / "read" 6.5e-8 relative —
+# all far inside the 1e-6 reference-parity bar, and split is the
+# fastest mode at EVERY fast-kernel shape (protein 0.969 vs 1.331
+# exact; CS=4 0.534 vs 0.878). Auto picks storage mode for small state
+# counts and "read" for wide ones (states > 8), where the per-node
+# quantization sum is larger and deep trees erode the margin —
+# f32 storage removes that accumulation term for ~2% cost.
+SPLIT_CLV: bool | str | None = None
 SPLIT_STATES_MAX = 8
 
 
-def use_split_clv(partition=None) -> bool:
+def use_split_clv(partition=None) -> bool | str:
     if SPLIT_CLV is not None:
         return SPLIT_CLV
     from pllmod_tpu.common import is_tpu
     if partition is None:
         return is_tpu()
     cs = partition.n_cats * partition.states
-    # CS % 8: sub-sublane split planes measured 1.6e-4 relative at CS=4
-    # (vs 8e-8 at CS=16) — exact kernels there, they are bit-identical
-    # to XLA and still fast
-    return (is_tpu() and partition.states <= SPLIT_STATES_MAX
-            and cs % 8 == 0)
+    if not (is_tpu() and (cs % 8 == 0 or cs == 4)):
+        return False
+    return True if partition.states <= SPLIT_STATES_MAX else "read"
 
 
 def tree_loglikelihood(partition, tree, brlens=None, root_edge=None,

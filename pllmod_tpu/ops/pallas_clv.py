@@ -606,7 +606,19 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
     per-child VPU split-casts every step; split STORAGE pays one split
     per node at write time and reads come pre-split. logL deviation vs
     HIGHEST is ~1e-8 relative (PERF_NOTES), far inside the 1e-6 parity
-    bar; the rescale stays an exact power of two."""
+    bar; the rescale stays an exact power of two.
+
+    ``split="read"``: READ-TIME split — storage stays exact f32 (plain
+    layout), and the dot section casts the child operand to (hi, lo)
+    bf16 planes per step, then runs THREE single-pass DEFAULT dots
+    (Ph@hi + Ph@lo + Pl@hi; only Pl@lo ~2^-18 dropped). The wide-state
+    production mode (states > 8): measured on-chip, bf16x2 STORAGE
+    error is representation-dominated (~1e-5 relative logL at 20
+    states, and restoring the Pl@lo cross term changes nothing), so
+    wide states must keep f32 CLVs; the read-time split still removes
+    the 6-pass HIGHEST dot, which dominates the per-step chain at
+    large CS. Accuracy = dropped-Pl@lo only (~1e-8 relative logL)."""
+    store = split is True                  # bf16x2 split STORAGE
     def _kernel(idx_ref,               # prefetch [nW, 8] int32
                 tip_codes_ref,         # ANY [n_tips, 1, P] int32
                 codetab_ref,           # VMEM [CS, n_codes_pad] f32
@@ -634,7 +646,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         fence_now = (idx_ref[w, 7] == 1) & (p == 0)
 
         def clv_dst(slot, pt):
-            if split:
+            if store:
                 return clvs_ref.at[slot, :, :, pl.ds(pt * T, T)]
             return clvs_ref.at[slot, :, pl.ds(pt * T, T)]
 
@@ -664,7 +676,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             wt = st // nP
             pt = jax.lax.rem(st, jnp.asarray(nP, jnp.int32))
             bf = jax.lax.rem(st, two)
-            nsem = 3 if split else 2
+            nsem = 3 if store else 2
             for k in (0, 1):
                 sem = nsem * k
                 slot = idx_ref[wt, k]
@@ -680,7 +692,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
 
                 @pl.when(jnp.logical_not(is_tip))
                 def _(slot=slot, tip=tip, k=k, sem=sem):
-                    if split:
+                    if store:
                         # one DMA per stored plane (lo, hi) — the scratch
                         # interleaves (plane, child) so the flattened rows
                         # come out plane-major: [lo1, lo2, hi1, hi2]
@@ -742,7 +754,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_EXPAND_PREC)
-                if split:
+                if store:
                     # tip CLVs are exact 0/1: hi = value, lo = 0
                     c_scr[buf, 1, k] = exp.astype(jnp.bfloat16)
                     c_scr[buf, 0, k] = jnp.zeros((CS, T), jnp.bfloat16)
@@ -759,7 +771,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         # ONE block-diagonal [2CS,2CS]@[2CS,T] dot covers both children:
         # a HIGHEST-precision dot pays ~6 MXU pipeline fills of fixed
         # cost, so merging halves the dominant per-node dot overhead
-        if split:
+        if store:
             # TWO single-pass DEFAULT dots replace one 6-pass HIGHEST:
             #   main = Ph @ hi12                    (K = 2CS)
             #   corr = [Ph | Pl] @ [lo12; hi12]     (K = 4CS)
@@ -776,6 +788,27 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
             lr = main + corr
+        elif split == "read":
+            # READ-TIME split (wide-state mode): f32 storage, per-step
+            # hi/lo bf16 casts of the operand, THREE single-pass
+            # DEFAULT dots  Ph@hi + Ph@lo + Pl@hi  (Pl@lo ~2^-18
+            # dropped — measured bit-level on logL)
+            c12 = c_scr[buf].reshape(2 * CS, T)     # f32
+            hi = c12.astype(jnp.bfloat16)
+            lo = (c12 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            pack = P12_ref[0]                       # [2CS, 4CS] bf16
+            lr = jax.lax.dot_general(
+                pack[:, :2 * CS], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = lr + jax.lax.dot_general(
+                pack[:, :2 * CS], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = lr + jax.lax.dot_general(
+                pack[:, 2 * CS:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         elif _DOT_PROBE:
             c12 = c_scr[buf].reshape(2 * CS, T)
             n_dots = {"default1": 1, "default3": 3}[_DOT_PROBE]
@@ -806,7 +839,7 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             scale = jax.lax.bitcast_convert_type(
                 ((127 - e) << 23).astype(jnp.int32), jnp.float32)
             scaled = prod * scale
-        if split:
+        if store:
             # ONE split per node at write time (vs two per child at read
             # time in the measured dead-end variant)
             oh = scaled.astype(jnp.bfloat16)
@@ -895,11 +928,43 @@ def p_edge_from_eigen(partition, t):
     return jnp.einsum("ck,ckij->cij", expo, M, precision=_PREC)
 
 
+def _bf16_residual(x, hi=None):
+    """bf16 residual plane ``bf16(x - f32(bf16(x)))`` computed so it
+    SURVIVES XLA-TPU's bfloat16-propagation pass.
+
+    The naive formula is silently destroyed on TPU: the pass sees the
+    result consumed as bf16 and demotes the subtraction's operands to
+    bf16, turning the residual into ``bf16(x) - bf16(x) == 0`` — and it
+    propagates straight through ``jax.lax.optimization_barrier`` (all
+    barrier placements measured broken on-chip). Round-2 production
+    impact: every DEVICE-built split pack carried an all-zero low
+    plane, silently running the split kernels with a bf16-only P
+    matrix — logL off by up to 7e-5 relative, 70x the parity bar
+    (tools/probe_split_oracle.py). In-KERNEL (Mosaic) splits are safe:
+    Pallas bypasses the XLA HLO pipeline (verified on-chip: stored lo
+    planes are correct).
+
+    The fix recomputes the hi plane with INTEGER bit ops (round-to-
+    nearest-even to the top 16 bits via bitcast — exact for all finite
+    inputs, verified == ml_dtypes rounding) — the pass cannot demote
+    integer arithmetic, and measured on-chip the barriered f32
+    subtraction against the bitcast hi survives intact. ``hi`` (the
+    bf16 plane) is accepted for signature compatibility but recomputed
+    here; callers store ``x.astype(bfloat16)`` which equals the bitcast
+    rounding."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    rnd = bits + 0x7FFF + ((bits >> 16) & 1)
+    hif = jax.lax.bitcast_convert_type(rnd & jnp.int32(-65536),
+                                       jnp.float32)
+    diff = jax.lax.optimization_barrier(x - hif)
+    return diff.astype(jnp.bfloat16)
+
+
 def split_pack_p12(P12):
     """bf16 split-pack [nW, 2CS, 4CS] = [Ph | Pl] of f32 paired
     block-diagonal transition matrices (kernel ``split`` mode)."""
     Ph = P12.astype(jnp.bfloat16)
-    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    Pl = _bf16_residual(P12)
     return jnp.concatenate([Ph, Pl], axis=2)
 
 
@@ -919,12 +984,15 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
       thread_scalers: kernel scaler mode (see :func:`_make_fused_kernel`).
         False drops the two child-scaler DMAs+waits per step; the scaler
         plane then holds PER-NODE exponents, not cumulative sums.
-      split: split-storage bf16x2 CLVs + two-DEFAULT-dot child
-        application (see :func:`_make_fused_kernel`). Returns bf16
+      split: True = split-storage bf16x2 CLVs + two-DEFAULT-dot child
+        application; "read" = f32 storage + read-time split (3 DEFAULT
+        dots — the wide-state mode); False = exact HIGHEST dot (see
+        :func:`_make_fused_kernel`). split=True returns bf16
         [n_slots, 2, CS, Ppad] (planes lo, hi) instead of f32.
     Returns (clvs_csp [n_slots, CS, Ppad] f32 — or the split layout —
              scalers [n_slots, 1, Ppad] int32).
     """
+    store = split is True
     Ppad = partition.n_patterns_padded
     CS = partition.n_cats * partition.states
     codetab, n_codes = _code_table(partition)
@@ -947,14 +1015,14 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            (pltpu.VMEM((2, 2, 2, CS, TILE_P), jnp.bfloat16) if split
+            (pltpu.VMEM((2, 2, 2, CS, TILE_P), jnp.bfloat16) if store
              else pltpu.VMEM((2, 2, CS, TILE_P), jnp.float32)),  # c_scr
             pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # codes_scr
             pltpu.VMEM((2, 2, 1, TILE_P), jnp.int32),      # s_scr
-            (pltpu.VMEM((2, 2, CS, TILE_P), jnp.bfloat16) if split
+            (pltpu.VMEM((2, 2, CS, TILE_P), jnp.bfloat16) if store
              else pltpu.VMEM((2, CS, TILE_P), jnp.float32)),  # o_scr
             pltpu.VMEM((2, 1, TILE_P), jnp.int32),         # os_scr
-            pltpu.SemaphoreType.DMA((2, 6 if split else 4)),  # rsem
+            pltpu.SemaphoreType.DMA((2, 6 if store else 4)),  # rsem
             pltpu.SemaphoreType.DMA((2,)),                 # wsem
             pltpu.SemaphoreType.DMA((2,)),                 # wssem
             pltpu.SMEM((2,), jnp.int32),                   # cnt
@@ -964,13 +1032,13 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
     if not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
-    clv_shape = ((n_slots, 2, CS, Ppad) if split else (n_slots, CS, Ppad))
+    clv_shape = ((n_slots, 2, CS, Ppad) if store else (n_slots, CS, Ppad))
     fn = pl.pallas_call(
         _make_fused_kernel(n_codes, nW, nP, thread_scalers, split),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(clv_shape,
-                                 jnp.bfloat16 if split else jnp.float32),
+                                 jnp.bfloat16 if store else jnp.float32),
             jax.ShapeDtypeStruct((n_slots, 1, Ppad), jnp.int32),
         ],
         compiler_params=compiler_params,
@@ -1078,7 +1146,7 @@ def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,
                                               n_slots, interpret=interpret,
                                               split=split)
     C, S = partition.n_cats, partition.states
-    if split:
+    if clvs_csp.ndim == 4:          # split STORAGE ("read" is f32 3-dim)
         clvs_csp = (clvs_csp[:, 0].astype(jnp.float32) +
                     clvs_csp[:, 1].astype(jnp.float32))
     clvs = csp_to_standard(clvs_csp, C, S).astype(partition.dtype)

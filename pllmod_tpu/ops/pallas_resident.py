@@ -166,8 +166,9 @@ def split_pack_cm(P12):
     where Ph/Pl is the bf16 hi/lo split of the paired block-diagonal
     transition matrix and the index is the child block."""
     CS = P12.shape[1] // 2
+    from pllmod_tpu.ops.pallas_clv import _bf16_residual
     Ph = P12.astype(jnp.bfloat16)
-    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    Pl = _bf16_residual(P12)         # demotion-safe: see _bf16_residual
     z = jnp.zeros_like(Ph[:, :, :CS])
     corr = jnp.concatenate([Ph[:, :, :CS], Pl[:, :, :CS],
                             Ph[:, :, CS:], Pl[:, :, CS:]], axis=2)
@@ -182,8 +183,9 @@ def split_pack_ip(P12):
     dot reuses the Ph slice pack[:, 2kCS:(2k+1)CS] @ hi_k — no column
     duplication, half the pack rows of :func:`split_pack_cm`."""
     CS = P12.shape[1] // 2
+    from pllmod_tpu.ops.pallas_clv import _bf16_residual
     Ph = P12.astype(jnp.bfloat16)
-    Pl = (P12 - Ph.astype(jnp.float32)).astype(jnp.bfloat16)
+    Pl = _bf16_residual(P12)         # demotion-safe: see _bf16_residual
     return jnp.concatenate([Ph[:, :CS, :CS], Pl[:, :CS, :CS],
                             Ph[:, CS:, CS:], Pl[:, CS:, CS:]], axis=2)
 
@@ -339,6 +341,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
     ``probe`` (timing-only ablations, wrong results): subset of
     {"norescale", "nocast", "nodot", "nozero", "noasm"}."""
     probes = set(probe.split(",")) if probe else set()
+    store = split is True                  # bf16x2 split STORAGE
 
     def _kernel(idx_ref,            # prefetch [nW, 8] int32
                 tip_hi_ref,         # ANY [n_tips, CS, Ppad] bf16
@@ -348,7 +351,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
                 slots, ssc, asm, stage, rsem):
         p = pl.program_id(0)
         w = pl.program_id(1)
-        CS = asm.shape[1] // (4 if split else 2)
+        CS = asm.shape[1] // (4 if store else 2)
         T = asm.shape[-1]
         two = jnp.asarray(2, jnp.int32)
         nW_j = jnp.asarray(nW, jnp.int32)
@@ -367,7 +370,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
 
                 @pl.when(is_tip)
                 def _(tip=tip, k=k, bf=bf, pt=pt):
-                    if split:
+                    if store:
                         dst = asm.at[bf, pl.ds((2 * k + 1) * CS, CS)]
                     else:
                         dst = stage.at[bf, k]
@@ -393,7 +396,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
         for k, is_tip in ((0, is_tip1), (1, is_tip2)):
             @pl.when(is_tip)
             def _(k=k):
-                if split:
+                if store:
                     if "nozero" not in probes:
                         # tip lo rows are zero (bf16 tips are exact)
                         asm[buf, 2 * k * CS:(2 * k + 1) * CS] = jnp.zeros(
@@ -407,7 +410,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
                 if "noasm" in probes:
                     return
                 slot = idx_ref[w, k]
-                if split:
+                if store:
                     # child-major slot rows [lo, hi]: ONE contiguous copy
                     asm[buf, 2 * k * CS:(2 * k + 2) * CS] = slots[slot]
                 else:
@@ -419,17 +422,38 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
 
         if "nodot" in probes:
             lr = asm[buf, :2 * CS, :].astype(jnp.float32)
-        elif split:
+        elif store:
             call = asm[buf]                      # [4CS, T] child-major
             corr = jax.lax.dot_general(
                 P12_ref[0, :, :4 * CS], call, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
             main = jax.lax.dot_general(
-                P12_ref[0, :, 4 * CS:], call, (((1,), (0,)), ((), ())),
+                P12_ref[0, :, 4 * CS:], call,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
             lr = main + corr
+        elif split == "read":
+            # READ-TIME split (wide-state mode): f32 assembly, hi/lo
+            # bf16 casts per step, three single-pass DEFAULT dots
+            # (Ph@hi + Ph@lo + Pl@hi; Pl@lo ~2^-18 dropped)
+            c12 = asm[buf]                       # [2CS, T] f32
+            hi = c12.astype(jnp.bfloat16)
+            lo = (c12 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            pack = P12_ref[0]                    # [2CS, 4CS] bf16
+            lr = jax.lax.dot_general(
+                pack[:, :2 * CS], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = lr + jax.lax.dot_general(
+                pack[:, :2 * CS], lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            lr = lr + jax.lax.dot_general(
+                pack[:, 2 * CS:], hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         else:
             lr = jax.lax.dot_general(
                 P12_ref[0], asm[buf], (((1,), (0,)), ((), ())),
@@ -457,7 +481,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
         @pl.when(jnp.logical_not(is_root))
         def _():
             out = idx_ref[w, 6]
-            if split:
+            if store:
                 oh = scaled.astype(jnp.bfloat16)
                 if "nocast" in probes:
                     slots[out, CS:] = oh
@@ -487,6 +511,10 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
     ``tip_hi`` = :func:`expanded_tip_planes` of the partition (build it
     once per partition; it is model-parameter- and topology-invariant).
 
+    ``split``: False (exact-HIGHEST dot), True (bf16x2 split storage,
+    fast 2-dot — small state counts) or "read" (f32 storage + read-time
+    hi/lo casts + 3 dots — the wide-state mode, states > 8).
+
     ``inplace`` (split mode only; default = PLLMOD_RESIDENT_INPLACE env,
     off): per-child dots straight from the slot scratch instead of the
     prefilled assembly — see :func:`_make_resident_kernel_ip`."""
@@ -511,18 +539,25 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
     P12 = jnp.concatenate([P12, _root_pair(partition, P_root)])
     if inplace is None:
         inplace = bool(int(_os.environ.get("PLLMOD_RESIDENT_INPLACE", "0")))
-    inplace = inplace and split
+    store = split is True
+    inplace = inplace and store
     if inplace:
         P12 = split_pack_ip(P12)
         prow, pwidth = CS, 4 * CS
-    elif split:
+    elif store:
         P12 = split_pack_cm(P12)
         prow, pwidth = 2 * CS, 8 * CS
+    elif split == "read":
+        # f32 slots/assembly; [Ph | Pl] pack for the 3-dot read-time
+        # split (see _make_resident_kernel)
+        from pllmod_tpu.ops.pallas_clv import split_pack_p12
+        P12 = split_pack_p12(P12)
+        prow, pwidth = 2 * CS, 4 * CS
     else:
         prow, pwidth = 2 * CS, 2 * CS
 
     NS = max(n_slots, 1)
-    T = _pick_tile_resident(Ppad, CS, NS + (4 if inplace else 0), split)
+    T = _pick_tile_resident(Ppad, CS, NS + (4 if inplace else 0), store)
     nP = Ppad // T
     if inplace:
         scratch_shapes = [
@@ -533,13 +568,13 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
         kernel = _make_resident_kernel_ip(nW, nP, NS)
     else:
         scratch_shapes = [
-            (pltpu.VMEM((NS, 2 * CS, T), jnp.bfloat16) if split
+            (pltpu.VMEM((NS, 2 * CS, T), jnp.bfloat16) if store
              else pltpu.VMEM((NS, CS, T), jnp.float32)),   # slots
             pltpu.VMEM((NS, 1, T), jnp.int32),             # ssc
-            (pltpu.VMEM((2, 4 * CS, T), jnp.bfloat16) if split
+            (pltpu.VMEM((2, 4 * CS, T), jnp.bfloat16) if store
              else pltpu.VMEM((2, 2 * CS, T), jnp.float32)),  # asm
-            # tip staging (cast to f32 at use) — plain mode only
-            (pltpu.VMEM((1, 1, 8, 128), jnp.bfloat16) if split
+            # tip staging (cast to f32 at use) — plain/"read" modes only
+            (pltpu.VMEM((1, 1, 8, 128), jnp.bfloat16) if store
              else pltpu.VMEM((2, 2, CS, T), jnp.bfloat16)),
             pltpu.SemaphoreType.DMA((2, 2)),               # rsem
         ]

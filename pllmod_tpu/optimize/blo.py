@@ -228,8 +228,11 @@ def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
         partition, None, idx8, fe1, fe2, fused_nslots,
         interpret=fused_interp, P12=P12, split=split)
     eigen = partition.eigen()
+    # the sumtable kernel's split flag is about the BUFFER layout: only
+    # storage mode (True) yields bf16x2 planes; "read" traversals write
+    # plain f32 buffers
     st, sc = pallas_deriv.edge_sumtables_pallas(
-        partition, clvs, scalers, eref6, split=split,
+        partition, clvs, scalers, eref6, split=split is True,
         interpret=fused_interp)
     return st, sc, eigen, pallas_deriv.invar_log_plane(partition)
 

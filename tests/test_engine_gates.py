@@ -2,8 +2,10 @@
 fast_eval_schedule / use_split_clv) — rules measured on-chip (PERF_NOTES
 "CS crossover + kernel-shape constraints"): Mosaic rejects partial
 sublane slices with CS % 8 != 0 (except CS=4 on the fused kernel), the
-resident/fused crossover sits at CS=32, and split storage holds the
-1e-6 parity bar only for states ≤ 8 with aligned CS."""
+resident/fused crossover sits at CS=32, and split runs storage mode
+(bf16x2 CLVs) for states ≤ 8 and read-time mode (f32 CLVs) for wider
+models — every fast-kernel shape measured inside the 1e-6 parity bar
+on-chip after the _bf16_residual pack fix."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -31,10 +33,10 @@ def _part(states, cats):
 @pytest.mark.parametrize("states,cats,fast,sched,split", [
     (4, 4, True, "resident", True),     # DNA+G4, CS=16
     (4, 8, True, "resident", True),     # CS=32 (crossover tie)
-    (4, 1, True, "fused", False),       # CS=4: fused-only, exact
-    (10, 4, True, "fused", False),      # GT10+G4, CS=40
-    (16, 4, True, "fused", False),      # GT16+G4, CS=64
-    (20, 4, True, "fused", False),      # protein+G4, CS=80
+    (4, 1, True, "fused", True),        # CS=4: fused-only, split ok
+    (10, 4, True, "fused", "read"),     # GT10+G4, CS=40: read-time split
+    (16, 4, True, "fused", "read"),     # GT16+G4, CS=64
+    (20, 4, True, "fused", "read"),     # protein+G4, CS=80
     (20, 1, False, None, False),        # CS=20: Mosaic-rejected -> XLA
     (5, 4, False, None, False),         # CS=20 odd-state
 ])
@@ -46,7 +48,7 @@ def test_kernel_shape_gates(monkeypatch, states, cats, fast, sched, split):
     assert engine.use_fast_kernel(part) is fast
     if fast:
         assert engine.fast_eval_schedule(part) == sched
-    assert engine.use_split_clv(part) is split
+    assert engine.use_split_clv(part) == split
 
 
 def test_force_and_zero_arg_behavior(monkeypatch):

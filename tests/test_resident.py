@@ -79,6 +79,38 @@ def test_resident_protein(rng):
     assert l_res == l_ref
 
 
+def test_resident_split_read_wide_state(rng):
+    """split="read" (wide-state mode) on a 16-state genotype-like shape
+    (CS=64 > the resident gate, so force the kernel directly): within
+    1e-6 relative of the exact kernel."""
+    from pllmod_tpu.ops import charmap
+    rngl = np.random.default_rng(7)
+    n, sites, states = 10, 128, 16
+    tree = ref.random_binary_tree(rngl, n)
+    syms = charmap.MULTI_SYMBOLS[:states]
+    seqs = ["".join(np.array(list(syms))[rngl.integers(0, states, sites)])
+            for _ in range(n)]
+    part = create_partition(seqs, states=states, n_rate_cats=4, alpha=0.8,
+                            charmap=charmap.multistate(states),
+                            subst_rates=rngl.uniform(0.5, 2.0, 120),
+                            freqs=rngl.dirichlet([8] * states),
+                            dtype=jnp.float32).cache_eigen()
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    idx8, e1, e2, ns = pallas_resident.compile_resident(part, tree)
+    tip_hi = pallas_resident.expanded_tip_planes(part)
+
+    def run(split, inplace=False):
+        return float(pallas_resident.loglikelihood_resident(
+            part, idx8, brl, (e1, e2), tip_hi, ns, True, split,
+            inplace=inplace))
+
+    l_exact = run(False)
+    l_fast = run(True)
+    l_read = run("read")
+    assert abs(l_read - l_exact) / abs(l_exact) < 1e-6
+    assert abs(l_fast - l_exact) / abs(l_exact) < 1e-6
+
+
 def test_resident_no_eigen_cache(rng):
     """Without a cached eigendecomposition the generic prob_matrices
     path builds P12; result must still match the scan engine."""

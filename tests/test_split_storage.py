@@ -88,6 +88,68 @@ def test_split_storage_accuracy(rng, n, sites):
     assert l_split == pytest.approx(l_exact, rel=1e-6, abs=5e-3)
 
 
+def _protein_case(rng, n, sites):
+    from pllmod_tpu.ops import charmap
+    tree = ref.random_binary_tree(rng, n)
+    seqs = ref.random_sequences(rng, n, sites, alphabet=charmap.AA_ORDER,
+                                gap_frac=0.0)
+    part = create_partition(seqs, states=20, n_rate_cats=4, alpha=0.8,
+                            subst_rates=rng.uniform(0.5, 2.0, 190),
+                            freqs=rng.dirichlet([8] * 20),
+                            dtype=jnp.float32)
+    return part.cache_eigen(), tree
+
+
+def test_split_read_wide_state_accuracy(rng):
+    """split="read" (f32 storage, read-time hi/lo casts, 3 DEFAULT
+    dots) — the wide-state production mode: within 1e-6 relative of
+    the exact kernel on protein (measured on-chip 6.5e-8 vs f64 after
+    the pack fix — see _bf16_residual)."""
+    part, tree = _protein_case(rng, 10, 96)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree,
+                                                    fuse_root=True)
+    l_exact = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    l_fast = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, True))
+    l_read = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, "read"))
+    assert abs(l_read - l_exact) / abs(l_exact) < 1e-6
+    assert abs(l_fast - l_exact) / abs(l_exact) < 1e-6
+
+
+def test_split_read_dna_matches_bar(rng):
+    """split="read" on DNA: also inside the bar."""
+    part, tree = _case(rng, 12, 128)
+    brl = jnp.asarray(tree.lengths, jnp.float32)
+    i2, f1, f2, ri2, ns2 = pallas_clv.compile_fused(part, tree,
+                                                    fuse_root=True)
+    l_exact = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, False))
+    l_read = float(pallas_clv.loglikelihood_fused(
+        part, i2, brl, f1, f2, ri2, ns2, True, "read"))
+    assert l_read == pytest.approx(l_exact, rel=1e-6, abs=5e-3)
+
+
+def test_bf16_residual_demotion_safe():
+    """pallas_clv._bf16_residual must equal the host ml_dtypes residual
+    (the XLA-TPU bf16-propagation pass zeroed the naive formula on-chip
+    — round-2 production bug; the bitcast construction is the fix and
+    tools/tpu_parity.py re-checks it on real hardware)."""
+    import ml_dtypes
+    import jax
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, (64, 64)) * 10.0 ** rng.integers(
+        -20, 2, (64, 64))).astype(np.float32)
+    got = np.asarray(jax.jit(pallas_clv._bf16_residual)(
+        jnp.asarray(x)).astype(jnp.float32), np.float64)
+    hi = x.astype(ml_dtypes.bfloat16).astype(np.float64)
+    want = (x.astype(np.float64) - hi).astype(
+        ml_dtypes.bfloat16).astype(np.float64)
+    assert np.array_equal(got, want)
+
+
 def test_split_flag_auto_off_on_cpu():
     """use_split_clv defaults to the platform (False on CPU) and honors
     the forced override."""

@@ -25,13 +25,38 @@ SHAPES = [
     # (states, cats, label)
     (4, 4, "DNA+G4 (CS=16, resident+split)"),
     (4, 8, "DNA+G8 (CS=32, resident+split)"),
-    (4, 1, "DNA no-gamma (CS=4, fused exact)"),
-    (10, 4, "GT10+G4 (CS=40, fused exact)"),
-    (16, 4, "GT16+G4 (CS=64, fused exact)"),
-    (20, 4, "protein+G4 (CS=80, fused exact)"),
+    (4, 1, "DNA no-gamma (CS=4, fused+split)"),
+    (10, 4, "GT10+G4 (CS=40, fused+read-split)"),
+    (16, 4, "GT16+G4 (CS=64, fused+read-split)"),
+    (20, 4, "protein+G4 (CS=80, fused+read-split)"),
     (20, 1, "20-state cats=1 (CS=20, XLA levels fallback)"),
     (5, 4, "5-state+G4 (CS=20, XLA levels fallback)"),
 ]
+
+
+def check_bf16_residual() -> bool:
+    """On-chip canary for the XLA bf16-propagation bug: the naive
+    residual formula bf16(x - f32(bf16(x))) compiles to ZERO on TPU
+    (the pass demotes the f32 subtraction; optimization_barrier does
+    NOT stop it). pallas_clv._bf16_residual works around it with
+    integer-bitcast rounding; this re-checks the workaround on the real
+    compiler after every toolchain change."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from pllmod_tpu.ops.pallas_clv import _bf16_residual
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, (64, 64)) *
+         10.0 ** rng.integers(-20, 2, (64, 64))).astype(np.float32)
+    got = np.asarray(jax.jit(_bf16_residual)(
+        jnp.asarray(x)).astype(jnp.float32), np.float64)
+    hi = x.astype(ml_dtypes.bfloat16).astype(np.float64)
+    want = (x.astype(np.float64) - hi).astype(
+        ml_dtypes.bfloat16).astype(np.float64)
+    ok = np.array_equal(got, want)
+    print(("OK " if ok else "FAIL") +
+          " bf16-residual demotion canary (split packs)", flush=True)
+    return ok
 
 
 def main(n_taxa: int = 16, n_sites: int = 512) -> int:
@@ -44,7 +69,7 @@ def main(n_taxa: int = 16, n_sites: int = 512) -> int:
 
     rng = np.random.default_rng(3)
     tree = Tree.from_newick(_random_newick(n_taxa, rng))
-    failures = 0
+    failures = 0 if check_bf16_residual() else 1
     for states, cats, label in SHAPES:
         syms = charmap.MULTI_SYMBOLS[:states]
         mat = np.array(list(syms))[rng.integers(0, states,
