@@ -390,3 +390,166 @@ def edge_derivatives_pallas(partition, st, sc, t, eigen=None,
     )
     out = fn(st, sc, emul, lnB, pw)
     return out[:, 0, 0], out[:, 0, 1], out[:, 0, 2]
+
+
+# ---------------------------------------------------------------------------
+# fused per-edge Newton kernel
+# ---------------------------------------------------------------------------
+def _make_newton_kernel(max_iters: int):
+    """Whole bracketed Newton optimization of ONE edge per grid step,
+    with the edge's full sumtable row RESIDENT in VMEM: the iterative
+    formulation re-reads st [E, CS, Ppad] every iteration (the measured
+    bound of the BLO sweep: ~0.72 ms/iteration = one 265 MB read at the
+    flagship), while each edge's Newton problem is independent given the
+    directed CLVs — so all iterations of an edge can run against one
+    read of its row. Update rules are EXACTLY
+    :func:`pllmod_tpu.optimize.newton.minimize_newton_multi`
+    (reference: pllmod_opt_minimize_newton_multi, opt_algorithms.c:
+    133-261): bracket [xl, xh], step clamp (xmax-xmin)/max_iters,
+    bisection fallback when not concave or out of bracket, freeze on
+    convergence. Per-site math = :func:`_make_deriv_kernel`."""
+    def _kernel(st_ref,            # block [1, CS, P] f32
+                sc_ref,            # block [1, 1, P] int32
+                lw_ref,            # block [1, 8, CS] f32 (rows: lr, w)
+                lnB_ref,           # block [1, 1, P] f32
+                pw_ref,            # block [1, 1, P] f32
+                t0_ref,            # block [1, 1, 128] f32 (lane 0 = t0)
+                par_ref,           # block [1, 128] f32 (xmin, xmax, tol)
+                out_ref):          # block [1, 1, 128] f32 (t_opt, lnl0)
+        st = st_ref[0]                                  # [CS, P]
+        scv = sc_ref[0].astype(jnp.float32)             # [1, P]
+        lnb = lnB_ref[0]
+        pw = pw_ref[0]
+        lr = lw_ref[0, 0:1, :]                          # [1, CS]
+        w = lw_ref[0, 1:2, :]
+        t0 = t0_ref[0, 0, 0]
+        xmin = par_ref[0, 0]
+        xmax = par_ref[0, 1]
+        tol = par_ref[0, 2]
+        max_step = (xmax - xmin) / max_iters
+        tiny = jnp.asarray(1e-37, jnp.float32)
+        zeros5 = jnp.zeros((5,) + lr.shape[1:], jnp.float32)
+
+        def derivs(t):
+            expo = jnp.exp(t * lr)                      # [1, CS]
+            r0 = w * expo
+            emul = jnp.concatenate(
+                [r0, r0 * lr, r0 * lr * lr, zeros5], axis=0)  # [8, CS]
+            rows = jax.lax.dot_general(
+                emul, st, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC)
+            L = rows[0:1]
+            dL = rows[1:2]
+            ddL = rows[2:3]
+            Lsafe = jnp.maximum(L, tiny)
+            ln_a = jnp.log(Lsafe) + scv * LN2
+            mx = jnp.maximum(ln_a, lnb)
+            site_lnl = mx + jnp.log1p(jnp.exp(-jnp.abs(ln_a - lnb)))
+            frac = jnp.exp(ln_a - site_lnl)
+            r1 = frac * dL / Lsafe
+            site_ddf = frac * ddL / Lsafe - r1 * r1
+            return (jnp.sum(site_lnl * pw), jnp.sum(r1 * pw),
+                    jnp.sum(site_ddf * pw))
+
+        def body(i, state):
+            x, xl, xh, conv, lnl0 = state
+            lnl, df, ddf = derivs(x)
+            lnl0 = jnp.where(i == 0, lnl, lnl0)
+            upd = jnp.logical_not(conv)
+            xl = jnp.where(upd & (df > 0), x, xl)
+            xh = jnp.where(upd & (df < 0), x, xh)
+            newton_dx = jnp.where(ddf < 0, -df / ddf, 0.0)
+            newton_dx = jnp.clip(newton_dx, -max_step, max_step)
+            x_newton = x + newton_dx
+            x_bisect = jnp.where(df > 0, 0.5 * (x + xh), 0.5 * (x + xl))
+            use_newton = (ddf < 0) & (x_newton > xl) & (x_newton < xh)
+            x_new = jnp.clip(jnp.where(use_newton, x_newton, x_bisect),
+                             xmin, xmax)
+            new_conv = conv | (jnp.abs(x_new - x) < tol) | (df == 0)
+            x = jnp.where(conv, x, x_new)
+            return x, xl, xh, new_conv, lnl0
+
+        x, _, _, _, lnl0 = jax.lax.fori_loop(
+            0, max_iters, body,
+            (t0, xmin, xmax, jnp.asarray(False), jnp.float32(0)))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        out_ref[0] = (jnp.where(lane == 0, x, 0.0) +
+                      jnp.where(lane == 1, lnl0, 0.0))
+
+    return _kernel
+
+
+def _lam_weight_rows(partition, eigen=None):
+    """[1, 8, CS] f32 rows (λ·r_c per flat cat-state, effective weight
+    w_c·(1−p_c) repeated per state) — the t-independent pieces of
+    :func:`deriv_coeffs`, consumed by the fused Newton kernel."""
+    if eigen is None:
+        eigen = partition.eigen()
+    pidx = partition.param_indices
+    lam_c = eigen[0][pidx]
+    pinv_c = partition.prop_invar[pidx]
+    rc = partition.rate_cats / (1.0 - pinv_c)
+    lr = (lam_c * rc[:, None]).astype(jnp.float32)
+    S = partition.states
+    CS = partition.n_cats * S
+    w_f = jnp.repeat((partition.rate_weights *
+                      (1.0 - pinv_c)).astype(jnp.float32), S)
+    rows = jnp.stack([lr.reshape(CS), w_f], axis=0)     # [2, CS]
+    return jnp.pad(rows, ((0, 6), (0, 0)))[None]        # [1, 8, CS]
+
+
+# st row + working [8/1, P] planes per edge must fit VMEM (with Mosaic's
+# automatic double-buffering of the next edge's row)
+NEWTON_VMEM_ST_BYTES = 5 * 1024 * 1024
+
+
+def newton_fits_vmem(partition) -> bool:
+    CS = partition.n_cats * partition.states
+    return CS * partition.n_patterns_padded * 4 <= NEWTON_VMEM_ST_BYTES
+
+
+def newton_edges_pallas(partition, st, sc, t0, xmin, xmax, tol,
+                        max_iters: int = 10, eigen=None, lnB=None,
+                        interpret: bool = False):
+    """All-edge bracketed Newton branch-length optimization in ONE pallas
+    call — one sumtable read TOTAL instead of one per iteration.
+
+    Args:
+      st/sc: from :func:`edge_sumtables_pallas`
+      t0: [E] starting branch lengths; xmin/xmax/tol: scalars (traced ok)
+    Returns (t_opt [E] f32, lnl0 [E] f32 — per-edge logL at t0).
+    """
+    E, CS, Ppad = st.shape
+    lw = _lam_weight_rows(partition, eigen)
+    if lnB is None:
+        lnB = invar_log_plane(partition)
+    pw = partition.pattern_weights.astype(jnp.float32)[None, None, :]
+    t0_in = jnp.zeros((E, 1, 128), jnp.float32).at[:, 0, 0].set(
+        jnp.asarray(t0, jnp.float32))
+    par = jnp.zeros((1, 128), jnp.float32)
+    par = par.at[0, 0].set(jnp.asarray(xmin, jnp.float32))
+    par = par.at[0, 1].set(jnp.asarray(xmax, jnp.float32))
+    par = par.at[0, 2].set(jnp.asarray(tol, jnp.float32))
+    compiler_params = None
+    if not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",))
+    fn = pl.pallas_call(
+        _make_newton_kernel(max_iters),
+        grid=(E,),
+        in_specs=[
+            pl.BlockSpec((1, CS, Ppad), lambda e: (e, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (e, 0, 0)),
+            pl.BlockSpec((1, 8, CS), lambda e: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda e: (e, 0, 0)),
+            pl.BlockSpec((1, 128), lambda e: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda e: (e, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((E, 1, 128), jnp.float32),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+    out = fn(st, sc, lw, lnB, pw, t0_in, par)
+    return out[:, 0, 0], out[:, 0, 1]

@@ -249,10 +249,23 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
     passes only its color class (see :func:`_edge_colors`)."""
     live_idx = jnp.argmax(edge_mask)               # any live edge
     if eref6 is not None:
+        import os as _os
         from pllmod_tpu.ops import pallas_deriv
         st, sc, eigen, lnB = _deriv_pipeline_fast(
             partition, brlens, fused_idx, fused_nslots, fused_interp,
             eref6)
+        if (pallas_deriv.newton_fits_vmem(partition)
+                and _os.environ.get("PLLMOD_FUSED_NEWTON", "1") != "0"):
+            # fused per-edge Newton: whole bracketed optimization per
+            # edge against its VMEM-resident sumtable row — ONE st read
+            # total instead of one per Newton iteration (the measured
+            # bound of the iterative sweep)
+            t_all, lnl0_all = pallas_deriv.newton_edges_pallas(
+                partition, st, sc, brlens, min_brlen, max_brlen, tol,
+                max_newton_iters, eigen, lnB, fused_interp)
+            lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
+            t_opt = t_all.astype(brlens.dtype)
+            return jnp.where(edge_mask, t_opt, brlens), lnl0
         lnl0_all, _, _ = pallas_deriv.edge_derivatives_pallas(
             partition, st, sc, brlens, eigen, lnB, fused_interp)
         lnl0 = lnl0_all[live_idx].astype(brlens.dtype)

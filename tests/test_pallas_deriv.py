@@ -239,6 +239,74 @@ def test_kernel_fuzz_random_configs(rng):
             assert rel < 5e-5, (trial, states, cats, pinv, name, rel)
 
 
+@pytest.mark.parametrize("states,pinv", [(4, 0.25), (20, 0.0)])
+def test_fused_newton_kernel_parity(rng, states, pinv):
+    """Fused per-edge Newton kernel ≡ minimize_newton_multi driven by
+    edge_derivatives_pallas on the SAME sumtables: with identical update
+    rules and identical per-iteration derivatives, the iterates are the
+    same sequence — t_opt must match to f32 roundoff, and lnl0 must equal
+    the derivative kernel's logL at t0."""
+    from pllmod_tpu.optimize.newton import minimize_newton_multi
+
+    part, tree = _case(rng, states, 10 if states == 4 else 8,
+                       256 if states == 4 else 128, pinv)
+    trav = blo_mod.DirectedTraversal(tree)
+    brl = jnp.asarray(np.clip(tree.lengths, 1e-4, 100.0), jnp.float32)
+    idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+    P = part.prob_matrices(brl)
+    clvs, scalers = pallas_clv.update_partials_fused(
+        part, P, idx8, e1, e2, ns, interpret=True, split=False)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           part.n_tips)
+    st, sc = pallas_deriv.edge_sumtables_pallas(part, clvs, scalers, eref6,
+                                                split=False, interpret=True)
+    eigen = part.eigen()
+    lnB = pallas_deriv.invar_log_plane(part)
+    xmin, xmax, tol = 1e-4, 100.0, 1e-6
+    t_got, lnl0_got = pallas_deriv.newton_edges_pallas(
+        part, st, sc, brl, xmin, xmax, tol, 10, eigen, lnB, interpret=True)
+
+    def deriv_fn(t):
+        _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+            part, st, sc, t, eigen, lnB, interpret=True)
+        return df, ddf
+
+    t_want = minimize_newton_multi(deriv_fn, brl, xmin, xmax, tol=tol,
+                                   max_iters=10)
+    lnl0_want, _, _ = pallas_deriv.edge_derivatives_pallas(
+        part, st, sc, brl, eigen, lnB, interpret=True)
+    m = trav.edge_mask
+    rel_t = np.max(np.abs(np.asarray(t_got) - np.asarray(t_want))[m] /
+                   np.maximum(np.abs(np.asarray(t_want)), 1e-4)[m])
+    assert rel_t < 5e-4, rel_t
+    rel_l = np.max(np.abs(np.asarray(lnl0_got) - np.asarray(lnl0_want))[m] /
+                   np.maximum(np.abs(np.asarray(lnl0_want)), 1e-2)[m])
+    assert rel_l < 2e-6, rel_l
+
+
+def test_fused_newton_blo_end_to_end(rng, force_fast, monkeypatch):
+    """optimize_branch_lengths with the fused Newton kernel enabled vs
+    disabled (iterative minimize_newton_multi on the same fused
+    derivative pipeline): both must reach the same optimum quality, and
+    the final logL must verify against an independent engine."""
+    part, tree = _case(rng, 4, 10, 200, pinv=0.15)
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "0")
+    t_it = tree.copy()
+    blo_mod._blo_sweep._clear_cache()
+    _, l_it = blo_mod.optimize_branch_lengths(part, t_it, max_sweeps=24,
+                                              tolerance=1e-8)
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "1")
+    blo_mod._blo_sweep._clear_cache()
+    t_fn = tree.copy()
+    _, l_fn = blo_mod.optimize_branch_lengths(part, t_fn, max_sweeps=24,
+                                              tolerance=1e-8)
+    blo_mod._blo_sweep._clear_cache()
+    assert l_fn >= l_it - 1e-4 * abs(l_it)
+    engine_mod.FORCE_FAST_KERNEL = False
+    l_check = float(tree_loglikelihood(part, t_fn))
+    assert abs(l_check - l_fn) / abs(l_fn) < 1e-5
+
+
 def test_blo_no_retrace_across_topologies(rng, force_fast):
     """The fast BLO pipeline's jit cache key must be topology-INDEPENDENT
     (fixed-shape idx8/eref6 arrays; no level schedule): an SPR must not
