@@ -395,9 +395,9 @@ def edge_derivatives_pallas(partition, st, sc, t, eigen=None,
 # ---------------------------------------------------------------------------
 # fused per-edge Newton kernel
 # ---------------------------------------------------------------------------
-def _make_newton_kernel(max_iters: int):
+def _make_newton_kernel(max_iters: int, n_parts: int = 1):
     """Whole bracketed Newton optimization of ONE edge per grid step,
-    with the edge's full sumtable row RESIDENT in VMEM: the iterative
+    with the edge's full sumtable row(s) RESIDENT in VMEM: the iterative
     formulation re-reads st [E, CS, Ppad] every iteration (the measured
     bound of the BLO sweep: ~0.72 ms/iteration = one 265 MB read at the
     flagship), while each edge's Newton problem is independent given the
@@ -407,57 +407,85 @@ def _make_newton_kernel(max_iters: int):
     (reference: pllmod_opt_minimize_newton_multi, opt_algorithms.c:
     133-261): bracket [xl, xh], step clamp (xmax-xmin)/max_iters,
     bisection fallback when not concave or out of bracket, freeze on
-    convergence. Per-site math = :func:`_make_deriv_kernel`."""
-    def _kernel(st_ref,            # block [1, CS, P] f32
-                sc_ref,            # block [1, 1, P] int32
-                lw_ref,            # block [1, 8, CS] f32 (rows: lr, w)
-                lnB_ref,           # block [1, 1, P] f32
-                pw_ref,            # block [1, 1, P] f32
-                t0_ref,            # block [1, 1, 128] f32 (lane 0 = t0)
-                par_ref,           # block [1, 128] f32 (xmin, xmax, tol)
-                out_ref):          # block [1, 1, 128] f32 (t_opt, lnl0)
-        st = st_ref[0]                                  # [CS, P]
-        scv = sc_ref[0].astype(jnp.float32)             # [1, P]
-        lnb = lnB_ref[0]
-        pw = pw_ref[0]
-        lr = lw_ref[0, 0:1, :]                          # [1, CS]
-        w = lw_ref[0, 1:2, :]
+    convergence + per-edge EARLY EXIT (scalar scf.while). Per-site math
+    = :func:`_make_deriv_kernel`.
+
+    ``n_parts > 1`` is the multi-partition variant (reference:
+    utree_derivative_func_multi, pll_optimize.c:1223-1287): per-partition
+    (lnl, df, ddf) are summed per iteration. The SCALED-mode chain rule
+    (df·s, ddf·s², pll_optimize.c:1249-1267) is folded into each
+    partition's λr rows by the caller (lr' = s·λ·r_c, so the emul dot
+    against the st computed at b·s differentiates w.r.t. the SHARED b).
+
+    MEASURED DEAD END (do not re-try): batching G edges per grid step
+    into one block-diagonal [8G, G·CS]@[G·CS, T] dot made the stage
+    SLOWER (G=4: 4.79 vs 3.72 ms at the flagship) — the per-iteration
+    dot is bound by feeding the st operand bytes from VMEM through the
+    MXU, which grouping leaves unchanged, and it costs the per-edge
+    early exit (Mosaic legalizes only SCALAR scf.while carries; vector
+    state forces a fixed-trip fori)."""
+    def _kernel(*refs):
+        # per partition k: st_k [1,CS_k,P_k] f32, sc_k [1,1,P_k] int32,
+        #   lw_k [1,8,CS_k] f32 (rows: lr·s, w), lnB_k [1,1,P_k] f32,
+        #   pw_k [1,1,P_k] f32
+        # then: t0 [1,1,128] f32 (lane 0), par [1,128] f32
+        #   (xmin, xmax, tol), out [1,1,128] f32 (t_opt, lnl0)
+        groups = [refs[5 * k:5 * k + 5] for k in range(n_parts)]
+        t0_ref, par_ref, out_ref = refs[5 * n_parts:]
         t0 = t0_ref[0, 0, 0]
         xmin = par_ref[0, 0]
         xmax = par_ref[0, 1]
         tol = par_ref[0, 2]
         max_step = (xmax - xmin) / max_iters
         tiny = jnp.asarray(1e-37, jnp.float32)
-        zeros5 = jnp.zeros((5,) + lr.shape[1:], jnp.float32)
 
         def derivs(t):
-            expo = jnp.exp(t * lr)                      # [1, CS]
-            r0 = w * expo
-            emul = jnp.concatenate(
-                [r0, r0 * lr, r0 * lr * lr, zeros5], axis=0)  # [8, CS]
-            rows = jax.lax.dot_general(
-                emul, st, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC)
-            L = rows[0:1]
-            dL = rows[1:2]
-            ddL = rows[2:3]
-            Lsafe = jnp.maximum(L, tiny)
-            ln_a = jnp.log(Lsafe) + scv * LN2
-            mx = jnp.maximum(ln_a, lnb)
-            site_lnl = mx + jnp.log1p(jnp.exp(-jnp.abs(ln_a - lnb)))
-            frac = jnp.exp(ln_a - site_lnl)
-            r1 = frac * dL / Lsafe
-            site_ddf = frac * ddL / Lsafe - r1 * r1
-            return (jnp.sum(site_lnl * pw), jnp.sum(r1 * pw),
-                    jnp.sum(site_ddf * pw))
+            lnl_t = df_t = ddf_t = jnp.float32(0)
+            for st_ref, sc_ref, lw_ref, lnB_ref, pw_ref in groups:
+                st = st_ref[0]                          # [CS, P]
+                scv = sc_ref[0].astype(jnp.float32)     # [1, P]
+                lnb = lnB_ref[0]
+                pw = pw_ref[0]
+                lr = lw_ref[0, 0:1, :]                  # [1, CS]
+                w = lw_ref[0, 1:2, :]
+                zeros5 = jnp.zeros((5,) + lr.shape[1:], jnp.float32)
+                expo = jnp.exp(t * lr)                  # [1, CS]
+                r0 = w * expo
+                emul = jnp.concatenate(
+                    [r0, r0 * lr, r0 * lr * lr, zeros5], axis=0)  # [8,CS]
+                rows = jax.lax.dot_general(
+                    emul, st, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC)
+                L = rows[0:1]
+                dL = rows[1:2]
+                ddL = rows[2:3]
+                Lsafe = jnp.maximum(L, tiny)
+                ln_a = jnp.log(Lsafe) + scv * LN2
+                mx = jnp.maximum(ln_a, lnb)
+                site_lnl = mx + jnp.log1p(jnp.exp(-jnp.abs(ln_a - lnb)))
+                frac = jnp.exp(ln_a - site_lnl)
+                r1 = frac * dL / Lsafe
+                site_ddf = frac * ddL / Lsafe - r1 * r1
+                lnl_t = lnl_t + jnp.sum(site_lnl * pw)
+                df_t = df_t + jnp.sum(r1 * pw)
+                ddf_t = ddf_t + jnp.sum(site_ddf * pw)
+            return lnl_t, df_t, ddf_t
 
-        def body(i, state):
-            x, xl, xh, conv, lnl0 = state
+        # early-exit while loop (all-scalar carries): the grid step's
+        # cost is its per-iteration st feed through the MXU, and
+        # near-converged edges (most of every warm sweep) stop after
+        # 1-2 iterations — same per-edge freeze semantics as
+        # minimize_newton_multi's convergence mask
+        def cond(state):
+            i, x, xl, xh, conv, lnl0 = state
+            return (i < max_iters) & jnp.logical_not(conv)
+
+        def body(state):
+            i, x, xl, xh, conv, lnl0 = state
             lnl, df, ddf = derivs(x)
             lnl0 = jnp.where(i == 0, lnl, lnl0)
-            upd = jnp.logical_not(conv)
-            xl = jnp.where(upd & (df > 0), x, xl)
-            xh = jnp.where(upd & (df < 0), x, xh)
+            xl = jnp.where(df > 0, x, xl)
+            xh = jnp.where(df < 0, x, xh)
             newton_dx = jnp.where(ddf < 0, -df / ddf, 0.0)
             newton_dx = jnp.clip(newton_dx, -max_step, max_step)
             x_newton = x + newton_dx
@@ -465,13 +493,13 @@ def _make_newton_kernel(max_iters: int):
             use_newton = (ddf < 0) & (x_newton > xl) & (x_newton < xh)
             x_new = jnp.clip(jnp.where(use_newton, x_newton, x_bisect),
                              xmin, xmax)
-            new_conv = conv | (jnp.abs(x_new - x) < tol) | (df == 0)
-            x = jnp.where(conv, x, x_new)
-            return x, xl, xh, new_conv, lnl0
+            new_conv = (jnp.abs(x_new - x) < tol) | (df == 0)
+            return i + 1, x_new, xl, xh, new_conv, lnl0
 
-        x, _, _, _, lnl0 = jax.lax.fori_loop(
-            0, max_iters, body,
-            (t0, xmin, xmax, jnp.asarray(False), jnp.float32(0)))
+        _, x, _, _, _, lnl0 = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), t0, xmin, xmax, jnp.asarray(False),
+             jnp.float32(0)))
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         out_ref[0] = (jnp.where(lane == 0, x, 0.0) +
                       jnp.where(lane == 1, lnl0, 0.0))
@@ -479,17 +507,22 @@ def _make_newton_kernel(max_iters: int):
     return _kernel
 
 
-def _lam_weight_rows(partition, eigen=None):
+def _lam_weight_rows(partition, eigen=None, scale=1.0):
     """[1, 8, CS] f32 rows (λ·r_c per flat cat-state, effective weight
     w_c·(1−p_c) repeated per state) — the t-independent pieces of
-    :func:`deriv_coeffs`, consumed by the fused Newton kernel."""
+    :func:`deriv_coeffs`, consumed by the fused Newton kernel.
+
+    ``scale`` folds a SCALED-linkage brlen scaler into λr (lr' = s·λ·r):
+    with sumtables built at b·s, exp(b·lr') then differentiates the
+    per-partition logL w.r.t. the SHARED b — the chain rule df·s, ddf·s²
+    of pll_optimize.c:1249-1267 without post-hoc factors."""
     if eigen is None:
         eigen = partition.eigen()
     pidx = partition.param_indices
     lam_c = eigen[0][pidx]
     pinv_c = partition.prop_invar[pidx]
     rc = partition.rate_cats / (1.0 - pinv_c)
-    lr = (lam_c * rc[:, None]).astype(jnp.float32)
+    lr = (lam_c * rc[:, None] * scale).astype(jnp.float32)
     S = partition.states
     CS = partition.n_cats * S
     w_f = jnp.repeat((partition.rate_weights *
@@ -503,53 +536,84 @@ def _lam_weight_rows(partition, eigen=None):
 NEWTON_VMEM_ST_BYTES = 5 * 1024 * 1024
 
 
-def newton_fits_vmem(partition) -> bool:
-    CS = partition.n_cats * partition.states
-    return CS * partition.n_patterns_padded * 4 <= NEWTON_VMEM_ST_BYTES
+def newton_fits_vmem(*partitions) -> bool:
+    # CS ≤ 128: the kernel reads t from the leading CS lanes of its
+    # full-lane state planes (one VREG row)
+    if any(p.n_cats * p.states > 128 for p in partitions):
+        return False
+    total = sum(p.n_cats * p.states * p.n_patterns_padded * 4
+                for p in partitions)
+    return total <= NEWTON_VMEM_ST_BYTES
 
 
-def newton_edges_pallas(partition, st, sc, t0, xmin, xmax, tol,
-                        max_iters: int = 10, eigen=None, lnB=None,
-                        interpret: bool = False):
-    """All-edge bracketed Newton branch-length optimization in ONE pallas
-    call — one sumtable read TOTAL instead of one per iteration.
+def newton_edges_pallas_multi(partitions, sts, scs, t0, scalers, xmin,
+                              xmax, tol, max_iters: int = 10, eigens=None,
+                              lnBs=None, interpret: bool = False):
+    """All-edge bracketed Newton branch-length optimization over K
+    partitions in ONE pallas call — one sumtable read TOTAL instead of
+    one per Newton iteration. Multi-partition derivative accumulation
+    with SCALED-mode scalers folded into the λr rows (see
+    :func:`_lam_weight_rows`).
 
     Args:
-      st/sc: from :func:`edge_sumtables_pallas`
-      t0: [E] starting branch lengths; xmin/xmax/tol: scalars (traced ok)
-    Returns (t_opt [E] f32, lnl0 [E] f32 — per-edge logL at t0).
+      sts/scs: per-partition sumtables from :func:`edge_sumtables_pallas`
+        built at ``t0 * scalers[k]``
+      t0: [E] shared starting branch lengths; scalers: K floats;
+        xmin/xmax/tol: scalars (traced ok)
+    Returns (t_opt [E] f32, lnl0 [E] f32 — per-edge total logL at t0).
     """
-    E, CS, Ppad = st.shape
-    lw = _lam_weight_rows(partition, eigen)
-    if lnB is None:
-        lnB = invar_log_plane(partition)
-    pw = partition.pattern_weights.astype(jnp.float32)[None, None, :]
+    K = len(partitions)
+    E = sts[0].shape[0]
+    if eigens is None:
+        eigens = [None] * K
+    if lnBs is None:
+        lnBs = [invar_log_plane(p) for p in partitions]
+    operands, in_specs = [], []
+    for part, st, sc, s, eig, lnB in zip(partitions, sts, scs, scalers,
+                                         eigens, lnBs):
+        _, CS, Ppad = st.shape
+        lw = _lam_weight_rows(part, eig, scale=s)
+        pw = part.pattern_weights.astype(jnp.float32)[None, None, :]
+        operands += [st, sc, lw, lnB, pw]
+        in_specs += [
+            pl.BlockSpec((1, CS, Ppad), lambda e: (e, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (e, 0, 0)),
+            pl.BlockSpec((1, 8, CS), lambda e: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
+        ]
     t0_in = jnp.zeros((E, 1, 128), jnp.float32).at[:, 0, 0].set(
         jnp.asarray(t0, jnp.float32))
     par = jnp.zeros((1, 128), jnp.float32)
     par = par.at[0, 0].set(jnp.asarray(xmin, jnp.float32))
     par = par.at[0, 1].set(jnp.asarray(xmax, jnp.float32))
     par = par.at[0, 2].set(jnp.asarray(tol, jnp.float32))
+    operands += [t0_in, par]
+    in_specs += [
+        pl.BlockSpec((1, 1, 128), lambda e: (e, 0, 0)),
+        pl.BlockSpec((1, 128), lambda e: (0, 0)),
+    ]
     compiler_params = None
     if not interpret:
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary",))
     fn = pl.pallas_call(
-        _make_newton_kernel(max_iters),
+        _make_newton_kernel(max_iters, K),
         grid=(E,),
-        in_specs=[
-            pl.BlockSpec((1, CS, Ppad), lambda e: (e, 0, 0)),
-            pl.BlockSpec((1, 1, Ppad), lambda e: (e, 0, 0)),
-            pl.BlockSpec((1, 8, CS), lambda e: (0, 0, 0)),
-            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
-            pl.BlockSpec((1, 1, Ppad), lambda e: (0, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda e: (e, 0, 0)),
-            pl.BlockSpec((1, 128), lambda e: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, 128), lambda e: (e, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((E, 1, 128), jnp.float32),
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    out = fn(st, sc, lw, lnB, pw, t0_in, par)
+    out = fn(*operands)
     return out[:, 0, 0], out[:, 0, 1]
+
+
+def newton_edges_pallas(partition, st, sc, t0, xmin, xmax, tol,
+                        max_iters: int = 10, eigen=None, lnB=None,
+                        interpret: bool = False):
+    """Single-partition :func:`newton_edges_pallas_multi`."""
+    return newton_edges_pallas_multi(
+        (partition,), (st,), (sc,), t0, (1.0,), xmin, xmax, tol,
+        max_iters, (eigen,), None if lnB is None else (lnB,), interpret)

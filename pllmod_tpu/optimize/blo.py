@@ -166,7 +166,7 @@ def _directed_clvs(partition, P, levels, offsets, n_slots, fused):
                                                 ns, interp)
 
 
-def _fused_args(partition, trav):
+def _fused_args(partition, trav, newton_parts=None):
     """Fused-kernel kwargs for the BLO sweeps, or {} off the TPU path.
 
     Includes ``eref6`` (the edge-ref rows for the pallas sumtable/
@@ -174,7 +174,15 @@ def _fused_args(partition, trav):
     pipeline — megakernel directed CLVs in CS×P layout → pallas
     sumtables → pallas derivative evals per Newton iteration — with no
     layout conversion and no gather HLO (measured 29.6 → single-digit
-    ms/sweep on the flagship, PERF_NOTES)."""
+    ms/sweep on the flagship, PERF_NOTES).
+
+    ``fused_newton`` (a STATIC flag decided here, at call time — an env
+    read inside the jitted sweep would be frozen into the first trace)
+    selects the per-edge VMEM-resident Newton kernel when every
+    partition's sumtable row fits VMEM (``newton_parts`` lists them for
+    the multi-partition sweep; defaults to the single partition)."""
+    import os
+
     from pllmod_tpu.ops import engine as engine_mod
     if not engine_mod.use_fast_kernel(partition):
         return {}
@@ -182,9 +190,12 @@ def _fused_args(partition, trav):
     idx8, e1, e2, ns = pallas_clv.compile_fused_ops(partition, trav.ops)
     eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
                                            partition.n_tips)
+    fused_newton = (
+        pallas_deriv.newton_fits_vmem(*(newton_parts or (partition,)))
+        and os.environ.get("PLLMOD_FUSED_NEWTON", "1") != "0")
     return dict(fused_idx=(idx8, e1, e2), fused_nslots=ns,
                 fused_interp=engine_mod.fast_kernel_interpret(),
-                eref6=eref6)
+                eref6=eref6, fused_newton=fused_newton)
 
 
 def _edge_colors(tree, edge_mask=None):
@@ -238,24 +249,24 @@ def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
 
 
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
-                                   "fused_nslots", "fused_interp"))
+                                   "fused_nslots", "fused_interp",
+                                   "fused_newton"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
                max_newton_iters: int = 10, fused_idx=None,
-               fused_nslots=None, fused_interp=False, eref6=None):
+               fused_nslots=None, fused_interp=False, eref6=None,
+               fused_newton: bool = False):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens).
 
     ``edge_mask`` doubles as the update selector: a color sub-sweep
     passes only its color class (see :func:`_edge_colors`)."""
     live_idx = jnp.argmax(edge_mask)               # any live edge
     if eref6 is not None:
-        import os as _os
         from pllmod_tpu.ops import pallas_deriv
         st, sc, eigen, lnB = _deriv_pipeline_fast(
             partition, brlens, fused_idx, fused_nslots, fused_interp,
             eref6)
-        if (pallas_deriv.newton_fits_vmem(partition)
-                and _os.environ.get("PLLMOD_FUSED_NEWTON", "1") != "0"):
+        if fused_newton:
             # fused per-edge Newton: whole bracketed optimization per
             # edge against its VMEM-resident sumtable row — ONE st read
             # total instead of one per Newton iteration (the measured
@@ -299,10 +310,12 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
 
 
 @partial(jax.jit, static_argnames=("n_slots", "fused_nslots",
-                                   "fused_interp"))
+                                   "fused_interp", "fused_newton"))
 def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
             n_slots: int, fused_idx=None, fused_nslots=None,
-            fused_interp=False, eref6=None):
+            fused_interp=False, eref6=None, fused_newton: bool = False):
+    # fused_newton is accepted (callers splat _fused_args) but unused:
+    # a bare logL evaluation has no Newton loop
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
         st, sc, eigen, lnB = _deriv_pipeline_fast(
@@ -330,12 +343,14 @@ def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
 
 
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
-                                   "fused_nslots", "fused_interp"))
+                                   "fused_nslots", "fused_interp",
+                                   "fused_newton"))
 def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
                      n_slots: int, max_newton_iters: int = 10,
                      fused_idx=None, fused_nslots=None,
-                     fused_interp=False, eref6=None):
+                     fused_interp=False, eref6=None,
+                     fused_newton: bool = False):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -354,6 +369,26 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
+    if eref6 is not None and fused_newton:
+        # multi-partition fused Newton: every partition's sumtable row
+        # for an edge resident in VMEM at once; per-iteration (lnl, df,
+        # ddf) accumulate over partitions IN-KERNEL with the SCALED-mode
+        # chain rule folded into the λr rows (pll_optimize.c:1223-1287)
+        for part, s in zip(partitions, scalers):
+            st, sc, eigen, lnB = _deriv_pipeline_fast(
+                part, brlens * s, fused_idx, fused_nslots, fused_interp,
+                eref6)
+            st_all.append(st)
+            sc_all.append(sc)
+            eig_all.append(eigen)
+            lnb_all.append(lnB)
+        t_all, lnl0_all = pallas_deriv.newton_edges_pallas_multi(
+            partitions, st_all, sc_all, brlens, scalers, min_brlen,
+            max_brlen, tol, max_newton_iters, eig_all, lnb_all,
+            fused_interp)
+        lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
+        t_opt = t_all.astype(brlens.dtype)
+        return jnp.where(edge_mask, t_opt, brlens), lnl0
     for part, s in zip(partitions, scalers):
         if eref6 is not None:
             st, sc, eigen, lnB = _deriv_pipeline_fast(
@@ -758,7 +793,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     dtype = parts[0].dtype
 
     trav = DirectedTraversal(tree)
-    fargs = _fused_args(parts[0], trav) \
+    fargs = _fused_args(parts[0], trav, newton_parts=parts) \
         if all(p.dtype == parts[0].dtype for p in parts) else {}
     if fargs:
         # topology-independent shapes only (see optimize_branch_lengths)

@@ -284,6 +284,19 @@ def test_fused_newton_kernel_parity(rng, states, pinv):
     assert rel_l < 2e-6, rel_l
 
 
+def test_fused_newton_static_flag_selected(rng, force_fast, monkeypatch):
+    """_fused_args must decide fused_newton at CALL time (static jit arg):
+    an env read inside the traced sweep is frozen into the first trace
+    (the round-2 probe measured the iterative path twice because of
+    exactly this)."""
+    part, tree = _case(rng, 4, 8, 128)
+    trav = blo_mod.DirectedTraversal(tree)
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "1")
+    assert blo_mod._fused_args(part, trav)["fused_newton"] is True
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "0")
+    assert blo_mod._fused_args(part, trav)["fused_newton"] is False
+
+
 def test_fused_newton_blo_end_to_end(rng, force_fast, monkeypatch):
     """optimize_branch_lengths with the fused Newton kernel enabled vs
     disabled (iterative minimize_newton_multi on the same fused
@@ -292,19 +305,109 @@ def test_fused_newton_blo_end_to_end(rng, force_fast, monkeypatch):
     part, tree = _case(rng, 4, 10, 200, pinv=0.15)
     monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "0")
     t_it = tree.copy()
-    blo_mod._blo_sweep._clear_cache()
     _, l_it = blo_mod.optimize_branch_lengths(part, t_it, max_sweeps=24,
                                               tolerance=1e-8)
     monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "1")
-    blo_mod._blo_sweep._clear_cache()
     t_fn = tree.copy()
     _, l_fn = blo_mod.optimize_branch_lengths(part, t_fn, max_sweeps=24,
                                               tolerance=1e-8)
-    blo_mod._blo_sweep._clear_cache()
     assert l_fn >= l_it - 1e-4 * abs(l_it)
     engine_mod.FORCE_FAST_KERNEL = False
     l_check = float(tree_loglikelihood(part, t_fn))
     assert abs(l_check - l_fn) / abs(l_fn) < 1e-5
+
+
+def test_fused_newton_multi_partition_scaled(rng):
+    """Multi-partition SCALED fused Newton kernel ≡ minimize_newton_multi
+    with per-iteration chain-rule accumulation (df·s, ddf·s²) over the
+    same per-partition sumtables — the λr-folding must reproduce the
+    reference's utree_derivative_func_multi semantics
+    (pll_optimize.c:1223-1287) exactly."""
+    from pllmod_tpu.optimize.newton import minimize_newton_multi
+
+    tree = ref.random_binary_tree(rng, 9, 0.05, 0.4)
+    seqs = ref.random_sequences(rng, 9, 192)
+    p1 = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                          subst_rates=rng.uniform(0.5, 3.0, 6),
+                          freqs=rng.dirichlet([8] * 4), prop_invar=0.2,
+                          dtype=jnp.float32).cache_eigen()
+    seqs = ref.random_sequences(rng, 9, 192)
+    p2 = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.3,
+                          dtype=jnp.float32).cache_eigen()
+    parts, scalers = (p1, p2), (1.0, 1.7)
+    trav = blo_mod.DirectedTraversal(tree)
+    brl = jnp.asarray(np.clip(tree.lengths, 1e-4, 100.0), jnp.float32)
+    eref6 = pallas_deriv.compile_edge_refs(trav.edge_ref, trav.edge_mask,
+                                           p1.n_tips)
+    sts, scs, eigs, lnbs = [], [], [], []
+    for part, s in zip(parts, scalers):
+        idx8, e1, e2, ns = pallas_clv.compile_fused_ops(part, trav.ops)
+        st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
+            part, brl * s, (idx8, e1, e2), ns, True, eref6)
+        sts.append(st)
+        scs.append(sc)
+        eigs.append(eigen)
+        lnbs.append(lnB)
+    xmin, xmax, tol = 1e-4, 100.0, 1e-6
+    t_got, lnl0_got = pallas_deriv.newton_edges_pallas_multi(
+        parts, sts, scs, brl, scalers, xmin, xmax, tol, 10, eigs, lnbs,
+        interpret=True)
+
+    def deriv_fn(t):
+        df_tot = jnp.zeros_like(t)
+        ddf_tot = jnp.zeros_like(t)
+        for part, s, st, sc, eig, lnB in zip(parts, scalers, sts, scs,
+                                             eigs, lnbs):
+            _, df, ddf = pallas_deriv.edge_derivatives_pallas(
+                part, st, sc, t * s, eig, lnB, interpret=True)
+            df_tot = df_tot + df * s
+            ddf_tot = ddf_tot + ddf * s * s
+        return df_tot, ddf_tot
+
+    t_want = minimize_newton_multi(deriv_fn, brl, xmin, xmax, tol=tol,
+                                   max_iters=10)
+    lnl0_want = 0.0
+    for part, s, st, sc, eig, lnB in zip(parts, scalers, sts, scs, eigs,
+                                         lnbs):
+        l0, _, _ = pallas_deriv.edge_derivatives_pallas(
+            part, st, sc, brl * s, eig, lnB, interpret=True)
+        lnl0_want = lnl0_want + np.asarray(l0)
+    m = trav.edge_mask
+    rel_t = np.max(np.abs(np.asarray(t_got) - np.asarray(t_want))[m] /
+                   np.maximum(np.abs(np.asarray(t_want)), 1e-4)[m])
+    assert rel_t < 5e-4, rel_t
+    rel_l = np.max(np.abs(np.asarray(lnl0_got) - lnl0_want)[m] /
+                   np.maximum(np.abs(lnl0_want), 1e-2)[m])
+    assert rel_l < 2e-6, rel_l
+
+
+def test_fused_newton_treeinfo_scaled_end_to_end(rng, force_fast,
+                                                 monkeypatch):
+    """optimize_branch_lengths_treeinfo (SCALED, 2 partitions) through
+    the multi-partition fused Newton path vs the iterative path: same
+    optimum quality."""
+    from pllmod_tpu.common import BRLEN_SCALED
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+
+    tree = ref.random_binary_tree(rng, 9, 0.05, 0.4)
+    seqs1 = ref.random_sequences(rng, 9, 160)
+    seqs2 = ref.random_sequences(rng, 9, 160)
+    p1 = create_partition(seqs1, states=4, n_rate_cats=4, alpha=0.8,
+                          dtype=jnp.float32)
+    p2 = create_partition(seqs2, states=4, n_rate_cats=2, alpha=1.3,
+                          dtype=jnp.float32)
+
+    def run():
+        ti = TreeInfo(tree.copy(), [p1, p2], brlen_linkage=BRLEN_SCALED)
+        ti.brlen_scalers[1] = 1.6
+        return blo_mod.optimize_branch_lengths_treeinfo(
+            ti, max_sweeps=16, tolerance=1e-7)
+
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "0")
+    l_it = run()
+    monkeypatch.setenv("PLLMOD_FUSED_NEWTON", "1")
+    l_fn = run()
+    assert l_fn >= l_it - 1e-4 * abs(l_it)
 
 
 def test_blo_no_retrace_across_topologies(rng, force_fast):
