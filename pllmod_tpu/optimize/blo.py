@@ -184,7 +184,12 @@ def _fused_args(partition, trav, newton_parts=None):
     import os
 
     from pllmod_tpu.ops import engine as engine_mod
-    if not engine_mod.use_fast_kernel(partition):
+    # every partition runs the fused pipeline (megakernel + sumtable
+    # kernel), so every one must pass the kernel-shape gate — a lone
+    # unsupported shape (e.g. 5-state CS=20) must drop the WHOLE sweep
+    # to the XLA path (Mosaic rejects its tiling at compile time)
+    if not all(engine_mod.use_fast_kernel(p)
+               for p in (newton_parts or (partition,))):
         return {}
     from pllmod_tpu.ops import pallas_clv, pallas_deriv
     idx8, e1, e2, ns = pallas_clv.compile_fused_ops(partition, trav.ops)

@@ -297,6 +297,27 @@ def test_fused_newton_static_flag_selected(rng, force_fast, monkeypatch):
     assert blo_mod._fused_args(part, trav)["fused_newton"] is False
 
 
+def test_fused_args_gates_on_all_partitions(rng, monkeypatch):
+    """A single unsupported kernel shape among the treeinfo partitions
+    must drop the WHOLE multi-partition sweep to the XLA path — the
+    fused pipeline runs per partition and Mosaic rejects unsupported
+    tilings at compile time (PERF_NOTES CS-crossover section)."""
+    tree = ref.random_binary_tree(rng, 8, 0.05, 0.4)
+    seqs = ref.random_sequences(rng, 8, 96)
+    p4 = create_partition(seqs, states=4, n_rate_cats=4,
+                          dtype=jnp.float32).cache_eigen()
+    from pllmod_tpu.ops import charmap
+    seqs5 = ["".join(rng.choice(list(charmap.MULTI_SYMBOLS[:5]), 96))
+             for _ in range(8)]
+    p5 = create_partition(seqs5, states=5, n_rate_cats=4,
+                          dtype=jnp.float32).cache_eigen()
+    trav = blo_mod.DirectedTraversal(tree)
+    monkeypatch.setattr(engine_mod, "use_fast_kernel",
+                        lambda p: p.states == 4)
+    assert blo_mod._fused_args(p4, trav)
+    assert blo_mod._fused_args(p4, trav, newton_parts=(p4, p5)) == {}
+
+
 def test_fused_newton_blo_end_to_end(rng, force_fast, monkeypatch):
     """optimize_branch_lengths with the fused Newton kernel enabled vs
     disabled (iterative minimize_newton_multi on the same fused
