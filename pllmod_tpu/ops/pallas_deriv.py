@@ -320,24 +320,16 @@ def deriv_coeffs(partition, t, eigen=None):
     """Per-edge exponential weight rows for the derivative kernel:
     emul [E, 8, CS] f32, rows (w·e^{λrt}, w·λr·e^{λrt}, w·(λr)²·e^{λrt},
     0...) with w = rate_weight·(1−p_c) per category (the libpll effective
-    weights; ops/derivatives.edge_derivatives)."""
-    if eigen is None:
-        eigen = partition.eigen()
-    pidx = partition.param_indices
-    lam_c = eigen[0][pidx]                              # [C,S]
-    pinv_c = partition.prop_invar[pidx]
-    rc = partition.rate_cats / (1.0 - pinv_c)
-    lr = (lam_c * rc[:, None]).astype(jnp.float32)      # [C,S]
-    S = partition.states
-    CS = partition.n_cats * S
-    lr_f = lr.reshape(CS)
-    w_f = jnp.repeat((partition.rate_weights *
-                      (1.0 - pinv_c)).astype(jnp.float32), S)  # [CS]
+    weights; ops/derivatives.edge_derivatives). The t-independent
+    (λr, w) pieces are shared with the fused Newton kernel
+    (:func:`_lam_weight_rows`)."""
+    rows = _lam_weight_rows(partition, eigen)[0]        # [8, CS]
+    lr_f = rows[0:1]                                    # [1, CS]
+    w_f = rows[1:2]
     t32 = jnp.asarray(t, jnp.float32)
-    expo = jnp.exp(t32[:, None] * lr_f[None, :])        # [E, CS]
-    r0 = w_f[None, :] * expo
-    emul = jnp.stack([r0, r0 * lr_f[None, :],
-                      r0 * lr_f[None, :] * lr_f[None, :]], axis=1)
+    expo = jnp.exp(t32[:, None] * lr_f)                 # [E, CS]
+    r0 = w_f * expo
+    emul = jnp.stack([r0, r0 * lr_f, r0 * lr_f * lr_f], axis=1)
     return jnp.pad(emul, ((0, 0), (0, 5), (0, 0)))      # [E, 8, CS]
 
 
@@ -531,19 +523,25 @@ def _lam_weight_rows(partition, eigen=None, scale=1.0):
     return jnp.pad(rows, ((0, 6), (0, 0)))[None]        # [1, 8, CS]
 
 
-# st row + working [8/1, P] planes per edge must fit VMEM (with Mosaic's
-# automatic double-buffering of the next edge's row)
-NEWTON_VMEM_ST_BYTES = 5 * 1024 * 1024
+# VMEM budget for one grid step of the Newton kernel (≈16 MB physical;
+# leave headroom for Mosaic spills)
+NEWTON_VMEM_BYTES = 12 * 1024 * 1024
 
 
 def newton_fits_vmem(*partitions) -> bool:
-    # CS ≤ 128: the kernel reads t from the leading CS lanes of its
-    # full-lane state planes (one VREG row)
+    """Whole per-edge working set must fit VMEM: double-buffered st rows
+    (Mosaic prefetches the next edge's blocks during compute) + the
+    [8, Ppad] dot output and ~6 live [1, Ppad] f32 site temporaries per
+    partition — not just the st rows (a 5 MB-row small-CS/huge-Ppad
+    shape passes a rows-only gate but fails Mosaic VMEM allocation)."""
+    # CS ≤ 128: the kernel reads t from the leading CS lanes of one
+    # VREG row
     if any(p.n_cats * p.states > 128 for p in partitions):
         return False
-    total = sum(p.n_cats * p.states * p.n_patterns_padded * 4
-                for p in partitions)
-    return total <= NEWTON_VMEM_ST_BYTES
+    st_rows = sum(p.n_cats * p.states * p.n_patterns_padded * 4
+                  for p in partitions)
+    working = sum(14 * p.n_patterns_padded * 4 for p in partitions)
+    return 2 * st_rows + working <= NEWTON_VMEM_BYTES
 
 
 def newton_edges_pallas_multi(partitions, sts, scs, t0, scalers, xmin,

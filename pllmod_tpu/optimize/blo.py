@@ -374,11 +374,6 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
-    if eref6 is not None and fused_newton:
-        # multi-partition fused Newton: every partition's sumtable row
-        # for an edge resident in VMEM at once; per-iteration (lnl, df,
-        # ddf) accumulate over partitions IN-KERNEL with the SCALED-mode
-        # chain rule folded into the λr rows (pll_optimize.c:1223-1287)
         for part, s in zip(partitions, scalers):
             st, sc, eigen, lnB = _deriv_pipeline_fast(
                 part, brlens * s, fused_idx, fused_nslots, fused_interp,
@@ -387,23 +382,27 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
             sc_all.append(sc)
             eig_all.append(eigen)
             lnb_all.append(lnB)
-        t_all, lnl0_all = pallas_deriv.newton_edges_pallas_multi(
-            partitions, st_all, sc_all, brlens, scalers, min_brlen,
-            max_brlen, tol, max_newton_iters, eig_all, lnb_all,
-            fused_interp)
-        lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
-        t_opt = t_all.astype(brlens.dtype)
-        return jnp.where(edge_mask, t_opt, brlens), lnl0
-    for part, s in zip(partitions, scalers):
-        if eref6 is not None:
-            st, sc, eigen, lnB = _deriv_pipeline_fast(
-                part, brlens * s, fused_idx, fused_nslots, fused_interp,
-                eref6)
-            lnb_all.append(lnB)
+        if fused_newton:
+            # multi-partition fused Newton: every partition's sumtable
+            # row for an edge resident in VMEM at once; per-iteration
+            # (lnl, df, ddf) accumulate over partitions IN-KERNEL with
+            # the SCALED-mode chain rule folded into the λr rows
+            # (pll_optimize.c:1223-1287)
+            t_all, lnl0_all = pallas_deriv.newton_edges_pallas_multi(
+                partitions, st_all, sc_all, brlens, scalers, min_brlen,
+                max_brlen, tol, max_newton_iters, eig_all, lnb_all,
+                fused_interp)
+            lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
+            t_opt = t_all.astype(brlens.dtype)
+            return jnp.where(edge_mask, t_opt, brlens), lnl0
+        for part, s, st, sc, eigen, lnB in zip(partitions, scalers,
+                                               st_all, sc_all, eig_all,
+                                               lnb_all):
             l0_all, _, _ = pallas_deriv.edge_derivatives_pallas(
                 part, st, sc, brlens * s, eigen, lnB, fused_interp)
-            l0 = l0_all[live_idx].astype(brlens.dtype)
-        else:
+            lnl0 = lnl0 + l0_all[live_idx].astype(brlens.dtype)
+    else:
+        for part, s in zip(partitions, scalers):
             P = part.prob_matrices(brlens * s)
             clvs, sclr = _directed_clvs(part, P, levels, offsets, n_slots,
                                         fused)
@@ -412,10 +411,10 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
             l0, _, _ = deriv_mod.edge_derivatives(
                 part, st[live_idx], sc[live_idx], brlens[live_idx] * s,
                 eigen)
-        st_all.append(st)
-        sc_all.append(sc)
-        eig_all.append(eigen)
-        lnl0 = lnl0 + l0
+            st_all.append(st)
+            sc_all.append(sc)
+            eig_all.append(eigen)
+            lnl0 = lnl0 + l0
 
     def deriv_fn(t):
         df_tot = jnp.zeros_like(t)
