@@ -438,6 +438,155 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
+def _driver_loop(sweep_fn, final_fn, brlens, color_masks, tolerance,
+                 max_sweeps: int, n_polish: int):
+    """The BLO smoothing driver as a traced on-device loop.
+
+    Replicates the host driver's semantics EXACTLY (smoothing sweeps with
+    best-iterate tracking, damped retry on a worsening sweep, tolerance
+    break, optional damped polish, final evaluation — the batched analog
+    of pll_optimize.c:1849-1919's smoothing loop with the SAFE-mode
+    revert folded into best-iterate tracking) but runs as ONE device
+    program: on the remote-TPU runtime the host driver pays ~40 ms
+    dispatch + sync per sub-sweep (~130 per call — the measured e2e
+    bound, PERF_NOTES), which this collapses to a single dispatch.
+
+    Args:
+      sweep_fn(brlens, cmask) -> (new_brlens, logL at incoming brlens)
+      final_fn(brlens) -> logL (exact evaluation at the final iterate)
+      color_masks: bool [K, E] — sub-sweep masks of ONE smoothing sweep
+        (edge-color classes, or [1, E] for a plain Jacobi sweep)
+      max_sweeps: traced scalar (so 8-sweep and 32-sweep callers share
+        one compiled program)
+    Returns (best_brlens, best_lnl).
+    """
+    ldtype = brlens.dtype
+    tolerance = jnp.asarray(tolerance, ldtype)
+    max_sweeps = jnp.asarray(max_sweeps, jnp.int32)
+
+    def one_sweep(brl):
+        def body(carry, cm):
+            new, lnl = sweep_fn(carry, cm)
+            return new, lnl
+        out, lnls = jax.lax.scan(body, brl, color_masks)
+        return out, lnls[0]          # logL at sweep-START brlens
+
+    def cond(st):
+        return (st[0] < max_sweeps) & (~st[6])
+
+    def body(st):
+        i, brl, best_b, best_l, lprev, have, _ = st
+        new_brl, lnl = one_sweep(brl)
+        better = lnl > best_l
+        best_l = jnp.where(better, lnl, best_l)
+        best_b = jnp.where(better, brl, best_b)
+        overshoot = have & (lnl < lprev - 1e-9)
+        converged = have & (jnp.abs(lnl - lprev) < tolerance)
+        brl_next = jnp.where(overshoot, 0.5 * (best_b + new_brl), new_brl)
+        return (i + 1, brl_next, best_b, best_l,
+                jnp.where(overshoot, lprev, lnl),
+                ~overshoot, converged)
+
+    init = (jnp.asarray(0, jnp.int32), brlens, brlens,
+            jnp.asarray(-jnp.inf, ldtype), jnp.asarray(0.0, ldtype),
+            jnp.asarray(False), jnp.asarray(False))
+    _, brl, best_b, best_l, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+    if n_polish:
+        # damped half-step polish from the best iterate (see the host
+        # driver: Jacobi sweeps can oscillate around the joint optimum)
+        full_mask = jnp.any(color_masks, axis=0)
+
+        def pbody(_, st):
+            brl, best_b, best_l = st
+            new, lnl = sweep_fn(brl, full_mask)
+            better = lnl > best_l
+            best_l = jnp.where(better, lnl, best_l)
+            best_b = jnp.where(better, brl, best_b)
+            return (0.5 * (brl + new), best_b, best_l)
+
+        brl, best_b, best_l = jax.lax.fori_loop(
+            0, n_polish, pbody, (brl, best_b, best_l))
+
+    final = final_fn(brl)
+    better = final >= best_l
+    return (jnp.where(better, brl, best_b),
+            jnp.where(better, final, best_l))
+
+
+@partial(jax.jit, static_argnames=("n_slots", "n_polish",
+                                   "max_newton_iters", "fused_nslots",
+                                   "fused_interp", "fused_newton"))
+def _blo_run(partition, levels, offsets, edge_ref, color_masks, edge_mask,
+             brlens, min_brlen, max_brlen, tol, tolerance, n_slots: int,
+             max_sweeps=32, n_polish: int = 4,
+             max_newton_iters: int = 10, fused_idx=None, fused_nslots=None,
+             fused_interp=False, eref6=None, fused_newton: bool = False):
+    """Whole single-partition BLO driver as ONE device program."""
+    fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
+                 fused_interp=fused_interp, eref6=eref6,
+                 fused_newton=fused_newton)
+
+    def sweep_fn(brl, cm):
+        return _blo_sweep(partition, levels, offsets, edge_ref, cm, brl,
+                          min_brlen, max_brlen, tol, n_slots,
+                          max_newton_iters=max_newton_iters, **fargs)
+
+    def final_fn(brl):
+        return _lnl_at(partition, levels, offsets, edge_ref, edge_mask,
+                       brl, n_slots, **fargs)
+
+    return _driver_loop(sweep_fn, final_fn, brlens, color_masks,
+                        tolerance, max_sweeps, n_polish)
+
+
+@partial(jax.jit, static_argnames=("n_slots",
+                                   "max_newton_iters", "fused_nslots",
+                                   "fused_interp", "fused_newton"))
+def _blo_run_multi(partitions, scalers, levels, offsets, edge_ref,
+                   edge_mask, brlens, min_brlen, max_brlen, tol,
+                   tolerance, n_slots: int, max_sweeps=32,
+                   max_newton_iters: int = 10, fused_idx=None,
+                   fused_nslots=None, fused_interp=False, eref6=None,
+                   fused_newton: bool = False):
+    """Whole multi-partition (LINKED/SCALED) BLO driver as ONE device
+    program (plain Jacobi sweeps, no colors — mirrors the host
+    :func:`optimize_branch_lengths_treeinfo` loop)."""
+    fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
+                 fused_interp=fused_interp, eref6=eref6,
+                 fused_newton=fused_newton)
+
+    def sweep_fn(brl, cm):
+        return _blo_sweep_multi(partitions, scalers, levels, offsets,
+                                edge_ref, cm, brl, min_brlen, max_brlen,
+                                tol, n_slots,
+                                max_newton_iters=max_newton_iters, **fargs)
+
+    def final_fn(brl):
+        total = jnp.asarray(0.0, brl.dtype)
+        for part, s in zip(partitions, scalers):
+            total = total + _lnl_at(part, levels, offsets, edge_ref,
+                                    edge_mask, brl * s, n_slots, **fargs)
+        return total
+
+    return _driver_loop(sweep_fn, final_fn, brlens, edge_mask[None],
+                        tolerance, max_sweeps, n_polish=0)
+
+
+def _use_ondevice_driver(on_device, fargs) -> bool:
+    """Auto policy for the fused driver: on when the fast (TPU) kernel
+    pipeline is active — exactly where per-dispatch latency dominates.
+    ``PLLMOD_BLO_ONDEVICE`` ∈ {0,1} force-overrides (tests use 1 to run
+    the fused driver on CPU)."""
+    import os
+    env = os.environ.get("PLLMOD_BLO_ONDEVICE")
+    if env is not None:
+        return env != "0"
+    if on_device is not None:
+        return bool(on_device)
+    return bool(fargs)
+
+
 def _edges_within_radius(tree, edge: int, radius: int):
     """Edge ids within BFS distance ``radius`` of ``edge``'s endpoints
     (the reference's local-BLO neighborhood, pll_optimize.c:1646-1682)."""
@@ -466,7 +615,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                             write_back: bool = True,
                             edges=None, radius: int | None = None,
                             around_edge: int | None = None,
-                            colored: bool = True):
+                            colored: bool = True,
+                            on_device: bool | None = None):
     """Optimize branch lengths of ``tree`` under ``partition``.
 
     Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
@@ -522,6 +672,21 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         sweep_masks = [edge_mask]
     dtype = partition.dtype
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
+
+    if _use_ondevice_driver(on_device, fargs):
+        # whole smoothing driver (sweeps + damping + polish + final eval)
+        # as ONE device program — identical semantics to the host loop
+        # below, minus ~130 per-sub-sweep dispatch/sync round trips
+        best_brlens, best_lnl = _blo_run(
+            partition, levels, offsets, edge_ref,
+            jnp.stack(sweep_masks), edge_mask, brlens,
+            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype), jnp.asarray(tolerance, dtype),
+            n_slots, max_sweeps=max_sweeps, **fargs)
+        best_lnl = float(best_lnl)
+        if write_back:
+            tree.lengths = np.asarray(best_brlens, np.float64).copy()
+        return best_brlens, best_lnl
 
     best_brlens = brlens
     best_lnl = -np.inf
@@ -753,7 +918,8 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
                                      tolerance: float = 1e-4,
                                      min_brlen: float = MIN_BRANCH_LEN,
                                      max_brlen: float = MAX_BRANCH_LEN,
-                                     newton_tol: float = TOL_BRANCH_LEN):
+                                     newton_tol: float = TOL_BRANCH_LEN,
+                                     on_device: bool | None = None):
     """Multi-partition BLO across branch-length linkage modes.
 
     TPU build of ``pllmod_opt_optimize_branch_lengths_local_multi``
@@ -779,7 +945,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
             _, lnl = optimize_branch_lengths(
                 part, t, max_sweeps=max_sweeps, tolerance=tolerance,
                 min_brlen=min_brlen, max_brlen=max_brlen,
-                newton_tol=newton_tol)
+                newton_tol=newton_tol, on_device=on_device)
             treeinfo.brlens[i] = t.lengths
             treeinfo.partition_loglh[i] = lnl
             total += lnl
@@ -807,6 +973,16 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
         levels, offsets, edge_ref, n_slots = trav.schedule()
     edge_mask = jnp.asarray(trav.edge_mask)
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
+
+    if _use_ondevice_driver(on_device, fargs):
+        best_brlens, best_lnl = _blo_run_multi(
+            parts, tuple(jnp.asarray(s, dtype) for s in scalers),
+            levels, offsets, edge_ref, edge_mask, brlens,
+            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
+            jnp.asarray(newton_tol, dtype), jnp.asarray(tolerance, dtype),
+            n_slots, max_sweeps=max_sweeps, **fargs)
+        tree.lengths = np.asarray(best_brlens, np.float64).copy()
+        return float(best_lnl)
 
     best_brlens = brlens
     best_lnl = -np.inf

@@ -146,3 +146,19 @@ def test_blo_split_mode(rng, force_fast):
     assert l_sp == pytest.approx(l_ex, abs=1e-2)
     np.testing.assert_allclose(np.asarray(b_sp), np.asarray(b_ex),
                                rtol=5e-2, atol=1e-4)
+
+
+def test_blo_ondevice_driver_fast_path(rng, force_fast):
+    """The fused on-device BLO driver (whole smoothing loop as one
+    program) must be bit-equal to the host driver when both run the
+    fused pipeline (megakernel + pallas sumtable/Newton kernels,
+    interpret mode on CPU)."""
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths
+    part, tree = _setup(rng, n=8, sites=96)
+    t1, t2 = tree.copy(), tree.copy()
+    b1, l1 = optimize_branch_lengths(part, t1, on_device=False,
+                                     max_sweeps=8)
+    b2, l2 = optimize_branch_lengths(part, t2, on_device=True,
+                                     max_sweeps=8)
+    assert l1 == l2
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))

@@ -254,3 +254,56 @@ def test_blo_hard_case_coupled_branches(rng):
                                          tolerance=1e-10, colored=False)
     assert lnl_jac >= l0 - 1e-9
     assert lnl_jac >= -f_opt - 0.5   # damping keeps it near the optimum
+
+
+# ---------------------------------------------------------------------------
+# on-device fused driver (one-program BLO: lax.while_loop smoothing)
+# ---------------------------------------------------------------------------
+def test_blo_ondevice_driver_matches_host(rng):
+    """The fused on-device driver (_blo_run: the whole smoothing loop —
+    damping, best-iterate tracking, tolerance break, polish, final eval —
+    in ONE device program) must reproduce the host driver exactly: both
+    implement pll_optimize.c:1849-1919's smoothing semantics, and on the
+    same arithmetic the branch decisions are identical, so the results
+    are bit-equal."""
+    tree = ref.random_binary_tree(rng, 12, 0.02, 0.6)
+    seqs = ref.random_sequences(rng, 12, 180)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            subst_rates=rng.uniform(0.5, 3.0, 6),
+                            freqs=rng.dirichlet([8, 8, 8, 8]),
+                            dtype=jnp.float64)
+    t1, t2 = tree.copy(), tree.copy()
+    b1, l1 = optimize_branch_lengths(part, t1, on_device=False)
+    b2, l2 = optimize_branch_lengths(part, t2, on_device=True)
+    assert l1 == l2
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+    # edge-subset (local/radius) mode through the fused driver
+    t3, t4 = tree.copy(), tree.copy()
+    _, l3 = optimize_branch_lengths(part, t3, around_edge=0, radius=2,
+                                    on_device=False)
+    _, l4 = optimize_branch_lengths(part, t4, around_edge=0, radius=2,
+                                    on_device=True)
+    assert l3 == l4
+    np.testing.assert_array_equal(t3.lengths, t4.lengths)
+
+
+def test_blo_ondevice_driver_treeinfo_scaled(rng):
+    """Multi-partition SCALED-linkage fused driver == host driver."""
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.common import BRLEN_SCALED
+    tree = ref.random_binary_tree(rng, 10, 0.02, 0.5)
+    parts = [create_partition(ref.random_sequences(rng, 10, n), states=4,
+                              n_rate_cats=4, alpha=a, dtype=jnp.float64)
+             for n, a in ((150, 0.8), (90, 1.4))]
+    ti1 = TreeInfo(tree.copy(), list(parts), brlen_linkage=BRLEN_SCALED)
+    ti2 = TreeInfo(tree.copy(), list(parts), brlen_linkage=BRLEN_SCALED)
+    ti1.brlen_scalers[:] = [1.0, 1.7]
+    ti2.brlen_scalers[:] = [1.0, 1.7]
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths_treeinfo
+    L1 = optimize_branch_lengths_treeinfo(ti1, on_device=False,
+                                          max_sweeps=8)
+    L2 = optimize_branch_lengths_treeinfo(ti2, on_device=True,
+                                          max_sweeps=8)
+    assert L1 == L2
+    np.testing.assert_array_equal(ti1.tree.lengths, ti2.tree.lengths)
