@@ -574,8 +574,10 @@ def _blo_run_multi(partitions, scalers, levels, offsets, edge_ref,
 
 
 def _use_ondevice_driver(on_device, fargs) -> bool:
-    """Auto policy for the fused driver: on when the fast (TPU) kernel
-    pipeline is active — exactly where per-dispatch latency dominates.
+    """Auto policy for the fused driver: on when running on an
+    accelerator (where per-dispatch latency dominates the host loop —
+    measured 1012 → 142 ms per BLO call on the remote TPU), whether the
+    sweeps use the fast pallas pipeline or the XLA fallback engines.
     ``PLLMOD_BLO_ONDEVICE`` ∈ {0,1} force-overrides (tests use 1 to run
     the fused driver on CPU)."""
     import os
@@ -584,7 +586,10 @@ def _use_ondevice_driver(on_device, fargs) -> bool:
         return env != "0"
     if on_device is not None:
         return bool(on_device)
-    return bool(fargs)
+    if fargs:
+        return True
+    from pllmod_tpu.common import is_tpu
+    return is_tpu()
 
 
 def _edges_within_radius(tree, edge: int, radius: int):
@@ -666,8 +671,12 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         mask_np &= sel
     edge_mask = jnp.asarray(mask_np)
     if colored:
-        sweep_masks = [jnp.asarray(m & mask_np)
-                       for m in _edge_colors(tree, mask_np)]
+        # drop color classes emptied by an edge subset: an all-False
+        # sub-sweep mask would read its logL from argmax=slot 0, which
+        # may be a dead edge slot on pruned/SPR'd trees
+        sweep_masks = [jnp.asarray(cm)
+                       for m in _edge_colors(tree, mask_np)
+                       if (cm := (m & mask_np)).any()] or [edge_mask]
     else:
         sweep_masks = [edge_mask]
     dtype = partition.dtype
