@@ -158,6 +158,23 @@ def split_from_tips(tip_ids, n_tips: int) -> np.ndarray:
     return normalize(s[None], n_tips)[0]
 
 
+def lightside(split: np.ndarray, n_tips: int) -> int:
+    """Size of the smaller side of a split
+    (pllmod_utree_split_lightside, utree_distances.c:347-389)."""
+    c = int(np.bitwise_count(np.asarray(split, np.uint64)).sum())
+    return min(c, n_tips - c)
+
+
+def show_split(split: np.ndarray, n_tips: int) -> str:
+    """Render a split as the reference does (pllmod_utree_split_show,
+    utree_distances.c): one char per tip, tip 0 first, '*' = in the
+    split's one-side, '-' = zero-side."""
+    split = np.asarray(split, np.uint64)
+    return "".join(
+        "*" if (int(split[t // 64]) >> (t % 64)) & 1 else "-"
+        for t in range(n_tips))
+
+
 def compatible(a: np.ndarray, b: np.ndarray, n_tips: int) -> bool:
     """Split compatibility: one of the four intersections A∩B, A∩~B,
     ~A∩B, ~A∩~B is empty (consensus.c:61-107)."""

@@ -258,8 +258,26 @@ def extend_tree_random(tree: Tree, new_labels, seed: int | None = None,
     return out
 
 
+def _norm_parts(msas_and_charmaps):
+    """[(sequences, charmap, pattern_weights|None)] → [(masks, w, raw)]"""
+    out = []
+    for seqs, cmap, pw in msas_and_charmaps:
+        masks = _tip_masks(seqs, cmap)
+        w = (np.ones(masks.shape[1]) if pw is None
+             else np.asarray(pw, float))
+        out.append((masks, w, (seqs, cmap, pw)))
+    return out
+
+
+def parsimony_score_multi(tree: Tree, msas_and_charmaps) -> int:
+    """Fitch score summed over partitions."""
+    return sum(parsimony_score(tree, seqs, cmap, pw)
+               for seqs, cmap, pw in msas_and_charmaps)
+
+
 def parsimony_spr_round(tree: Tree, sequences, charmap,
-                        pattern_weights=None, epsilon: int = 0):
+                        pattern_weights=None, epsilon: int = 0,
+                        constraint=None):
     """One parsimony SPR round (pll_fastparsimony_stepwise_spr_round
     analog): for every prunable subtree, score re-insertion into every
     remainder edge via directed Fitch sets, apply the best move when it
@@ -267,13 +285,25 @@ def parsimony_spr_round(tree: Tree, sequences, charmap,
 
     Returns (tree, score, n_applied). The tree is modified in place.
     """
+    return parsimony_spr_round_multi(
+        tree, [(sequences, charmap, pattern_weights)], epsilon=epsilon,
+        constraint=constraint)
+
+
+def parsimony_spr_round_multi(tree: Tree, msas_and_charmaps,
+                              epsilon: int = 0, constraint=None):
+    """Multi-partition parsimony SPR round, optionally restricted to a
+    topological constraint (pll_fastparsimony_stepwise_spr_round with a
+    clv_index_map — the reference's constrained-resolution path,
+    pll_tree.c:1150-1167). A move is kept only when it lowers the summed
+    exact Fitch score AND (with a constraint) the resulting topology
+    still passes ``constraint.check_tree``.
+
+    Returns (tree, score, n_applied); tree modified in place."""
     from pllmod_tpu.tree import moves as moves_mod
 
-    masks = _tip_masks(sequences, charmap)
-    n_sites = masks.shape[1]
-    w = (np.ones(n_sites) if pattern_weights is None
-         else np.asarray(pattern_weights, float))
-    score = parsimony_score(tree, sequences, charmap, pattern_weights)
+    parts = _norm_parts(msas_and_charmaps)
+    score = parsimony_score_multi(tree, [raw for _, _, raw in parts])
     n_applied = 0
 
     # candidate list up-front (stable edge ids survive applied moves)
@@ -296,9 +326,11 @@ def parsimony_spr_round(tree: Tree, sequences, charmap,
             continue
         sub_root = u if junction == v else v
         # subtree Fitch set from the full tree's directed sets
-        up_full = _directed_fitch_sets(tree, masks)
-        S_set = (masks[sub_root] if tree.is_tip(sub_root)
-                 else up_full[(sub_root, junction)])
+        S_sets = []
+        for masks, _w, _raw in parts:
+            up_full = _directed_fitch_sets(tree, masks)
+            S_sets.append(masks[sub_root] if tree.is_tip(sub_root)
+                          else up_full[(sub_root, junction)])
 
         # remainder tree
         sub_nodes = moves_mod.subtree_nodes(tree, prune_edge, sub_root)
@@ -310,7 +342,8 @@ def parsimony_spr_round(tree: Tree, sequences, charmap,
                 R.edge_nodes[e2] = (-1, -1)
         R.invalidate()
         try:
-            up_R = _directed_fitch_sets(R, masks)
+            up_Rs = [_directed_fitch_sets(R, masks)
+                     for masks, _w, _raw in parts]
         except Exception:
             continue
 
@@ -321,13 +354,19 @@ def parsimony_spr_round(tree: Tree, sequences, charmap,
             x, y = int(x), int(y)
             if x < 0 or e2 in adj_j:
                 continue
-            a = up_R.get((x, y))
-            b = up_R.get((y, x))
-            if a is None or b is None:
+            cost = 0.0
+            ok = True
+            for (masks, w, _raw), up_R, S_set in zip(parts, up_Rs, S_sets):
+                a = up_R.get((x, y))
+                b = up_R.get((y, x))
+                if a is None or b is None:
+                    ok = False
+                    break
+                inter = a & b
+                edge_set = np.where(inter == 0, a | b, inter)
+                cost += float((w * ((edge_set & S_set) == 0)).sum())
+            if not ok:
                 continue
-            inter = a & b
-            edge_set = np.where(inter == 0, a | b, inter)
-            cost = float((w * ((edge_set & S_set) == 0)).sum())
             if best_cost is None or cost < best_cost:
                 best_cost, best_edge = cost, e2
 
@@ -340,9 +379,12 @@ def parsimony_spr_round(tree: Tree, sequences, charmap,
         except Exception:
             tree.restore(snap)
             continue
-        new_score = parsimony_score(tree, sequences, charmap,
-                                    pattern_weights)
-        if new_score + epsilon < score:
+        new_score = parsimony_score_multi(tree,
+                                          [raw for _, _, raw in parts])
+        keep = new_score + epsilon < score
+        if keep and constraint is not None:
+            keep = constraint.check_tree(tree)
+        if keep:
             score = new_score
             n_applied += 1
         else:
@@ -403,3 +445,103 @@ def parsimony_tree_multi(labels, msas_and_charmaps, seed=None,
     score = sum(parsimony_score(tree, seqs, cmap, pw)
                 for seqs, cmap, pw in msas_and_charmaps)
     return tree, score
+
+
+def extend_tree_parsimony(tree: Tree, new_labels, msas_and_charmaps,
+                          seed: int | None = None,
+                          default_brlen: float = 0.1):
+    """Insert additional taxa into an existing tree by greedy stepwise
+    parsimony, scored across partitions
+    (pllmod_utree_extend_parsimony_multipart /
+    pll_fastparsimony_stepwise_extend, pll_tree.c:1207-1273).
+
+    Args:
+      tree: existing tree over the first ``tree.n_tips`` labels
+      new_labels: labels to add; new tips get ids after the existing ones
+      msas_and_charmaps: [(sequences, charmap, pattern_weights|None)] —
+        sequences indexed by FINAL tip id (existing labels' order first,
+        then ``new_labels``)
+    Returns (new_tree, total_score). Like the reference, every branch
+    length of the result is reset to ``default_brlen``
+    (set_length_recursive(..., missing_only=0), pll_tree.c:1255-1257)."""
+    old_n = tree.n_tips
+    n_new = len(new_labels)
+    labels = list(tree.labels) + list(new_labels)
+    n = old_n + n_new
+    parts = _norm_parts(msas_and_charmaps)
+    for masks, _w, _raw in parts:
+        if masks.shape[0] != n:
+            raise TreeError(TREE_ERROR_INVALID_TREE_SIZE,
+                            f"need {n} sequences, got {masks.shape[0]}")
+    # shift inner node ids up by n_new so tip ids stay contiguous
+    en = tree.edge_nodes.copy()
+    en[en >= old_n] += n_new
+    edges = [list(map(int, r)) for r in en if r[0] >= 0]
+    lengths = [float(l) for r, l in zip(en, tree.lengths) if r[0] >= 0]
+    next_inner = tree.n_nodes + n_new
+    cur = Tree(n, labels, np.array(edges, np.int32),
+               np.array(lengths), n_nodes=next_inner)
+    rng = np.random.default_rng(seed)
+    for tip in (old_n + int(k) for k in rng.permutation(n_new)):
+        live = [e for e in range(len(cur.edge_nodes))
+                if cur.edge_nodes[e, 0] >= 0]
+        total = np.zeros(len(live))
+        for masks, w, _raw in parts:
+            up = _directed_fitch_sets(cur, masks)
+            tm = masks[tip]
+            for k, e in enumerate(live):
+                u, v = (int(x) for x in cur.edge_nodes[e])
+                a, b = up[(u, v)], up[(v, u)]
+                inter = a & b
+                es = np.where(inter == 0, a | b, inter)
+                total[k] += float((w * ((es & tm) == 0)).sum())
+        best = live[int(np.argmin(total))]
+        u, v = (int(x) for x in cur.edge_nodes[best])
+        wnode = next_inner
+        next_inner += 1
+        en2 = cur.edge_nodes.tolist()
+        ln2 = cur.lengths.tolist()
+        en2[best] = [u, wnode]
+        en2.append([wnode, v])
+        ln2.append(default_brlen)
+        en2.append([tip, wnode])
+        ln2.append(default_brlen)
+        cur = Tree(n, labels, np.array(en2, np.int32), np.array(ln2),
+                   n_nodes=next_inner)
+    cur.lengths[:] = default_brlen
+    cur.check_integrity()
+    score = parsimony_score_multi(cur, [raw for _, _, raw in parts])
+    return cur, score
+
+
+def resolve_multi_parsimony(multi_tree: Tree, msas_and_charmaps,
+                            seed: int | None = None,
+                            max_spr_rounds: int = 1,
+                            default_brlen: float = 0.1):
+    """Resolve a multifurcating (constraint) tree into a binary one guided
+    by parsimony (pllmod_utree_resolve_parsimony_multipart,
+    pll_tree.c:1110-1200): resolve randomly, then — if the input was not
+    already binary — run constrained parsimony SPR rounds until the score
+    stops improving or ``max_spr_rounds`` is hit. Moves that would break a
+    split of the input tree are rejected (the reference enforces this via
+    the clv_index_map passed into the libpll SPR round).
+
+    Returns (tree, score)."""
+    from pllmod_tpu.tree.utils import (resolve_multifurcations,
+                                       set_length_recursive)
+    from pllmod_tpu.tree.constraint import Constraint
+
+    was_binary = multi_tree.is_binary()
+    t = resolve_multifurcations(multi_tree, seed=seed,
+                                default_brlen=default_brlen)
+    score = parsimony_score_multi(t, msas_and_charmaps)
+    if not was_binary and max_spr_rounds:
+        cons = Constraint(multi_tree, t.labels)
+        for _ in range(max_spr_rounds):
+            best = score
+            t, score, n_applied = parsimony_spr_round_multi(
+                t, msas_and_charmaps, constraint=cons)
+            if not n_applied or score >= best:
+                break
+    set_length_recursive(t, default_brlen)
+    return t, score

@@ -111,6 +111,22 @@ class TreeInfo:
     def set_partition(self, idx: int, partition) -> None:
         self.partitions[idx] = partition
 
+    def scale_branches_all(self, factor: float) -> None:
+        """Multiply every branch length (all partitions) by ``factor``
+        (pllmod_treeinfo_scale_branches_all, treeinfo.c:1101-1130)."""
+        self.tree.lengths *= factor
+        if self.brlens is not None:
+            self.brlens *= factor
+
+    def scale_branches_partition(self, idx: int, factor: float) -> None:
+        """Multiply one partition's branch lengths by ``factor`` — UNLINKED
+        mode only, like the reference
+        (pllmod_treeinfo_scale_branches_partition)."""
+        if self.brlen_linkage != BRLEN_UNLINKED:
+            raise ValueError("per-partition branch scaling requires "
+                             "BRLEN_UNLINKED linkage")
+        self.brlens[idx] *= factor
+
     # -- topology snapshot/restore (treeinfo.c:546-719) -------------------
     def get_topology(self):
         snap = self.tree.snapshot()

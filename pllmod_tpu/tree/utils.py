@@ -171,6 +171,45 @@ def newick_with_support(tree: Tree, supports: dict, precision: int = 6,
     return out.getvalue()
 
 
+def set_length(tree: Tree, edge: int, length: float) -> None:
+    """Set one branch length (pllmod_utree_set_length, pll_tree.h:568)."""
+    if tree.edge_nodes[edge, 0] < 0:
+        raise TreeError(TREE_ERROR_INVALID_TREE, f"edge {edge} is dead")
+    tree.lengths[edge] = length
+
+
+def set_length_recursive(tree: Tree, length: float,
+                         missing_only: bool = False) -> None:
+    """Set every branch length, or only unset (<= 0) ones
+    (pllmod_utree_set_length_recursive, pll_tree.c:1388-1408)."""
+    live = tree.edge_nodes[:, 0] >= 0
+    if missing_only:
+        live &= tree.lengths <= 0.0
+    tree.lengths[live] = length
+
+
+def scale_branches(tree: Tree, factor: float) -> None:
+    """Multiply every branch length by ``factor`` in place
+    (pllmod_utree_scale_branches / _all, pll_tree.c)."""
+    live = tree.edge_nodes[:, 0] >= 0
+    tree.lengths[live] *= factor
+
+
+def scale_subtree_branches(tree: Tree, edge: int, node: int,
+                           factor: float) -> None:
+    """Scale ``edge`` plus every branch in the subtree on ``node``'s side
+    of it (pllmod_utree_scale_subtree_branches: the directed unode's edge
+    and everything below it)."""
+    u, v = (int(x) for x in tree.edge_nodes[edge])
+    if node not in (u, v):
+        raise TreeError(TREE_ERROR_INVALID_TREE,
+                        f"node {node} is not an endpoint of edge {edge}")
+    tree.lengths[edge] *= factor
+    for _n, _p, pedge in tree.postorder(node, avoid_edge=edge):
+        if pedge >= 0:
+            tree.lengths[pedge] *= factor
+
+
 def compute_lk(partition, tree: Tree) -> float:
     """pllmod_utree_compute_lk: p-matrices + partials + edge logL."""
     from pllmod_tpu.ops.engine import tree_loglikelihood

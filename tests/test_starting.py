@@ -116,3 +116,61 @@ def test_parsimony_spr_round_improves(rng):
             break
     pt, ps = parsimony_stepwise(labels, seqs, cm.DNA, seed=3)
     assert s2 <= ps * 1.1 + 3
+
+
+def test_extend_tree_parsimony():
+    """pllmod_utree_extend_parsimony_multipart analog: new taxa inserted
+    by summed multi-partition parsimony; the old topology is preserved
+    as a restriction of the result (pll_tree.c:1207-1273)."""
+    from pllmod_tpu.tree.starting import (extend_tree_parsimony,
+                                          parsimony_score_multi)
+    from pllmod_tpu.tree.constraint import Constraint
+    rng = np.random.default_rng(7)
+    n = 9
+    labels = [f"t{i}" for i in range(n)]
+    seqs1 = ["".join(rng.choice(list("ACGT"), 50)) for _ in range(n)]
+    seqs2 = ["".join(rng.choice(list("ACGT"), 30)) for _ in range(n)]
+    parts = [(seqs1, cm.DNA, None), (seqs2, cm.DNA, None)]
+
+    t5 = random_tree(labels[:5], seed=1)
+    t9, score = extend_tree_parsimony(t5, labels[5:], parts, seed=2,
+                                      default_brlen=0.25)
+    assert t9.n_tips == n and t9.is_binary()
+    assert t9.labels == labels
+    # reference resets ALL branch lengths to the default
+    np.testing.assert_allclose(
+        t9.lengths[t9.edge_nodes[:, 0] >= 0], 0.25)
+    assert score == parsimony_score_multi(t9, parts)
+    # the original 5-taxon topology survives as a restriction
+    assert Constraint(t5, t9.labels).check_tree(t9)
+
+
+def test_resolve_multi_parsimony():
+    """pllmod_utree_resolve_parsimony_multipart analog: random resolution
+    + constrained parsimony SPR rounds; result is binary, respects the
+    input tree's splits, and never scores worse than the pure random
+    resolution it starts from (pll_tree.c:1110-1200)."""
+    from pllmod_tpu.tree.starting import (resolve_multi_parsimony,
+                                          parsimony_score_multi)
+    from pllmod_tpu.tree.utils import resolve_multifurcations
+    from pllmod_tpu.tree.constraint import Constraint
+    rng = np.random.default_rng(11)
+    n = 10
+    labels = [f"t{i}" for i in range(n)]
+    seqs = ["".join(rng.choice(list("ACGT"), 80)) for _ in range(n)]
+    parts = [(seqs, cm.DNA, None)]
+    from pllmod_tpu.tree import Tree
+    multi = Tree.from_newick(
+        "((t0:1,t1:1,t2:1,t3:1):1,t4:1,(t5:1,t6:1,t7:1,t8:1,t9:1):1);")
+
+    tr, score = resolve_multi_parsimony(multi, parts, seed=5,
+                                        max_spr_rounds=4)
+    assert tr.is_binary()
+    assert Constraint(multi, tr.labels).check_tree(tr)
+    assert score == parsimony_score_multi(tr, parts)
+    rand = resolve_multifurcations(multi, seed=5, default_brlen=0.1)
+    assert score <= parsimony_score_multi(rand, parts)
+    # already-binary input: no SPR rounds, identical topology back
+    tr2, _ = resolve_multi_parsimony(tr, parts, seed=6)
+    from pllmod_tpu.tree.splits import rf_distance
+    assert rf_distance(tr, tr2) == 0

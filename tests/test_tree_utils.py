@@ -192,3 +192,69 @@ def test_rtree_nodes_at_node_dist():
     # prune floats a node; floating nodes never appear as candidates
     orphan = rt.prune(0)
     assert orphan not in rt.nodes_at_node_dist(rt.root, 1, 10)
+
+
+def test_branch_scaling_utilities():
+    """scale_branches / scale_subtree_branches / set_length(_recursive)
+    (pll_tree.c:1388-1460) + split lightside/show (utree_distances.c)."""
+    from pllmod_tpu.tree.utils import (scale_branches,
+                                       scale_subtree_branches,
+                                       set_length, set_length_recursive)
+    from pllmod_tpu.tree import splits as sp
+
+    t = Tree.from_newick("((a:1,b:2):3,(c:4,d:5):6,e:7);")
+    before = t.lengths.copy()
+    scale_branches(t, 2.0)
+    np.testing.assert_allclose(t.lengths, before * 2.0)
+
+    # subtree scaling: scale the (a,b) clade side of its parent edge —
+    # exactly the parent edge + a's and b's pendant edges change
+    ab_inner = next(n for n in range(t.n_tips, t.n_nodes)
+                    if {x for x, _ in t.neighbors(n)} >= {0, 1})
+    pedge = next(e for nbr, e in t.neighbors(ab_inner)
+                 if nbr not in (0, 1))
+    before = t.lengths.copy()
+    scale_subtree_branches(t, pedge, ab_inner, 10.0)
+    e_a = t.edge_between(ab_inner, 0)
+    e_b = t.edge_between(ab_inner, 1)
+    expect = before.copy()
+    expect[[pedge, e_a, e_b]] *= 10.0
+    np.testing.assert_allclose(t.lengths, expect)
+
+    set_length(t, e_a, 0.125)
+    assert t.lengths[e_a] == 0.125
+    t.lengths[e_b] = 0.0
+    set_length_recursive(t, 0.5, missing_only=True)
+    assert t.lengths[e_b] == 0.5 and t.lengths[e_a] == 0.125
+    set_length_recursive(t, 0.25)
+    np.testing.assert_allclose(t.lengths, 0.25)
+
+    s = sp.split_from_tips([0, 1], t.n_tips)
+    assert sp.lightside(s, t.n_tips) == 2
+    # split_from_tips normalizes: tip 0's side is the zero side
+    assert sp.show_split(s, t.n_tips) == "--***"
+    with pytest.raises(TreeError):
+        set_length(t, 999, 0.1) if False else scale_subtree_branches(
+            t, pedge, 4, 1.0)   # node 4 (tip e) is not on edge pedge
+
+
+def test_treeinfo_scale_branches():
+    """pllmod_treeinfo_scale_branches_all / _partition semantics across
+    linkage modes (treeinfo.c:1101-1197)."""
+    from pllmod_tpu.common import BRLEN_UNLINKED, BRLEN_LINKED
+    from pllmod_tpu.tree import TreeInfo
+    t = Tree.from_newick("((a:1,b:2):3,(c:4,d:5):6,e:7);")
+    ti = TreeInfo(t, [None, None], brlen_linkage=BRLEN_UNLINKED)
+    ti.brlens[1] *= 3.0
+    base = t.lengths.copy()
+    ti.scale_branches_all(2.0)
+    np.testing.assert_allclose(ti.tree.lengths, base * 2.0)
+    np.testing.assert_allclose(ti.brlens[0], base * 2.0)
+    np.testing.assert_allclose(ti.brlens[1], base * 6.0)
+    ti.scale_branches_partition(1, 0.5)
+    np.testing.assert_allclose(ti.brlens[1], base * 3.0)
+    np.testing.assert_allclose(ti.brlens[0], base * 2.0)
+
+    ti2 = TreeInfo(t.copy(), [None], brlen_linkage=BRLEN_LINKED)
+    with pytest.raises(ValueError):
+        ti2.scale_branches_partition(0, 2.0)
