@@ -11,6 +11,9 @@
   differences, opt_algorithms.c:418-807)
 - :mod:`pllmod_tpu.optimize.em` — EM for rate/weight mixtures
   (opt_algorithms.c:1473-1546)
+- :mod:`pllmod_tpu.optimize.params` — generic masked parameter-vector
+  optimization, one L-BFGS/Brent run over any PARAM_* combination
+  (``pllmod_opt_optimize_onedim/multidim``, pll_optimize.c:411-742)
 """
 
 from pllmod_tpu.optimize.newton import minimize_newton_multi  # noqa: F401
@@ -22,3 +25,7 @@ from pllmod_tpu.optimize.blo import (  # noqa: F401
 from pllmod_tpu.optimize.brent import minimize_brent_multi  # noqa: F401
 from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb  # noqa: F401
 from pllmod_tpu.optimize.em import em_rates_weights  # noqa: F401
+from pllmod_tpu.optimize.params import (  # noqa: F401
+    optimize_onedim,
+    optimize_multidim,
+)

@@ -69,3 +69,61 @@ def minimize_newton_multi(deriv_fn, x0, xmin, xmax, tol=1e-4, max_iters=10):
              jnp.zeros(x0.shape, bool))
     _, x, _, _, _ = lax.while_loop(cond, body, state)
     return x
+
+
+def minimize_newton_old(deriv_fn, x0, xmin, xmax, tol=1e-4, max_iters=32):
+    """Legacy IQ-TREE-derived Newton variant with bisection fallback
+    (``pllmod_opt_minimize_newton_old``, opt_algorithms.c:281-384),
+    vectorized over a batch like :func:`minimize_newton_multi`.
+
+    Update rules are the reference's, in the maximize convention
+    (f = dlogL/dx, df = d²logL/dx²; the reference minimizes −logL):
+
+    - keep a bracket [xl, xh] from the sign of f,
+    - take the raw (unclamped) Newton step ``x − f/df`` unless the
+      objective is locally convex (``df >= 0``) or the step lands out of
+      bracket (the reference's product test, sign-convention invariant),
+      in which case bisect to ``(xl + xh)/2``,
+    - stop when |dx| < tol or the derivative vanishes inside the bracket.
+
+    Returns x_opt [N].
+    """
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    xmin = jnp.broadcast_to(jnp.asarray(xmin, dtype), x0.shape)
+    xmax = jnp.broadcast_to(jnp.asarray(xmax, dtype), x0.shape)
+    x = jnp.clip(x0, xmin, xmax)
+
+    f0, _ = deriv_fn(x)
+    # f > 0: maximum to the right (reference f < 0 in minimize convention)
+    xl = jnp.where(f0 > 0, x, xmin)
+    xh = jnp.where(f0 > 0, xmax, x)
+
+    def cond(state):
+        i, x, xl, xh, conv = state
+        return (i < max_iters) & ~jnp.all(conv)
+
+    def body(state):
+        i, x, xl, xh, conv = state
+        f, df = deriv_fn(x)
+        done_now = (df < 0) & (jnp.abs(f) < tol)
+        # out-of-bracket product test (opt_algorithms.c:330-333);
+        # invariant under the min/max sign flip
+        oob = ((x - xh) * df - f) * ((x - xl) * df - f) >= 0.0
+        bisect = (df >= 0.0) | oob
+        x_newton = x - f / df
+        x_bisect = xl + 0.5 * (xh - xl)
+        x_new = jnp.where(bisect, x_bisect, x_newton)
+        x_new = jnp.clip(x_new, xmin, xmax)
+        dx = jnp.abs(x_new - x)
+        # bracket update at the new point's derivative sign next iteration;
+        # the reference updates with the current f before stepping
+        xl = jnp.where(~conv & (f > 0), x, xl)
+        xh = jnp.where(~conv & (f <= 0), x, xh)
+        new_conv = conv | done_now | (dx < tol)
+        x = jnp.where(conv | done_now, x, x_new)
+        return i + 1, x, xl, xh, new_conv
+
+    state = (jnp.asarray(0), x, xl, xh, jnp.zeros(x.shape, bool))
+    _, x, _, _, _ = lax.while_loop(cond, body, state)
+    return x

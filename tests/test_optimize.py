@@ -307,3 +307,103 @@ def test_blo_ondevice_driver_treeinfo_scaled(rng):
                                           max_sweeps=8)
     assert L1 == L2
     np.testing.assert_array_equal(ti1.tree.lengths, ti2.tree.lengths)
+
+
+# ---------------------------------------------------------------------------
+# generic masked parameter-vector optimization (pll_optimize.c:411-742)
+# ---------------------------------------------------------------------------
+def test_optimize_multidim_masked_params(rng):
+    """optimize_multidim over rates+freqs+alpha+pinv+branches in ONE
+    L-BFGS run: improves logL, returned logL matches a fresh engine
+    evaluation, symmetry classes stay tied with the last class pinned."""
+    from pllmod_tpu.optimize import optimize_multidim
+    from pllmod_tpu.common import (PARAM_ALPHA, PARAM_PINV,
+                                   PARAM_SUBST_RATES, PARAM_FREQUENCIES,
+                                   PARAM_BRANCHES_ALL)
+    tree, part = make_case(rng, n_tips=6, n_sites=100, pinv=0.1)
+    l0 = float(tree_loglikelihood(part, tree))
+    mask = (PARAM_SUBST_RATES | PARAM_FREQUENCIES | PARAM_ALPHA
+            | PARAM_PINV | PARAM_BRANCHES_ALL)
+    part2, lnl = optimize_multidim(part, tree, mask)
+    assert lnl > l0
+    assert abs(float(tree_loglikelihood(part2, tree)) - lnl) < 1e-6
+
+    # HKY symmetry packing: tied classes equal, last rate pinned to 1
+    sym = [0, 1, 0, 0, 1, 0]
+    part3, _ = optimize_multidim(part, tree, PARAM_SUBST_RATES,
+                                 symmetries=sym)
+    r = np.asarray(part3.subst_rates[0])
+    assert r[0] == r[2] == r[3] == r[5] == 1.0
+    assert r[1] == r[4]
+
+
+def test_optimize_multidim_matches_single_param_driver(rng):
+    """Golden equivalence: alpha-only multidim == the treeinfo Brent
+    driver's optimum (same objective, two optimizers)."""
+    from pllmod_tpu.optimize import optimize_multidim
+    from pllmod_tpu.algorithm.opt_model import opt_alpha
+    from pllmod_tpu.tree import TreeInfo
+    from pllmod_tpu.common import PARAM_ALPHA
+    tree, part = make_case(rng, n_tips=6, n_sites=80)
+    part2, lnl2 = optimize_multidim(part, tree, PARAM_ALPHA, tol=1e-6)
+    ti = TreeInfo(tree.copy(), [part])
+    lnl1 = opt_alpha(ti, tol=1e-7)
+    assert abs(lnl1 - lnl2) < 1e-3
+    assert abs(float(ti.partitions[0].alpha) - float(part2.alpha)) < 0.05
+
+
+def test_optimize_onedim(rng):
+    """Brent single-scalar path: ALPHA / PINV / BRANCHES_SINGLE improve
+    monotonically; non-onedim masks raise OPT_ERROR_PARAMETER."""
+    from pllmod_tpu.optimize import optimize_onedim
+    from pllmod_tpu.common import (OptimizeError, PARAM_ALPHA, PARAM_PINV,
+                                   PARAM_BRANCHES_SINGLE,
+                                   PARAM_SUBST_RATES)
+    tree, part = make_case(rng, n_tips=5, n_sites=80, pinv=0.15)
+    l0 = float(tree_loglikelihood(part, tree))
+    part, l1 = optimize_onedim(part, tree, PARAM_ALPHA)
+    assert l1 >= l0 - 1e-9
+    part, l2 = optimize_onedim(part, tree, PARAM_PINV)
+    assert l2 >= l1 - 1e-9
+    old = float(tree.lengths[1])
+    part, l3 = optimize_onedim(part, tree, PARAM_BRANCHES_SINGLE, edge=1)
+    assert l3 >= l2 - 1e-9 and float(tree.lengths[1]) != old
+    assert abs(float(tree_loglikelihood(part, tree)) - l3) < 1e-6
+    with pytest.raises(OptimizeError):
+        optimize_onedim(part, tree, PARAM_SUBST_RATES)
+    with pytest.raises(OptimizeError):
+        optimize_onedim(part, tree, PARAM_BRANCHES_SINGLE)  # no edge
+
+
+def test_newton_old_matches_newton_multi():
+    """Legacy bisection-fallback Newton (opt_algorithms.c:281-384) finds
+    the same optima as the production bracketed Newton on a batch of
+    concave problems, and survives a locally-convex start (pure Newton
+    would diverge there; the fallback bisects back into the basin)."""
+    from pllmod_tpu.optimize.newton import (minimize_newton_multi,
+                                            minimize_newton_old)
+    m = jnp.array([0.3, 1.7, 5.0, 0.01])
+
+    def deriv(x):
+        # f(x) = -(x-m)^4: df = -4(x-m)^3, ddf = -12(x-m)^2
+        return -4 * (x - m) ** 3, -12 * (x - m) ** 2
+
+    x0 = jnp.full(4, 2.0)
+    xa = minimize_newton_multi(deriv, x0, 1e-6, 10.0, tol=1e-8,
+                               max_iters=100)
+    xb = minimize_newton_old(deriv, x0, 1e-6, 10.0, tol=1e-8,
+                             max_iters=200)
+    np.testing.assert_allclose(np.asarray(xa), m, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(xb), m, atol=1e-2)
+
+    def deriv2(x):
+        # f(x) = cos(x) on [0.1, 6]: max at 2*pi-ish edge effects; the
+        # convex half (df >= 0) triggers the bisection branch
+        return -jnp.sin(x), -jnp.cos(x)
+
+    x0 = jnp.array([3.0])   # convex region for maximizing cos
+    xo = minimize_newton_old(deriv2, x0, 0.1, 6.2, tol=1e-10,
+                             max_iters=200)
+    # cos has interior max at 2pi ~ 6.28 (clipped to 6.2) or at left edge
+    v = float(jnp.cos(xo[0]))
+    assert v > float(jnp.cos(3.0))
