@@ -34,6 +34,19 @@ def loglikelihood(partition, ops, brlens, root_info):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
+def loglikelihood_persite(partition, ops, brlens, root_info):
+    """(total, per-pattern logL [n_patterns_padded]) — the reference's
+    ``persite`` out-array of pll_compute_edge_loglikelihood /
+    pllmod_treeinfo_compute_loglh_persite (treeinfo.c:1084-1099). The
+    per-pattern entries are UNweighted; total = Σ lnl·pattern_weights
+    (padded patterns carry weight 0)."""
+    P = partition.prob_matrices(brlens)
+    clvs, scalers = clv_mod.update_partials(partition, P, ops)
+    u, v, e = root_info
+    return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e],
+                                     persite=True)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def loglikelihood_levels(partition, levels, brlens, offsets, root_info,
                          n_slots: int):

@@ -200,6 +200,30 @@ class TreeInfo:
                 total += lnl
         return total
 
+    def compute_loglh_persite(self):
+        """Per-partition per-pattern log-likelihoods
+        (pllmod_treeinfo_compute_loglh_persite, treeinfo.c:1081-1099).
+
+        Returns (total_loglh, [per-pattern lnl array | None per
+        partition]) — None for remote/out-of-scope partitions. Entries
+        are unweighted per-PATTERN values (multiply by pattern_weights
+        and sum to recover each partition's total); always evaluated on
+        the XLA engine (full per-site vector, f64-capable)."""
+        ops, root_info = self.tree.traversal_ops()
+        ri = tuple(int(x) for x in root_info)
+        ops_j = jnp.asarray(ops)
+        persite = [None] * self.n_partitions
+        total = 0.0
+        for i in self.local_indices():
+            part = self.partitions[i]
+            brl = jnp.asarray(self.partition_brlens(i), part.dtype)
+            lnl, site_lnl = engine_mod.loglikelihood_persite(
+                part, ops_j, brl, ri)
+            persite[i] = np.asarray(site_lnl)
+            self.partition_loglh[i] = float(lnl)
+            total += float(lnl)
+        return total, persite
+
     def _fast_eval(self, i, part, ops, ri):
         """Cached engine.compile_fast_eval closure for partition ``i``.
 

@@ -258,3 +258,25 @@ def test_treeinfo_scale_branches():
     ti2 = TreeInfo(t.copy(), [None], brlen_linkage=BRLEN_LINKED)
     with pytest.raises(ValueError):
         ti2.scale_branches_partition(0, 2.0)
+
+
+def test_treeinfo_compute_loglh_persite():
+    """pllmod_treeinfo_compute_loglh_persite: per-pattern lnl vectors sum
+    (weighted) to each partition's total logL."""
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree import TreeInfo
+    rng = np.random.default_rng(3)
+    t = Tree.from_newick("((a:0.1,b:0.2):0.05,(c:0.1,d:0.3):0.07,e:0.2);")
+    seqs = ["".join(rng.choice(list("ACGT"), 60)) for _ in range(5)]
+    p1 = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.6,
+                          dtype="float64")
+    p2 = create_partition(seqs, states=4, n_rate_cats=2, alpha=1.4,
+                          prop_invar=0.2, dtype="float64")
+    ti = TreeInfo(t, [p1, p2])
+    total = ti.compute_loglh()
+    t2, persite = ti.compute_loglh_persite()
+    assert abs(t2 - total) < 1e-8
+    for i, p in enumerate([p1, p2]):
+        w = np.asarray(p.pattern_weights)
+        assert abs(float((persite[i] * w).sum())
+                   - ti.partition_loglh[i]) < 1e-8
