@@ -43,6 +43,12 @@ from pllmod_tpu.tree import moves
 # TPU matmuls default to bf16 inputs; likelihoods need true f32
 _PREC = jax.lax.Precision.HIGHEST
 
+# Reuse the full-tree directed-CLV buffers across applied SPRs under the
+# dirty-node validity protocol (see spr_round). False = rebuild after
+# every applied move (round-2 behavior; kept as a test/ablation knob —
+# results are bit-identical either way).
+FULL_CLV_REUSE = True
+
 
 @partial(jax.jit, static_argnames=("n_slots",))
 def _directed_clvs_sched(partition, P, levels, offsets, n_slots: int):
@@ -333,10 +339,19 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     cutoff_state.setdefault("sum", 0.0)
     cutoff_state.setdefault("n", 0)
 
-    # per-topology caches: full-tree directed traversal + per-partition CLVs
-    cache_version = -1
+    # Full-tree directed CLVs with a VALIDITY protocol (the reference's
+    # clv_valid bookkeeping, treeinfo.c:872-944, applied to the directed
+    # buffer): an applied SPR only modifies the neighborhood of the old
+    # and new attachment points, so it marks those nodes dirty instead of
+    # discarding the buffers. A candidate's pruned-subtree CLV
+    # (sub_root -> junction) is reusable iff its node set avoids every
+    # dirty node — the moved subtree always travels with its junction, so
+    # containing a relocated node implies containing a dirty one.
+    # (Measured: rebuilds after EVERY applied move were ~30% of the warm
+    # fast-round wall at 48 taxa x 2048.)
     trav_full = None
     full_clvs: dict[int, tuple] = {}
+    dirty_nodes: set[int] = set()
 
     for prune_edge, junction in _prune_candidates(tree):
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
@@ -349,7 +364,12 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             continue
         (a, ea), (b, eb) = nbrs
 
-        if cache_version != n_applied:
+        sub_nodes = moves.subtree_nodes(tree, prune_edge, sub_root)
+        reusable = (FULL_CLV_REUSE and trav_full is not None
+                    and not (dirty_nodes & sub_nodes)
+                    and (tree.is_tip(sub_root)
+                         or (sub_root, junction) in trav_full.slot_of))
+        if not reusable:
             trav_full = DirectedTraversal(tree)
             levels_f, offsets_f, _eref_f, n_slots_f = trav_full.schedule()
             full_clvs = {}
@@ -374,10 +394,9 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                     full_clvs[i] = _directed_clvs_sched(
                         part, P_full, levels_f, offsets_f, n_slots_f)
                     full_fast[i] = False
-            cache_version = n_applied
+            dirty_nodes.clear()
 
         # ---- remainder tree R: dissolve junction, drop subtree edges ----
-        sub_nodes = moves.subtree_nodes(tree, prune_edge, sub_root)
         R = tree.copy()
         moves.prune(R, junction, keep_edge=prune_edge)
         R.edge_nodes[prune_edge] = (-1, -1)
@@ -486,8 +505,12 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         if cand_lnl > best_lnl + epsilon:
             # apply the SPR on the real tree
+            x_node = int(R.edge_nodes[best_edge, 0])
             y_node = int(R.edge_nodes[best_edge, 1])
             moves.spr(tree, prune_edge, best_edge, junction=junction)
+            # validity protocol: only the old (a—junction—b) and new
+            # (x—junction—y) attachment neighborhoods changed
+            dirty_nodes.update((junction, a, b, x_node, y_node))
             if triplets is not None:
                 # write optimized attachment lengths (reference saves &
                 # applies the best triplet, algo_search.c:809-819)

@@ -265,3 +265,30 @@ def test_opt_onedim_custom(rng):
     from pllmod_tpu.algorithm import opt_alpha
     lnl2 = opt_alpha(direct)
     assert abs(lnl - lnl2) < 1e-6
+
+
+def test_spr_full_clv_reuse_bit_identical(rng):
+    """The dirty-node validity protocol for the full directed-CLV buffers
+    (treeinfo.c:872-944 semantics applied to the directed table) must not
+    change ANY spr_round output vs rebuilding after every applied move:
+    same final logL, applied count, toplist, and topology."""
+    from pllmod_tpu.algorithm import spr as spr_mod
+    tree = ref.random_binary_tree(rng, 14, 0.02, 0.8)
+    seqs = ref.random_sequences(rng, 14, 160)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    out = {}
+    old = spr_mod.FULL_CLV_REUSE
+    try:
+        for flag in (False, True):
+            spr_mod.FULL_CLV_REUSE = flag
+            ti = TreeInfo(tree.copy(), [part])
+            lnl, n_applied, top = spr_mod.spr_round(
+                ti, radius_min=1, radius_max=8, thorough=False)
+            out[flag] = (lnl, n_applied,
+                         [(t.lnl, t.prune_edge, t.regraft_edge)
+                          for t in top],
+                         ti.tree.to_newick())
+    finally:
+        spr_mod.FULL_CLV_REUSE = old
+    assert out[False] == out[True]
