@@ -64,6 +64,26 @@ def _fused_clvs_std(partition, P, idx8, e1, e2, n_slots: int,
                                                 n_slots, interpret)
 
 
+@jax.jit
+def _subtree_clv_slot(clvs_f, scalers_f, slot):
+    """Slice one directed-CLV slot with a TRACED index: every candidate
+    shares ONE compiled program. (Eager ``clvs_f[slot]`` bakes the python
+    int into the jaxpr — one tiny XLA program PER SLOT VALUE, each paying
+    a remote compile on the axon runtime; measured as the dominant
+    cold-round cost at 48 taxa.)"""
+    return (jax.lax.dynamic_index_in_dim(clvs_f, slot, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(scalers_f, slot, 0, keepdims=False))
+
+
+@jax.jit
+def _subtree_clv_tip(partition, node):
+    """Tip pruned-subtree CLV with a TRACED tip id (same rationale)."""
+    cS = clv_mod.tip_clv(partition, node)
+    cS = jnp.broadcast_to(cS[:, None, :],
+                          (cS.shape[0], partition.n_cats, partition.states))
+    return cS, jnp.zeros(cS.shape[0], jnp.int32)
+
+
 def _fused_R_args(partition, ops_R, trav_full):
     """Precompiled fused-kernel schedule kwargs for the remainder-tree
     scorers. Padded to the full op-table shape with a FIXED slot count so
@@ -400,9 +420,11 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         R = tree.copy()
         moves.prune(R, junction, keep_edge=prune_edge)
         R.edge_nodes[prune_edge] = (-1, -1)
-        for e, (x, y) in enumerate(R.edge_nodes):
-            if x >= 0 and int(x) in sub_nodes and int(y) in sub_nodes:
-                R.edge_nodes[e] = (-1, -1)
+        sub_arr = np.fromiter(sub_nodes, np.int64, len(sub_nodes))
+        en = R.edge_nodes
+        drop = ((en[:, 0] >= 0) & np.isin(en[:, 0], sub_arr)
+                & np.isin(en[:, 1], sub_arr))
+        en[drop] = -1
         R.invalidate()
         root_tip = next((t for t in range(R.n_tips)
                          if t not in sub_nodes and R.adjacency()[t]), None)
@@ -426,15 +448,14 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         def subtree_clv(part, clvs_f, scalers_f, fast=False):
             if tree.is_tip(sub_root):
-                cS = clv_mod.tip_clv(part, sub_root)
-                cS = jnp.broadcast_to(
-                    cS[:, None, :], (cS.shape[0], part.n_cats, part.states))
-                return cS, jnp.zeros(cS.shape[0], jnp.int32)
+                return _subtree_clv_tip(part,
+                                        jnp.asarray(sub_root, jnp.int32))
             # fused buffers keep DirectedTraversal's own slot numbering;
             # the level-batched buffers use the remapped schedule slots
             slot = (trav_full.slot_of[(sub_root, junction)] if fast
                     else trav_full.sched_slot(sub_root, junction))
-            return clvs_f[slot], scalers_f[slot]
+            return _subtree_clv_slot(clvs_f, scalers_f,
+                                     jnp.asarray(slot, jnp.int32))
 
         dtype0 = treeinfo.partitions[part_idx[0]].dtype
         brl_R = jnp.asarray(

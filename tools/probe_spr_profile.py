@@ -74,8 +74,9 @@ def main():
     wrap(moves_mod, "subtree_nodes", "subtree_nodes_host")
     wrap(spr_mod, "optimize_branch_lengths_treeinfo", "blo")
 
-    runs = [("fast/cold", False), ("fast/warm", False),
-            ("thorough/warm", True)]
+    from pllmod_tpu.tree.treeinfo import TreeInfo as TI
+    wrap(TI, "compute_loglh", "treeinfo_loglh")
+    runs = [("fast/cold", False), ("fast/warm", False)]
     for label, mode in runs:
         ACC.clear()
         ti = TreeInfo(tree.copy(), [part])
