@@ -65,6 +65,13 @@ def _fused_clvs_std(partition, P, idx8, e1, e2, n_slots: int,
 
 
 @jax.jit
+def _prob_matrices_jit(partition, brlens):
+    """P-matrix build as ONE program (eager chains pay ~0.45 s remote
+    compile per tiny op on axon, plus per-rebuild eager dispatches)."""
+    return partition.prob_matrices(brlens)
+
+
+@jax.jit
 def _subtree_clv_slot(clvs_f, scalers_f, slot):
     """Slice one directed-CLV slot with a TRACED index: every candidate
     shares ONE compiled program. (Eager ``clvs_f[slot]`` bakes the python
@@ -397,9 +404,9 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             fused_full = None
             for i in part_idx:
                 part = treeinfo.partitions[i]
-                brl_full = jnp.asarray(treeinfo.partition_brlens(i),
-                                       part.dtype)
-                P_full = part.prob_matrices(brl_full)
+                brl_full = jnp.asarray(np.asarray(
+                    treeinfo.partition_brlens(i), part.dtype))
+                P_full = _prob_matrices_jit(part, brl_full)
                 if engine_mod.use_fast_kernel(part):
                     from pllmod_tpu.ops import pallas_clv
                     if fused_full is None:
@@ -458,10 +465,10 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                                      jnp.asarray(slot, jnp.int32))
 
         dtype0 = treeinfo.partitions[part_idx[0]].dtype
-        brl_R = jnp.asarray(
-            np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1), dtype0)
-        t_s0 = jnp.asarray(float(tree.lengths[prune_edge]), dtype0)
-        halves = jnp.asarray(R.lengths / 2.0, dtype0)
+        brl_R = jnp.asarray(np.asarray(
+            np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1), dtype0))
+        t_s0 = jnp.asarray(np.asarray(tree.lengths[prune_edge], dtype0))
+        halves = jnp.asarray(np.asarray(R.lengths / 2.0, dtype0))
         mask_j = jnp.asarray(mask)
 
         if thorough:

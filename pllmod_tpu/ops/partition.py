@@ -38,6 +38,10 @@ from pllmod_tpu.ops import gamma as gamma_mod
 from pllmod_tpu.ops import eigen as eigen_mod
 
 
+# one compiled program for the eager eigen-cache path (see cache_eigen)
+_eigen_reversible_jit = jax.jit(eigen_mod.eigen_reversible_batched)
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -111,9 +115,11 @@ class Partition:
         """Return a partition with the eigendecomposition materialized.
         Use on hot brlens-only paths (likelihood eval, BLO, SPR): on TPU
         the eigh dominates a full evaluation otherwise. The cache is
-        cleared automatically by :meth:`with_model_params`."""
-        lam, V, Vinv = eigen_mod.eigen_reversible_batched(
-            self.subst_rates, self.freqs)
+        cleared automatically by :meth:`with_model_params`.
+
+        Runs as ONE jitted program: the eager op-chain version paid ~15
+        tiny remote compiles (~0.45 s each) on the axon runtime."""
+        lam, V, Vinv = _eigen_reversible_jit(self.subst_rates, self.freqs)
         return self.replace(eigen_lam=lam, eigen_V=V, eigen_Vinv=Vinv)
 
     def with_model_params(self, subst_rates=None, freqs=None):
@@ -238,28 +244,35 @@ def create_partition(
     if rate_weights is None:
         rate_weights = np.full(n_rate_cats, 1.0 / n_rate_cats)
 
-    alpha_arr = jnp.asarray(float("nan") if alpha is None else alpha, dtype)
+    # Convert to the target dtype on HOST (numpy), then device_put: an
+    # eager jnp.asarray with a dtype change compiles a tiny
+    # convert_element_type program PER SHAPE — on the axon runtime each
+    # remote compile costs ~0.45 s, and partition creation alone paid ~8
+    # of them (measured: tools/probe_spr_compiles.py).
+    def dev(x, dt=dtype):
+        return jnp.asarray(np.asarray(x, dt))
+
+    alpha_arr = dev(float("nan") if alpha is None else alpha)
     if n_rate_cats > 1 and alpha is not None:
         # host-side float64 discretization: asking the device for f64 under
         # a default-f32 runtime silently truncates category rates
-        cats = jnp.asarray(
-            gamma_mod.compute_gamma_cats_host(alpha, n_rate_cats, gamma_mode),
-            dtype)
+        cats = dev(gamma_mod.compute_gamma_cats_host(alpha, n_rate_cats,
+                                                     gamma_mode))
     else:
-        cats = jnp.ones(n_rate_cats, dtype)
+        cats = dev(np.ones(n_rate_cats))
 
     return Partition(
         tip_states=jnp.asarray(tip_states),
-        code_clv=jnp.asarray(code_clv, dtype),
-        pattern_weights=jnp.asarray(w, dtype),
-        inv_indicator=jnp.asarray(inv_indicator, dtype),
-        subst_rates=jnp.asarray(subst_rates, dtype),
-        freqs=jnp.asarray(freqs, dtype),
+        code_clv=dev(code_clv),
+        pattern_weights=dev(w),
+        inv_indicator=dev(inv_indicator),
+        subst_rates=dev(subst_rates),
+        freqs=dev(freqs),
         rate_cats=cats,
-        rate_weights=jnp.asarray(rate_weights, dtype),
-        prop_invar=jnp.full((n_matrices,), prop_invar, dtype),
+        rate_weights=dev(rate_weights),
+        prop_invar=dev(np.full((n_matrices,), prop_invar)),
         alpha=alpha_arr,
-        param_indices=jnp.asarray(param_indices, jnp.int32),
+        param_indices=dev(param_indices, np.int32),
         n_tips=n_tips,
         states=states,
         n_patterns=n_patterns,
