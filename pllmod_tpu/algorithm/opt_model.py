@@ -341,13 +341,22 @@ def _site_cat_likelihood(part, ops_j, brl, ri):
     return per_cat, s_p + s_c
 
 
+# one python-level jit cache for the EM E-step across calls/rounds
+_site_cat_jit = jax.jit(_site_cat_likelihood, static_argnums=3)
+
+
 def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
                       max_rate=common.MAX_RATE, tol=1e-4,
                       max_rounds: int = 10):
     """Free-rate model: alternate EM on category weights and L-BFGS on
     category rates until converged, then renormalize so Σ wᵢrᵢ = 1 and push
     the factor into branch lengths (pllmod_algo_opt_rates_weights_treeinfo,
-    pllmod_algorithm.c:1434-1840)."""
+    pllmod_algorithm.c:1434-1840).
+
+    The jitted objectives take the CURRENT partition as a traced argument
+    and are built ONCE per partition, outside the alternation loop — a
+    fresh ``jax.jit`` per round retraces AND recompiles every round
+    (measured: ~10 extra multi-second remote compiles per call on axon)."""
     ops, root_info = treeinfo.tree.traversal_ops()
     ri = tuple(int(x) for x in root_info)
     ops_j = jnp.asarray(ops)
@@ -357,30 +366,32 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
         if not ((mask & PARAM_FREE_RATES) or (mask & PARAM_RATE_WEIGHTS)):
             continue
         part = treeinfo.partitions[i]
-        brl = jnp.asarray(treeinfo.partition_brlens(i), part.dtype)
+        brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(i),
+                                     part.dtype))
         f = _loglh_fn(treeinfo, i, need_grad=True)
+        f_jit = jax.jit(f)
+
+        def neg(r, part, f=f):
+            return -f(part.replace(rate_cats=r))
+
+        vg = jax.jit(jax.value_and_grad(neg))
         prev = -np.inf
         for _ in range(max_rounds):
             if mask & PARAM_RATE_WEIGHTS:
-                site_cat, _ = jax.jit(_site_cat_likelihood, static_argnums=3)(
-                    part, ops_j, brl, ri)
+                site_cat, _ = _site_cat_jit(part, ops_j, brl, ri)
                 w = em_rates_weights(site_cat, part.pattern_weights,
                                      part.rate_weights)
                 part = part.replace(rate_weights=w)
             if mask & PARAM_FREE_RATES:
-                @jax.jit
-                def neg(r, part=part, f=f):
-                    return -f(part.replace(rate_cats=r))
-
-                vg = jax.jit(jax.value_and_grad(neg))
                 x0 = np.asarray(part.rate_cats)
                 x, fv, _ = minimize_lbfgsb(
-                    lambda z: tuple(map(np.asarray,
-                                        vg(jnp.asarray(z, part.dtype)))),
+                    lambda z: tuple(map(np.asarray, vg(
+                        jnp.asarray(np.asarray(z, part.dtype)), part))),
                     x0, np.full(part.n_cats, min_rate),
                     np.full(part.n_cats, max_rate), max_iters=100, pgtol=tol)
-                part = part.replace(rate_cats=jnp.asarray(x, part.dtype))
-            lnl = float(f(part))
+                part = part.replace(
+                    rate_cats=jnp.asarray(np.asarray(x, part.dtype)))
+            lnl = float(f_jit(part))
             if abs(lnl - prev) < tol:
                 break
             prev = lnl

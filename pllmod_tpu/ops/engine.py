@@ -17,8 +17,14 @@ from pllmod_tpu.ops import likelihood as lk_mod
 
 
 @partial(jax.jit, static_argnums=(3,))
+@partial(jax.jit, static_argnums=(3,))
 def loglikelihood(partition, ops, brlens, root_info):
     """Full-traversal log-likelihood (serial-scan schedule).
+
+    Jitted with static root_info: host-level callers would otherwise
+    execute the whole P-build + scan chain EAGERLY (one remote dispatch
+    and a ~0.45 s one-time compile per op on the axon runtime). Calls
+    from inside other jitted functions simply inline.
 
     Args:
       partition: Partition pytree
@@ -34,6 +40,7 @@ def loglikelihood(partition, ops, brlens, root_info):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
+@partial(jax.jit, static_argnums=(3,))
 def loglikelihood_persite(partition, ops, brlens, root_info):
     """(total, per-pattern logL [n_patterns_padded]) — the reference's
     ``persite`` out-array of pll_compute_edge_loglikelihood /
