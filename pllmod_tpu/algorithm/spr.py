@@ -531,11 +531,32 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         best_edge = int(np.argmax(total_scores))
         cand_lnl = float(total_scores[best_edge])
 
-        if cand_lnl > best_lnl + epsilon:
-            # apply the SPR on the real tree
+        applied = False
+        while cand_lnl > best_lnl + epsilon:
             x_node = int(R.edge_nodes[best_edge, 0])
             y_node = int(R.edge_nodes[best_edge, 1])
+            if constraint is not None:
+                # fast pre-check for re-picked candidates (the best one
+                # already passed in the filter above; re-checking is cheap)
+                if not constraint.check_spr(tree, prune_edge, junction,
+                                            best_edge):
+                    total_scores[best_edge] = -np.inf
+                    best_edge = int(np.argmax(total_scores))
+                    cand_lnl = float(total_scores[best_edge])
+                    continue
+                snap = tree.snapshot()
+            # apply the SPR on the real tree
             moves.spr(tree, prune_edge, best_edge, junction=junction)
+            if constraint is not None and not constraint.check_tree(tree):
+                # the fast check is a heuristic (path-edge splits also
+                # change); the full check is the guarantee — roll back and
+                # try the next-best candidate (the reference instead FAILS
+                # the whole round here, algo_search.c:1458-1468)
+                tree.restore(snap)
+                total_scores[best_edge] = -np.inf
+                best_edge = int(np.argmax(total_scores))
+                cand_lnl = float(total_scores[best_edge])
+                continue
             # validity protocol: only the old (a—junction—b) and new
             # (x—junction—y) attachment neighborhoods changed
             dirty_nodes.update((junction, a, b, x_node, y_node))
@@ -551,7 +572,11 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             treeinfo.tree.invalidate()
             best_lnl = cand_lnl
             n_applied += 1
-        else:
+            applied = True
+            break
+        if not applied:
+            if not np.isfinite(cand_lnl):
+                continue   # every candidate was masked (constraint)
             drop = best_lnl - cand_lnl
             cutoff_state["sum"] += drop
             cutoff_state["n"] += 1
@@ -584,6 +609,9 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 moves.spr(tree, entry.prune_edge, entry.regraft_edge,
                           junction=entry.junction)
             except Exception:
+                continue
+            if constraint is not None and not constraint.check_tree(tree):
+                treeinfo.set_topology(snap)
                 continue
             treeinfo.tree.invalidate()
             lnl_try = optimize_branch_lengths_treeinfo(

@@ -140,11 +140,13 @@ def cmd_eval(args):
 
 def cmd_search(args):
     from pllmod_tpu.ops import charmap as charmap_mod
-    from pllmod_tpu.tree.starting import parsimony_stepwise, random_tree
+    from pllmod_tpu.tree.starting import (parsimony_stepwise, random_tree,
+                                          resolve_multi_parsimony)
     from pllmod_tpu.tree.treeinfo import TreeInfo
     from pllmod_tpu.algorithm import ml_search
 
     msa = _read_msa(args.msa)
+    constraint = None
     if args.tree:
         start = _read_trees(args.tree)[0]
         # reorder the MSA rows BEFORE encoding tip states: the tree-tip ->
@@ -153,7 +155,22 @@ def cmd_search(args):
         part, model, mask = build_partition(msa, args.model)
     else:
         part, model, mask = build_partition(msa, args.model)
-        if args.random_start:
+        if getattr(args, "constraint", None):
+            # constrained search (RAxML-NG --tree-constraint semantics):
+            # resolve the multifurcating constraint by parsimony, then
+            # restrict every SPR to topologies containing its splits
+            from pllmod_tpu.tree.constraint import Constraint
+            cons_tree = _read_trees(args.constraint)[0]
+            cm = charmap_mod.for_states(model.states)
+            seq_of = dict(zip(msa.labels, msa.sequences))
+            ordered = [seq_of[lb] for lb in cons_tree.labels]
+            start, steps = resolve_multi_parsimony(
+                cons_tree, [(ordered, cm, None)], seed=args.seed)
+            msa = type(msa)(list(cons_tree.labels), ordered)
+            part, model, mask = build_partition(msa, args.model)
+            constraint = Constraint(cons_tree, start.labels)
+            print(f"constrained parsimony start: {steps} steps")
+        elif args.random_start:
             start = random_tree(msa.labels, seed=args.seed)
         else:
             cm = charmap_mod.for_states(model.states)
@@ -164,7 +181,7 @@ def cmd_search(args):
     res = ml_search(
         ti, radius_step=args.radius_step, radius_max=args.radius_max,
         lh_epsilon=args.epsilon, checkpoint_path=args.checkpoint,
-        resume=args.resume,
+        resume=args.resume, constraint=constraint,
         on_round=lambda r: print(f"[{r.mode:8s}] radius={r.radius:2d} "
                                  f"applied={r.n_applied:3d} "
                                  f"logL={r.loglh:.4f}", flush=True))
@@ -306,6 +323,9 @@ def main(argv=None):
     p.add_argument("--msa", required=True)
     p.add_argument("--model", default="GTR+G")
     p.add_argument("--tree", help="starting tree (default: parsimony)")
+    p.add_argument("--constraint", help="topological constraint tree "
+                   "(multifurcating Newick; search is restricted to "
+                   "topologies containing its splits)")
     p.add_argument("--random-start", action="store_true")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--radius-step", type=int, default=5)

@@ -84,28 +84,45 @@ class Constraint:
 
     def check_spr(self, tree, prune_edge: int, junction: int,
                   regraft_edge: int) -> bool:
-        """SPR fast check (utree_constraint.c:421-482): compute the single
-        new split the SPR would create — pruned-subtree taxa ∪ one side of
-        the regraft edge — and test it against all constraint splits."""
+        """SPR fast check (utree_constraint.c:421-482): test the new
+        attachment splits the SPR would create against every constraint
+        split.
+
+        Regrafting subtree S (constrained taxa P) into edge (rx, ry)
+        subdivides it, creating BOTH bipartitions {P∪x | y} and
+        {P∪y | x} where x/y are the constrained taxa on each side of the
+        regraft edge (S excluded); both are tested (the reference checks
+        one and descends past constraint-trivial neighbors — testing
+        both sides subsumes that descent). Like the reference this is a
+        fast HEURISTIC: path-edge splits between the old and new
+        location also change, so spr_round backs it with a full
+        ``check_tree`` + rollback at apply time (the reference instead
+        hard-fails the whole round on its final full check,
+        algo_search.c:1458-1468)."""
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         sub_root = u if junction == v else v
         if not self.subtree_affected(tree, prune_edge, sub_root):
             return True
         sub = moves.subtree_nodes(tree, prune_edge, sub_root)
-        sub_tips = [t for t in sub if t < tree.n_tips]
         sub_split = np.zeros(sp.n_words(self.n_full), np.uint64)
-        for t in sub_tips:
-            sub_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
-        # one side of the regraft edge (excluding the pruned subtree)
-        rx, ry = (int(x) for x in tree.edge_nodes[regraft_edge])
-        side = moves.subtree_nodes(tree, regraft_edge, rx) - sub - {junction}
-        side_split = np.zeros_like(sub_split)
-        for t in side:
+        for t in sub:
             if t < tree.n_tips:
-                side_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
-        new_split = sub_split | side_split
-        r = self._restrict(sp.normalize(new_split[None], self.n_full)[0])
-        if self._is_trivial(r):
-            return True
-        return all(sp.compatible(c, r, self.n_cons)
-                   for c in self.cons_splits)
+                sub_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
+        sub_split &= self.full_mask
+        rx, _ry = (int(x) for x in tree.edge_nodes[regraft_edge])
+        x_nodes = moves.subtree_nodes(tree, regraft_edge, rx) - sub
+        x_split = np.zeros_like(sub_split)
+        for t in x_nodes:
+            if t < tree.n_tips:
+                x_split[t // 64] |= np.uint64(1) << np.uint64(t % 64)
+        x_split &= self.full_mask
+        y_split = self.full_mask & ~sub_split & ~x_split
+        for side in (x_split, y_split):
+            new_split = sub_split | side
+            r = self._restrict(sp.normalize(new_split[None], self.n_full)[0])
+            if self._is_trivial(r):
+                continue
+            if not all(sp.compatible(c, r, self.n_cons)
+                       for c in self.cons_splits):
+                return False
+        return True

@@ -79,3 +79,36 @@ def test_ancestral_states_recover_conserved_site():
     nodes, states = ancestral_states(part, tree)
     # site 0: all G (state index 2)
     assert np.all(states[:, 0] == 2)
+
+
+def test_constrained_search_never_violates():
+    """Regression (round 3): constrained spr_round/ml_search previously
+    produced constraint-VIOLATING topologies — the fast single-split
+    check is a heuristic (path-edge splits change too,
+    utree_constraint.c:421-482 comment), so applies are now backed by a
+    full check_tree with rollback. Every round must end compatible."""
+    from pllmod_tpu.tree.starting import resolve_multi_parsimony
+    from pllmod_tpu.ops.charmap import DNA
+    from pllmod_tpu.algorithm.search import ml_search
+
+    rng = np.random.default_rng(0)
+    seqs = ["".join(rng.choice(list("ACGT"), 120)) for _ in range(8)]
+    cons = Tree.from_newick(
+        "((t0:1,t1:1,t2:1):1,t3:1,(t4:1,t5:1,t6:1,t7:1):1);")
+    start, _ = resolve_multi_parsimony(cons, [(seqs, DNA, None)], seed=42)
+    c = Constraint(cons, start.labels)
+    assert c.check_tree(start)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    ti = TreeInfo(start.copy(), [part])
+    for _ in range(3):
+        lnl, n_applied, _ = spr_round(ti, radius_min=1, radius_max=5,
+                                      thorough=False, constraint=c)
+        assert c.check_tree(ti.tree)
+
+    ti2 = TreeInfo(start.copy(), [part])
+    res = ml_search(ti2, radius_max=5, constraint=c, max_rounds=4,
+                    thorough=True)
+    assert c.check_tree(ti2.tree)
+    # the search still improves within the constrained space
+    assert res.loglh >= res.start_loglh
