@@ -38,10 +38,6 @@ from pllmod_tpu.ops import gamma as gamma_mod
 from pllmod_tpu.ops import eigen as eigen_mod
 
 
-# one compiled program for the eager eigen-cache path (see cache_eigen)
-_eigen_reversible_jit = jax.jit(eigen_mod.eigen_reversible_batched)
-
-
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -117,9 +113,16 @@ class Partition:
         the eigh dominates a full evaluation otherwise. The cache is
         cleared automatically by :meth:`with_model_params`.
 
-        Runs as ONE jitted program: the eager op-chain version paid ~15
-        tiny remote compiles (~0.45 s each) on the axon runtime."""
-        lam, V, Vinv = _eigen_reversible_jit(self.subst_rates, self.freqs)
+        Deliberately EAGER, not jitted: jitting fuses differently and
+        perturbs the eigenbasis at machine epsilon — numerically just as
+        valid, but it breaks bit-compatibility with the in-jit eigen the
+        XLA paths compute, and a measured BLO hard case
+        (test_blo_end_to_end_fast) sits on a knife edge where that eps
+        flip lands the Jacobi Newton sweep in a 1.8-logL-worse optimum.
+        The cost is ~15 one-time tiny-op compiles on the axon runtime
+        (~6 s/process) — correctness contract wins."""
+        lam, V, Vinv = eigen_mod.eigen_reversible_batched(
+            self.subst_rates, self.freqs)
         return self.replace(eigen_lam=lam, eigen_V=V, eigen_Vinv=Vinv)
 
     def with_model_params(self, subst_rates=None, freqs=None):
