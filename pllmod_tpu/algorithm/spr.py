@@ -64,6 +64,17 @@ def _fused_clvs_std(partition, P, idx8, e1, e2, n_slots: int,
                                                 n_slots, interpret)
 
 
+@partial(jax.jit, static_argnames=("n_slots", "interpret"))
+def _fused_clvs_brl(partition, brl, idx8, e1, e2, n_slots: int,
+                    interpret: bool):
+    """P-build + whole directed traversal as ONE dispatch (the rebuild
+    after an applied SPR previously paid two tunnel round-trips)."""
+    from pllmod_tpu.ops import pallas_clv
+    P = partition.prob_matrices(brl)
+    return pallas_clv.update_partials_fused_std(partition, P, idx8, e1, e2,
+                                                n_slots, interpret)
+
+
 @jax.jit
 def _prob_matrices_jit(partition, brlens):
     """P-matrix build as ONE program (eager chains pay ~0.45 s remote
@@ -406,18 +417,18 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 part = treeinfo.partitions[i]
                 brl_full = jnp.asarray(np.asarray(
                     treeinfo.partition_brlens(i), part.dtype))
-                P_full = _prob_matrices_jit(part, brl_full)
                 if engine_mod.use_fast_kernel(part):
                     from pllmod_tpu.ops import pallas_clv
                     if fused_full is None:
                         fused_full = pallas_clv.compile_fused_ops(
                             part, trav_full.ops)
                     fi, fe1, fe2, fns = fused_full
-                    full_clvs[i] = _fused_clvs_std(
-                        part, P_full, fi, fe1, fe2, fns,
+                    full_clvs[i] = _fused_clvs_brl(
+                        part, brl_full, fi, fe1, fe2, fns,
                         engine_mod.fast_kernel_interpret())
                     full_fast[i] = True
                 else:
+                    P_full = _prob_matrices_jit(part, brl_full)
                     full_clvs[i] = _directed_clvs_sched(
                         part, P_full, levels_f, offsets_f, n_slots_f)
                     full_fast[i] = False
