@@ -112,3 +112,78 @@ def test_constrained_search_never_violates():
     assert c.check_tree(ti2.tree)
     # the search still improves within the constrained space
     assert res.loglh >= res.start_loglh
+
+
+def test_check_spr_fuzz_against_full_check():
+    """Fuzz the SPR fast check against ground truth (apply + check_tree)
+    on random trees/constraints/moves. The fast check is a HEURISTIC
+    filter: it may accept a move the full check rejects (path-edge
+    splits — spr_round handles that with rollback), but it must NEVER
+    reject a move the full check accepts (that would silently shrink
+    the search space)."""
+    from pllmod_tpu.tree import moves
+    from pllmod_tpu.tree.starting import random_tree
+    from pllmod_tpu.tree.utils import collapse_short_branches
+
+    rng = np.random.default_rng(123)
+    n = 12
+    labels = [f"t{i}" for i in range(n)]
+    stats = {"agree": 0, "fp": 0, "tested": 0}
+    for trial in range(6):
+        full = random_tree(labels, seed=int(rng.integers(1 << 30)))
+        # random multifurcating constraint: collapse some inner edges of
+        # another random tree over a random taxon subset
+        k = int(rng.integers(5, n + 1))
+        sub = sorted(rng.choice(n, k, replace=False).tolist())
+        cons_full = random_tree([labels[i] for i in sub],
+                                seed=int(rng.integers(1 << 30)))
+        inner = [e for e, (x, y) in enumerate(cons_full.edge_nodes)
+                 if not cons_full.is_tip(int(x))
+                 and not cons_full.is_tip(int(y))]
+        for e in inner:
+            if rng.random() < 0.5:
+                cons_full.lengths[e] = 0.0
+        cons = collapse_short_branches(cons_full, 1e-9)
+        c = Constraint(cons, labels)
+
+        for _ in range(40):
+            tree = full.copy()
+            live = [e for e in range(len(tree.edge_nodes))
+                    if tree.edge_nodes[e, 0] >= 0]
+            pe = int(rng.choice(live))
+            u, v = (int(x) for x in tree.edge_nodes[pe])
+            junction = u if not tree.is_tip(u) else v
+            if tree.is_tip(junction):
+                continue
+            sub_root = v if junction == u else u
+            sub_nodes = moves.subtree_nodes(tree, pe, sub_root)
+            cands = [e for e in live if e != pe
+                     and int(tree.edge_nodes[e, 0]) not in sub_nodes
+                     and int(tree.edge_nodes[e, 1]) not in sub_nodes
+                     and junction not in
+                     (int(tree.edge_nodes[e, 0]),
+                      int(tree.edge_nodes[e, 1]))]
+            if not cands:
+                continue
+            re = int(rng.choice(cands))
+            fast = c.check_spr(tree, pe, junction, re)
+            try:
+                moves.spr(tree, pe, re, junction=junction)
+            except Exception:
+                continue
+            truth = c.check_tree(tree)
+            stats["tested"] += 1
+            if truth and not fast:
+                raise AssertionError(
+                    f"fast check rejected a valid move: prune={pe} "
+                    f"junction={junction} regraft={re}")
+            if fast == truth:
+                stats["agree"] += 1
+            elif fast and not truth:
+                stats["fp"] += 1
+    assert stats["tested"] > 100
+    # False positives are EXPECTED (path-edge splits change too — the
+    # same blindness as the reference's check; spr_round's full check +
+    # rollback handles them). The hard invariant tested above is zero
+    # false NEGATIVES. Loose sanity bound on filter quality only:
+    assert stats["agree"] / stats["tested"] > 0.3, stats
