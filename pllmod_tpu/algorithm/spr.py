@@ -389,18 +389,26 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     # fast-round wall at 48 taxa x 2048.)
     trav_full = None
     full_clvs: dict[int, tuple] = {}
+    full_fast: dict[int, bool] = {}
     dirty_nodes: set[int] = set()
 
-    for prune_edge, junction in _prune_candidates(tree):
+    def prepare(prune_edge, junction):
+        """Host build + scoring DISPATCH for one prune candidate (no
+        device sync). Returns a context for :func:`resolve`, or None if
+        the candidate is skipped. Safe to run speculatively before the
+        previous candidate's resolution: only ``resolve`` mutates the
+        tree, and the dirty-node validity protocol makes a rebuild done
+        here correct regardless of where apply boundaries land."""
+        nonlocal trav_full, full_clvs, full_fast
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         if u < 0 or junction not in (u, v):
-            continue  # candidate went stale after an applied SPR
+            return None  # candidate went stale after an applied SPR
         sub_root = u if junction == v else v
         nbrs = [(n, e) for n, e in tree.neighbors(junction)
                 if e != prune_edge]
         if len(nbrs) != 2:
-            continue
-        (a, ea), (b, eb) = nbrs
+            return None
+        (a, _ea), (b, _eb) = nbrs
 
         sub_nodes = moves.subtree_nodes(tree, prune_edge, sub_root)
         reusable = (FULL_CLV_REUSE and trav_full is not None
@@ -447,13 +455,13 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         root_tip = next((t for t in range(R.n_tips)
                          if t not in sub_nodes and R.adjacency()[t]), None)
         if root_tip is None:
-            continue
+            return None
 
         # radius window around the original location
         mask = _radius_mask(R, a, b, radius_min, radius_max, n_edge_slots)
         mask &= R.edge_nodes[:, 0] >= 0
         if not mask.any():
-            continue
+            return None
 
         trav_R = DirectedTraversal(R, root_tip=root_tip)
         ops_R = np.full_like(trav_full.ops, -1)
@@ -462,7 +470,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         edge_ref = jnp.asarray(trav_R.edge_ref)
         mask &= trav_R.edge_mask
 
-        triplets = None
+        triplets_dev = None
 
         def subtree_clv(part, clvs_f, scalers_f, fast=False):
             if tree.is_tip(sub_root):
@@ -503,10 +511,10 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 t_s0, edge_ref, mask_j, halves,
                 jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0),
                 **fargs)
-            triplets = (np.array(ts), np.array(tx), np.array(ty))
-            total_scores = np.array(scores, np.float64)
+            triplets_dev = (ts, tx, ty)
+            score_parts = [scores]
         else:
-            total_scores = None
+            score_parts = []
             fargs_shared = None      # schedule depends only on R + n_tips
             for i in part_idx:
                 part = treeinfo.partitions[i]
@@ -519,16 +527,36 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                     fargs = fargs_shared
                 else:
                     fargs = {}
-                scores = _score_all_regrafts(
+                score_parts.append(_score_all_regrafts(
                     part, ops_R_j, brl_R, cS, sS, t_s0,
-                    edge_ref, mask_j, halves, **fargs)
-                sarr = np.array(scores, np.float64)
-                total_scores = sarr if total_scores is None \
-                    else total_scores + sarr
+                    edge_ref, mask_j, halves, **fargs))
 
-        if total_scores is None:
-            continue
+        if not score_parts:
+            return None
+        return dict(prune_edge=prune_edge, junction=junction, a=a, b=b,
+                    R=R, mask=mask, score_parts=score_parts,
+                    triplets_dev=triplets_dev)
+
+    def resolve(ctx):
+        """Sync the candidate's scores and decide (filter, apply-or-
+        toplist). The only place the tree is mutated."""
+        nonlocal best_lnl, n_applied
+        prune_edge = ctx["prune_edge"]
+        junction = ctx["junction"]
+        a, b, R = ctx["a"], ctx["b"], ctx["R"]
+        mask = ctx["mask"]
+        total_scores = None
+        for scores in ctx["score_parts"]:
+            sarr = np.array(scores, np.float64)
+            total_scores = sarr if total_scores is None \
+                else total_scores + sarr
+        triplets = None
+        if ctx["triplets_dev"] is not None:
+            ts, tx, ty = ctx["triplets_dev"]
+            triplets = (np.array(ts), np.array(tx), np.array(ty))
         total_scores[~mask] = -np.inf
+        u, v = (int(x) for x in tree.edge_nodes[prune_edge])
+        sub_root = u if junction == v else v
         if constraint is not None and constraint.subtree_affected(
                 tree, prune_edge, sub_root):
             # drop candidates that would violate the constraint, best-first
@@ -542,7 +570,6 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         best_edge = int(np.argmax(total_scores))
         cand_lnl = float(total_scores[best_edge])
 
-        applied = False
         while cand_lnl > best_lnl + epsilon:
             x_node = int(R.edge_nodes[best_edge, 0])
             y_node = int(R.edge_nodes[best_edge, 1])
@@ -583,22 +610,37 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             treeinfo.tree.invalidate()
             best_lnl = cand_lnl
             n_applied += 1
-            applied = True
-            break
-        if not applied:
-            if not np.isfinite(cand_lnl):
-                continue   # every candidate was masked (constraint)
-            drop = best_lnl - cand_lnl
-            cutoff_state["sum"] += drop
-            cutoff_state["n"] += 1
-            toplist.append(SprEntry(cand_lnl, prune_edge, junction,
-                                    best_edge))
-            toplist.sort(key=lambda t: -t.lnl)
-            del toplist[ntopol_keep:]
-            if (subtree_cutoff > 0 and cutoff_state["n"] > 5
-                    and drop > subtree_cutoff
-                    * (cutoff_state["sum"] / cutoff_state["n"])):
-                continue
+            return True
+        if not np.isfinite(cand_lnl):
+            return False   # every candidate was masked (constraint)
+        drop = best_lnl - cand_lnl
+        cutoff_state["sum"] += drop
+        cutoff_state["n"] += 1
+        toplist.append(SprEntry(cand_lnl, prune_edge, junction,
+                                best_edge))
+        toplist.sort(key=lambda t: -t.lnl)
+        del toplist[ntopol_keep:]
+        return False
+
+    # ---- pipelined candidate driver ------------------------------------
+    # prepare+dispatch candidate k+1 BEFORE syncing candidate k's scores:
+    # the ~30 ms tunnel round-trip of the sync overlaps the next host
+    # build. Only resolve() mutates the tree, so a speculative prepare is
+    # correct unless the resolution APPLIES a move — then the speculated
+    # context is stale and is simply rebuilt (the dirty-node protocol
+    # makes the speculative full-CLV rebuild itself safe either way).
+    # Serial-equivalent by construction: resolutions run in candidate
+    # order against exactly the tree state a serial loop would see.
+    pending = None
+    cands = _prune_candidates(tree)
+    for k in range(len(cands) + 1):
+        ctx = prepare(*cands[k]) if k < len(cands) else None
+        if pending is not None:
+            ver = n_applied
+            resolve(pending)
+            if ctx is not None and n_applied != ver:
+                ctx = prepare(ctx["prune_edge"], ctx["junction"])
+        pending = ctx
 
     # full branch-length optimization (algo_search.c:1232)
     final_lnl = optimize_branch_lengths_treeinfo(
