@@ -49,6 +49,11 @@ _PREC = jax.lax.Precision.HIGHEST
 # results are bit-identical either way).
 FULL_CLV_REUSE = True
 
+# Adaptive speculative scoring dispatch (see the driver in spr_round).
+# False = strictly serial prepare->sync->decide; results are identical
+# either way (ablation/measurement knob).
+SPR_SPECULATE = True
+
 
 @partial(jax.jit, static_argnames=("n_slots",))
 def _directed_clvs_sched(partition, P, levels, offsets, n_slots: int):
@@ -622,25 +627,43 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         del toplist[ntopol_keep:]
         return False
 
-    # ---- pipelined candidate driver ------------------------------------
-    # prepare+dispatch candidate k+1 BEFORE syncing candidate k's scores:
-    # the ~30 ms tunnel round-trip of the sync overlaps the next host
-    # build. Only resolve() mutates the tree, so a speculative prepare is
-    # correct unless the resolution APPLIES a move — then the speculated
-    # context is stale and is simply rebuilt (the dirty-node protocol
-    # makes the speculative full-CLV rebuild itself safe either way).
-    # Serial-equivalent by construction: resolutions run in candidate
-    # order against exactly the tree state a serial loop would see.
+    # ---- adaptively pipelined candidate driver --------------------------
+    # When the recent apply rate is LOW (the steady state of a converging
+    # search), prepare+dispatch candidate k+1 BEFORE syncing candidate
+    # k's scores: the ~30 ms tunnel round-trip of the sync overlaps the
+    # next host build. A resolution that APPLIES a move makes the
+    # speculated context stale — it is simply rebuilt (the dirty-node
+    # protocol makes the speculative full-CLV rebuild itself safe), so
+    # at HIGH apply rates speculation only wastes dispatches and the
+    # driver stays serial. Serial-equivalent by construction either way:
+    # resolutions run in candidate order against exactly the tree state
+    # a serial loop would see (measured identical outputs).
+    import collections
     pending = None
-    cands = _prune_candidates(tree)
-    for k in range(len(cands) + 1):
-        ctx = prepare(*cands[k]) if k < len(cands) else None
-        if pending is not None:
-            ver = n_applied
-            resolve(pending)
-            if ctx is not None and n_applied != ver:
-                ctx = prepare(ctx["prune_edge"], ctx["junction"])
+    recent = collections.deque(maxlen=12)
+
+    def _resolve_pending():
+        nonlocal pending
+        ver = n_applied
+        resolve(pending)
+        recent.append(1 if n_applied != ver else 0)
+        pending = None
+        return n_applied != ver
+
+    for pe_j in _prune_candidates(tree):
+        spec = pending is not None
+        ctx = prepare(*pe_j)
+        if spec and _resolve_pending() and ctx is not None:
+            ctx = prepare(*pe_j)    # stale speculation: redo
+        if ctx is None:
+            continue
         pending = ctx
+        rate_low = (SPR_SPECULATE and len(recent) >= 6
+                    and sum(recent) * 3 <= len(recent))
+        if not rate_low:
+            _resolve_pending()
+    if pending is not None:
+        _resolve_pending()
 
     # full branch-length optimization (algo_search.c:1232)
     final_lnl = optimize_branch_lengths_treeinfo(
