@@ -40,6 +40,68 @@ from pllmod_tpu.ops import clv as clv_mod
 from pllmod_tpu.ops import likelihood as lk_mod
 
 
+# ---------------------------------------------------------------------------
+# Module-level, TOPOLOGY-TRACED analytic-gradient objectives: ops / brlens /
+# root ints are traced arguments, so ONE compiled (value, grad) program per
+# parameter family serves every topology of a given shape — ml_search's
+# interleaved model-opt rounds previously recompiled each objective per
+# round (~4 multi-second remote compiles per round on axon; the objectives
+# embedded the topology as constants).
+# ---------------------------------------------------------------------------
+def _neg_alpha_pinv_fn(x, part, ops, brl, ri):
+    p = part.with_alpha(x[0]).replace(
+        prop_invar=jnp.full_like(part.prop_invar, x[1]))
+    return -engine_mod.loglikelihood(p, ops, brl, ri)
+
+
+_vg_alpha_pinv = jax.jit(jax.value_and_grad(_neg_alpha_pinv_fn))
+
+
+def _neg_freqs_fn(ratios, part, ops, brl, ri):
+    raw = jnp.concatenate([ratios, jnp.ones((1,), ratios.dtype)])
+    freqs = raw / jnp.sum(raw)
+    p = part.with_model_params(
+        freqs=jnp.broadcast_to(freqs, part.freqs.shape))
+    return -engine_mod.loglikelihood(p, ops, brl, ri)
+
+
+_vg_freqs = jax.jit(jax.value_and_grad(_neg_freqs_fn))
+
+
+def _expand_sym(free, remap, pinned: int):
+    """Symmetry-class free params -> full rate vector (pinned class = 1)."""
+    ones = jnp.ones((1,), free.dtype)
+    vals = jnp.concatenate([free[:pinned], ones, free[pinned:]])
+    return vals[remap]
+
+
+def _neg_rates_fn(free, part, remap, pinned, ops, brl, ri):
+    full = _expand_sym(free, remap, pinned)
+    p = part.with_model_params(
+        subst_rates=jnp.broadcast_to(full, part.subst_rates.shape))
+    return -engine_mod.loglikelihood(p, ops, brl, ri)
+
+
+_vg_rates = jax.jit(jax.value_and_grad(_neg_rates_fn), static_argnums=(3,))
+
+
+def _neg_cats_fn(r, part, ops, brl, ri):
+    return -engine_mod.loglikelihood(part.replace(rate_cats=r), ops, brl, ri)
+
+
+_vg_cats = jax.jit(jax.value_and_grad(_neg_cats_fn))
+
+
+def _grad_args(treeinfo, idx):
+    """(ops_j, brl, ri) for the traced objectives above."""
+    part = treeinfo.partitions[idx]
+    ops, root_info = treeinfo.tree.traversal_ops()
+    ri = tuple(int(x) for x in root_info)
+    brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(idx),
+                                 part.dtype))
+    return jnp.asarray(ops), brl, ri
+
+
 def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     """A jitted partition-logL closure: partition -> logL (topology and
     branch lengths fixed at current treeinfo state). On TPU f32 this
@@ -197,20 +259,14 @@ def opt_alpha_pinv(treeinfo, tol=1e-4):
         if not ((mask & PARAM_ALPHA) and (mask & PARAM_PINV)):
             continue
         part = treeinfo.partitions[i]
-        f = _loglh_fn(treeinfo, i, need_grad=True)
-
-        @jax.jit
-        def neg(x, part=part, f=f):
-            p = part.with_alpha(x[0]).replace(
-                prop_invar=jnp.full_like(part.prop_invar, x[1]))
-            return -f(p)
-
-        vg = jax.jit(jax.value_and_grad(neg))
+        ops_j, brl, ri = _grad_args(treeinfo, i)
         x0 = np.array([float(part.alpha), max(float(part.pinv_mix()), 0.02)])
         lo = np.array([common.MIN_ALPHA, 1e-9])
         hi = np.array([common.MAX_ALPHA, common.MAX_PINV])
         x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, vg(jnp.asarray(z, part.dtype)))),
+            lambda z: tuple(map(np.asarray, _vg_alpha_pinv(
+                jnp.asarray(np.asarray(z, part.dtype)), part,
+                ops_j, brl, ri))),
             x0, lo, hi, max_iters=100, pgtol=tol)
         treeinfo.partitions[i] = part.with_alpha(x[0]).replace(
             prop_invar=jnp.full_like(part.prop_invar, x[1]))
@@ -248,21 +304,8 @@ def opt_subst_rates(treeinfo, symmetries=None,
         k = len(uniq)
         if k < 2:
             continue
-        f = _loglh_fn(treeinfo, i, need_grad=True)
+        ops_j, brl, ri = _grad_args(treeinfo, i)
         remap_j = jnp.asarray(remap)
-
-        def expand(free, part=part, remap_j=remap_j, pinned=pinned, k=k):
-            ones = jnp.ones((1,), free.dtype)
-            vals = jnp.concatenate([free[:pinned], ones, free[pinned:]])
-            return vals[remap_j]
-
-        @jax.jit
-        def neg(free, part=part, f=f, expand=expand):
-            full = expand(free)
-            rates = jnp.broadcast_to(full, part.subst_rates.shape)
-            return -f(part.with_model_params(subst_rates=rates))
-
-        vg = jax.jit(jax.value_and_grad(neg))
         cur = np.asarray(part.subst_rates[0])
         first = np.zeros(k, np.int64)
         seen = np.zeros(k, bool)
@@ -272,11 +315,14 @@ def opt_subst_rates(treeinfo, symmetries=None,
         x0 = cur[first] / cur[first][pinned]
         x0 = np.delete(x0, pinned)
         x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, vg(jnp.asarray(z, part.dtype)))),
+            lambda z: tuple(map(np.asarray, _vg_rates(
+                jnp.asarray(np.asarray(z, part.dtype)), part, remap_j,
+                pinned, ops_j, brl, ri))),
             np.clip(x0, min_rate, max_rate),
             np.full(k - 1, min_rate), np.full(k - 1, max_rate),
             max_iters=200, pgtol=tol)
-        full = expand(jnp.asarray(x, part.dtype))
+        full = _expand_sym(jnp.asarray(np.asarray(x, part.dtype)),
+                           remap_j, pinned)
         treeinfo.partitions[i] = part.with_model_params(
             subst_rates=jnp.broadcast_to(full, part.subst_rates.shape))
         treeinfo.partition_loglh[i] = -float(fv)
@@ -293,21 +339,13 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
             continue
         part = treeinfo.partitions[i]
         s = part.states
-        f = _loglh_fn(treeinfo, i, need_grad=True)
-
-        @jax.jit
-        def neg(ratios, part=part, f=f):
-            ones = jnp.ones((1,), ratios.dtype)
-            raw = jnp.concatenate([ratios, ones])
-            freqs = raw / jnp.sum(raw)
-            freqs = jnp.broadcast_to(freqs, part.freqs.shape)
-            return -f(part.with_model_params(freqs=freqs))
-
-        vg = jax.jit(jax.value_and_grad(neg))
+        ops_j, brl, ri = _grad_args(treeinfo, i)
         cur = np.asarray(part.freqs[0])
         x0 = np.clip(cur[:-1] / cur[-1], min_freq, common.MAX_FREQ)
         x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, vg(jnp.asarray(z, part.dtype)))),
+            lambda z: tuple(map(np.asarray, _vg_freqs(
+                jnp.asarray(np.asarray(z, part.dtype)), part,
+                ops_j, brl, ri))),
             x0, np.full(s - 1, min_freq), np.full(s - 1, common.MAX_FREQ),
             max_iters=200, pgtol=tol)
         raw = np.concatenate([x, [1.0]])
@@ -368,13 +406,6 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
         part = treeinfo.partitions[i]
         brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(i),
                                      part.dtype))
-        f = _loglh_fn(treeinfo, i, need_grad=True)
-        f_jit = jax.jit(f)
-
-        def neg(r, part, f=f):
-            return -f(part.replace(rate_cats=r))
-
-        vg = jax.jit(jax.value_and_grad(neg))
         prev = -np.inf
         for _ in range(max_rounds):
             if mask & PARAM_RATE_WEIGHTS:
@@ -385,13 +416,14 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
             if mask & PARAM_FREE_RATES:
                 x0 = np.asarray(part.rate_cats)
                 x, fv, _ = minimize_lbfgsb(
-                    lambda z: tuple(map(np.asarray, vg(
-                        jnp.asarray(np.asarray(z, part.dtype)), part))),
+                    lambda z: tuple(map(np.asarray, _vg_cats(
+                        jnp.asarray(np.asarray(z, part.dtype)), part,
+                        ops_j, brl, ri))),
                     x0, np.full(part.n_cats, min_rate),
                     np.full(part.n_cats, max_rate), max_iters=100, pgtol=tol)
                 part = part.replace(
                     rate_cats=jnp.asarray(np.asarray(x, part.dtype)))
-            lnl = float(f_jit(part))
+            lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
             if abs(lnl - prev) < tol:
                 break
             prev = lnl

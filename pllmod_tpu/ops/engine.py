@@ -16,21 +16,23 @@ from pllmod_tpu.ops import clv as clv_mod
 from pllmod_tpu.ops import likelihood as lk_mod
 
 
-@partial(jax.jit, static_argnums=(3,))
-@partial(jax.jit, static_argnums=(3,))
+@jax.jit
 def loglikelihood(partition, ops, brlens, root_info):
     """Full-traversal log-likelihood (serial-scan schedule).
 
-    Jitted with static root_info: host-level callers would otherwise
-    execute the whole P-build + scan chain EAGERLY (one remote dispatch
-    and a ~0.45 s one-time compile per op on the axon runtime). Calls
+    Jitted with EVERY argument traced — including the ``root_info``
+    ints — so one compiled program serves every topology of a given
+    shape (model-opt objectives across SPR rounds would otherwise
+    recompile per topology). Host-level callers also stop paying the
+    eager per-op dispatch + compile chain of the axon runtime; calls
     from inside other jitted functions simply inline.
 
     Args:
       partition: Partition pytree
       ops: int32 [n_inner, 5] from Tree.traversal_ops
       brlens: [n_edges] branch lengths (indexed by edge id)
-      root_info: static (node_u, node_v, root_edge) from Tree.traversal_ops
+      root_info: (node_u, node_v, root_edge) from Tree.traversal_ops
+        (traced ints — any topology of the same shape shares the program)
     Returns:
       scalar logL
     """
@@ -40,7 +42,7 @@ def loglikelihood(partition, ops, brlens, root_info):
     return lk_mod.edge_loglikelihood(partition, clvs, scalers, u, v, P[e])
 
 
-@partial(jax.jit, static_argnums=(3,))
+@jax.jit
 def loglikelihood_persite(partition, ops, brlens, root_info):
     """(total, per-pattern logL [n_patterns_padded]) — the reference's
     ``persite`` out-array of pll_compute_edge_loglikelihood /
