@@ -100,3 +100,9 @@ def test_cli_support(tmp_path):
     # the cherry (Tamarin,PMarmoset) is present in boot1 only: FBP 0.5;
     # its TBE over {boot1: exact, boot2: mindist 1, p-1=1} is also 0.5
     assert "(Tamarin:0.018821,PMarmoset:0.018728)0.5:" in r.stdout
+
+
+def test_constrained_search_demo():
+    r = _run("constrained_search_demo.py", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "constraint satisfied: True" in r.stdout
