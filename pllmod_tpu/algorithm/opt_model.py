@@ -449,26 +449,78 @@ def opt_brlen(treeinfo, **kwargs):
 def opt_model(treeinfo, symmetries=None, tol=1e-4, blo_kwargs=None):
     """Optimize all flagged parameters once, in the reference's order
     (RAxML-NG round: rates, freqs, alpha(+pinv), free rates/weights,
-    brlen scalers, branches). Returns final total logL."""
-    masks = treeinfo.params_to_optimize
-    any_has = lambda bit: any(masks[i] & bit for i in treeinfo.local_indices())
+    brlen scalers, branches). Returns final total logL.
+
+    Two guards (both reference semantics):
+
+    - **Rate-model arbitration**: ALPHA and FREE_RATES/RATE_WEIGHTS are
+      mutually exclusive rate-heterogeneity families (+G vs +R); with a
+      blanket mask like PARAM_ALL each partition follows its DECLARED
+      model — finite ``alpha`` ⇒ gamma (free-rate bits dropped), NaN
+      ``alpha`` ⇒ free rates (alpha bit dropped). Without this,
+      alternating rounds thrash between the families: opt_alpha_pinv
+      overwrites optimized free rates with gamma cats and can DEGRADE
+      the likelihood (observed oscillating ml_search rounds).
+    - **Rollback on worse** per family (the reference's
+      opt_rates_weights_treeinfo rollback, pllmod_algorithm.c:1434-1840,
+      applied uniformly): a family whose result lowers the total logL is
+      reverted.
+    """
+    masks = list(treeinfo.params_to_optimize)
+    eff = list(masks)
+    for i in treeinfo.local_indices():
+        part = treeinfo.partitions[i]
+        if bool(np.isnan(np.asarray(part.alpha))):
+            eff[i] = eff[i] & ~PARAM_ALPHA
+        else:
+            eff[i] = eff[i] & ~(PARAM_FREE_RATES | PARAM_RATE_WEIGHTS)
+    treeinfo.params_to_optimize = eff
+    any_has = lambda bit: any(eff[i] & bit for i in treeinfo.local_indices())
+
     lnl = None
-    if any_has(PARAM_SUBST_RATES):
-        lnl = opt_subst_rates(treeinfo, symmetries=symmetries, tol=tol)
-    if any_has(PARAM_FREQUENCIES):
-        lnl = opt_frequencies(treeinfo, tol=tol)
-    both = (PARAM_ALPHA | PARAM_PINV)
-    if any(masks[i] & both == both for i in treeinfo.local_indices()):
-        lnl = opt_alpha_pinv(treeinfo, tol=tol)
-    else:
-        if any_has(PARAM_ALPHA):
-            lnl = opt_alpha(treeinfo, tol=tol)
-        if any_has(PARAM_PINV):
-            lnl = opt_pinv(treeinfo, tol=tol)
-    if any_has(PARAM_FREE_RATES) or any_has(PARAM_RATE_WEIGHTS):
-        lnl = opt_rates_weights(treeinfo, tol=tol)
-    if any_has(PARAM_BRANCH_LEN_SCALER):
-        lnl = opt_brlen_scalers(treeinfo, tol=tol)
-    if any_has(PARAM_BRANCHES_ITERATIVE):
-        lnl = opt_brlen(treeinfo, **(blo_kwargs or {}))
+
+    def guarded(step):
+        """Run one family; revert it if the TOTAL logL got worse. Totals
+        come from compute_loglh (drivers return sums over the partitions
+        they touched, which are not comparable across families under
+        heterogeneous masks)."""
+        nonlocal lnl
+        if lnl is None:
+            lnl = treeinfo.compute_loglh()
+        snap = (list(treeinfo.partitions),
+                treeinfo.tree.lengths.copy(),
+                None if treeinfo.brlens is None else treeinfo.brlens.copy(),
+                treeinfo.brlen_scalers.copy())
+        step()
+        new = treeinfo.compute_loglh()
+        if new < lnl - 1e-9 * abs(lnl):
+            treeinfo.partitions = snap[0]
+            treeinfo.tree.lengths = snap[1]
+            treeinfo.brlens = snap[2]
+            treeinfo.brlen_scalers = snap[3]
+            return
+        lnl = new
+
+    try:
+        if any_has(PARAM_SUBST_RATES):
+            guarded(lambda: opt_subst_rates(treeinfo, symmetries=symmetries,
+                                            tol=tol))
+        if any_has(PARAM_FREQUENCIES):
+            guarded(lambda: opt_frequencies(treeinfo, tol=tol))
+        both = (PARAM_ALPHA | PARAM_PINV)
+        if any(eff[i] & both == both for i in treeinfo.local_indices()):
+            guarded(lambda: opt_alpha_pinv(treeinfo, tol=tol))
+        else:
+            if any_has(PARAM_ALPHA):
+                guarded(lambda: opt_alpha(treeinfo, tol=tol))
+            if any_has(PARAM_PINV):
+                guarded(lambda: opt_pinv(treeinfo, tol=tol))
+        if any_has(PARAM_FREE_RATES) or any_has(PARAM_RATE_WEIGHTS):
+            guarded(lambda: opt_rates_weights(treeinfo, tol=tol))
+        if any_has(PARAM_BRANCH_LEN_SCALER):
+            guarded(lambda: opt_brlen_scalers(treeinfo, tol=tol))
+        if any_has(PARAM_BRANCHES_ITERATIVE):
+            guarded(lambda: opt_brlen(treeinfo, **(blo_kwargs or {})))
+    finally:
+        treeinfo.params_to_optimize = masks
     return treeinfo.compute_loglh() if lnl is None else lnl

@@ -127,3 +127,35 @@ def test_ml_search_multipartition_scaled(rng):
     # the scaled linkage survived the search: scalers stay positive and
     # partition 2's differs from partition 1's after optimization
     assert np.all(np.asarray(ti.brlen_scalers) > 0)
+
+
+def test_search_rounds_monotone_with_param_all(rng):
+    """Regression (round 3): with a blanket PARAM_ALL mask, opt_model
+    thrashed between the gamma (+G) and free-rates (+R) families —
+    opt_alpha_pinv overwrote optimized free rates with gamma cats and
+    could DEGRADE the likelihood, making ml_search's per-round logL
+    oscillate. Per-partition arbitration by the declared rate model +
+    rollback-on-worse must keep rounds non-decreasing."""
+    from pllmod_tpu.algorithm.opt_model import opt_model
+    tree = ref.random_binary_tree(rng, 12, 0.02, 0.8)
+    seqs = ref.random_sequences(rng, 12, 200)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    ti = TreeInfo(tree.copy(), [part])    # default mask = PARAM_ALL
+    l0 = ti.compute_loglh()
+    # repeated opt_model rounds must never degrade the total
+    prev = l0
+    for _ in range(3):
+        lnl = opt_model(ti, tol=1e-3)
+        assert lnl >= prev - 1e-6 * abs(prev), (lnl, prev)
+        prev = lnl
+    # gamma partition keeps its gamma model (free-rate bits arbitrated
+    # away): category rates still follow a single alpha
+    assert not np.isnan(float(ti.partitions[0].alpha))
+
+    seen = []
+    res = ml_search(ti, radius_max=6, max_rounds=8, thorough=False,
+                    lh_epsilon=0.05,
+                    on_round=lambda r: seen.append(r.loglh))
+    for a, b in zip(seen, seen[1:]):
+        assert b >= a - 1e-6 * abs(a), seen
