@@ -352,9 +352,12 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     Returns (best_lnl, n_applied, toplist) — treeinfo holds the best
     topology found (with optimized branch lengths).
 
-    The reference's adaptive subtree cutoff (cutoff_info_t,
-    pllmod_algorithm.h:41-47) skips subtrees whose previous-round logL
-    drop exceeds ``subtree_cutoff × mean drop``; pass 0 to disable.
+    The reference's adaptive-cutoff statistics (cutoff_info_t,
+    pllmod_algorithm.h:41-47) are maintained and persisted across rounds
+    via ``cutoff_state``; the reference USES them to stop expanding the
+    regraft-candidate BFS early (algo_search.c:841-848), which has no
+    cost to save here — the batched scorer evaluates the whole radius
+    window in one dispatch regardless.
 
     ``constraint`` (tree.constraint.Constraint) filters regraft
     candidates via the reference's SPR fast check
