@@ -24,3 +24,7 @@ from pllmod_tpu.algorithm.search import (  # noqa: F401
     SearchResult,
     SearchRound,
 )
+from pllmod_tpu.algorithm.ancestral import (  # noqa: F401
+    ancestral_probabilities,
+    ancestral_states,
+)
