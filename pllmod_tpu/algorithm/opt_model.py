@@ -406,6 +406,18 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
         part = treeinfo.partitions[i]
         brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(i),
                                      part.dtype))
+        if (mask & PARAM_FREE_RATES) and part.n_cats > 1 and \
+                np.allclose(np.asarray(part.rate_cats),
+                            float(part.rate_cats[0])):
+            # all-equal rates are a SYMMETRIC SADDLE: every category sees
+            # the same gradient, so EM/L-BFGS cannot break the tie. Seed
+            # from a gamma(1) discretization like RAxML-NG initializes
+            # +R models from +G quantiles.
+            from pllmod_tpu.ops import gamma as gamma_mod
+            init = gamma_mod.compute_gamma_cats_host(1.0, part.n_cats,
+                                                     part.gamma_mode)
+            part = part.replace(
+                rate_cats=jnp.asarray(np.asarray(init, part.dtype)))
         prev = -np.inf
         for _ in range(max_rounds):
             if mask & PARAM_RATE_WEIGHTS:

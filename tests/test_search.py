@@ -159,3 +159,27 @@ def test_search_rounds_monotone_with_param_all(rng):
                     on_round=lambda r: seen.append(r.loglh))
     for a, b in zip(seen, seen[1:]):
         assert b >= a - 1e-6 * abs(a), seen
+
+
+def test_opt_model_arbitration_free_rates(rng):
+    """The other arbitration branch: a FREE-RATES partition (alpha=NaN)
+    under PARAM_ALL optimizes rates+weights and never gets a gamma
+    overwrite (alpha stays NaN); repeated rounds stay monotone."""
+    from pllmod_tpu.algorithm.opt_model import opt_model
+    tree = ref.random_binary_tree(rng, 8, 0.02, 0.8)
+    # strong among-site rate heterogeneity: half constant, half random
+    rnd = ref.random_sequences(rng, 8, 75)
+    const = "".join(np.random.default_rng(1).choice(list("ACGT"), 75))
+    seqs = [const + r for r in rnd]
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=None,
+                            dtype=jnp.float64)
+    ti = TreeInfo(tree.copy(), [part])
+    prev = ti.compute_loglh()
+    for _ in range(2):
+        lnl = opt_model(ti, tol=1e-3)
+        assert lnl >= prev - 1e-6 * abs(prev)
+        prev = lnl
+    p = ti.partitions[0]
+    assert np.isnan(float(p.alpha))            # still a free-rates model
+    rc = np.asarray(p.rate_cats)
+    assert len(np.unique(np.round(rc, 6))) > 1  # rates actually optimized
