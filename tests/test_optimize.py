@@ -407,3 +407,24 @@ def test_newton_old_matches_newton_multi():
     # cos has interior max at 2pi ~ 6.28 (clipped to 6.2) or at left edge
     v = float(jnp.cos(xo[0]))
     assert v > float(jnp.cos(3.0))
+
+
+def test_optimize_multidim_free_rates_weights(rng):
+    """optimize_multidim over FREE_RATES + RATE_WEIGHTS (+ branches):
+    the packed ratios decode to normalized weights (Σw=1), logL improves,
+    and the returned value matches a fresh evaluation."""
+    from pllmod_tpu.optimize import optimize_multidim
+    from pllmod_tpu.common import (PARAM_FREE_RATES, PARAM_RATE_WEIGHTS,
+                                   PARAM_BRANCHES_ALL)
+    tree, part = make_case(rng, n_tips=6, n_sites=120)
+    # heterogeneous start (all-equal rates are a symmetric saddle)
+    part = part.replace(rate_cats=jnp.asarray([0.2, 0.6, 1.2, 2.0],
+                                              part.dtype))
+    l0 = float(tree_loglikelihood(part, tree))
+    mask = PARAM_FREE_RATES | PARAM_RATE_WEIGHTS | PARAM_BRANCHES_ALL
+    part2, lnl = optimize_multidim(part, tree, mask, tol=1e-5)
+    assert lnl >= l0 - 1e-9
+    assert abs(float(tree_loglikelihood(part2, tree)) - lnl) < 1e-6
+    w = np.asarray(part2.rate_weights)
+    assert w.sum() == pytest.approx(1.0, abs=1e-9)
+    assert (w > 0).all()
