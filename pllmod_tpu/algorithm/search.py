@@ -113,7 +113,9 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
             return
         from pllmod_tpu.binary import save_treeinfo
         state = {"mode": mode, "radius": cur_radius, "lnl": lnl,
-                 "start_lnl": start_lnl, "cutoff": dict(cutoff_state),
+                 "start_lnl": start_lnl,
+                 "cutoff": {k: v for k, v in cutoff_state.items()
+                            if k != "drops"},
                  "rounds": [[r.mode, r.radius, r.loglh, r.n_applied]
                             for r in rounds]}
         save_treeinfo(checkpoint_path, treeinfo,

@@ -352,12 +352,16 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     Returns (best_lnl, n_applied, toplist) — treeinfo holds the best
     topology found (with optimized branch lengths).
 
-    The reference's adaptive-cutoff statistics (cutoff_info_t,
-    pllmod_algorithm.h:41-47) are maintained and persisted across rounds
-    via ``cutoff_state``; the reference USES them to stop expanding the
-    regraft-candidate BFS early (algo_search.c:841-848), which has no
-    cost to save here — the batched scorer evaluates the whole radius
-    window in one dispatch regardless.
+    The reference's adaptive cutoff (cutoff_info_t,
+    pllmod_algorithm.h:41-47) stops expanding the regraft-candidate BFS
+    once the logL drop exceeds ``subtree_cutoff × mean drop``
+    (algo_search.c:841-848). The batched scorer evaluates the whole
+    radius window in one dispatch, so depth pruning saves nothing;
+    instead the SAME statistic skips the whole PRUNE candidate when its
+    previous-round drop exceeded the cutoff — each skip saves a scoring
+    dispatch, and a skipped candidate is re-evaluated the following
+    round (bounded staleness). ``subtree_cutoff=0`` disables, as in the
+    reference.
 
     ``constraint`` (tree.constraint.Constraint) filters regraft
     candidates via the reference's SPR fast check
@@ -384,6 +388,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         cutoff_state = {"sum": 0.0, "n": 0}
     cutoff_state.setdefault("sum", 0.0)
     cutoff_state.setdefault("n", 0)
+    cutoff_state.setdefault("drops", {})   # (prune_edge, junction) -> drop
 
     # Full-tree directed CLVs with a VALIDITY protocol (the reference's
     # clv_valid bookkeeping, treeinfo.c:872-944, applied to the directed
@@ -411,6 +416,16 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         if u < 0 or junction not in (u, v):
             return None  # candidate went stale after an applied SPR
+        if subtree_cutoff > 0 and cutoff_state["n"] > 5:
+            # adaptive cutoff: skip a candidate whose previous-round drop
+            # exceeded the running mean × factor; clear its record so it
+            # is re-evaluated next round
+            drop_prev = cutoff_state["drops"].get((prune_edge, junction))
+            if drop_prev is not None and drop_prev > subtree_cutoff * (
+                    cutoff_state["sum"] / cutoff_state["n"]):
+                del cutoff_state["drops"][(prune_edge, junction)]
+                cutoff_state["skipped"] = cutoff_state.get("skipped", 0) + 1
+                return None
         sub_root = u if junction == v else v
         nbrs = [(n, e) for n, e in tree.neighbors(junction)
                 if e != prune_edge]
@@ -624,6 +639,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         drop = best_lnl - cand_lnl
         cutoff_state["sum"] += drop
         cutoff_state["n"] += 1
+        cutoff_state["drops"][(prune_edge, junction)] = drop
         toplist.append(SprEntry(cand_lnl, prune_edge, junction,
                                 best_edge))
         toplist.sort(key=lambda t: -t.lnl)

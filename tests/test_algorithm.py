@@ -292,3 +292,42 @@ def test_spr_full_clv_reuse_bit_identical(rng):
     finally:
         spr_mod.FULL_CLV_REUSE = old
     assert out[False] == out[True]
+
+
+def test_spr_adaptive_cutoff_skips(rng):
+    """The adaptive cutoff (cutoff_info_t semantics) must actually skip
+    prune candidates in the round after a big drop, save their scoring
+    work, and never break the round's monotone best tracking."""
+    from pllmod_tpu.algorithm import spr as spr_mod
+    tree = ref.random_binary_tree(rng, 16, 0.02, 0.8)
+    seqs = ref.random_sequences(rng, 16, 150)
+    part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                            dtype=jnp.float64)
+    ti = TreeInfo(tree.copy(), [part])
+    state = {"sum": 0.0, "n": 0}
+    calls = []
+    orig = spr_mod._score_all_regrafts
+
+    def counting(*a, **k):
+        calls[-1] += 1
+        return orig(*a, **k)
+
+    spr_mod._score_all_regrafts = counting
+    try:
+        lnls = []
+        for _ in range(3):
+            calls.append(0)
+            lnl, _, _ = spr_mod.spr_round(ti, radius_min=1, radius_max=8,
+                                          thorough=False,
+                                          subtree_cutoff=1.0,
+                                          cutoff_state=state)
+            lnls.append(lnl)
+    finally:
+        spr_mod._score_all_regrafts = orig
+    assert state["n"] > 5 and state["drops"]
+    # once statistics exist, later rounds skip some candidates (each
+    # skip saves one scoring dispatch)
+    assert state.get("skipped", 0) > 0, state
+    # skipping never breaks monotonicity
+    for a, b in zip(lnls, lnls[1:]):
+        assert b >= a - 1e-6 * abs(a)
