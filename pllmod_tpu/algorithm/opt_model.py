@@ -132,12 +132,114 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
 
 # ---------------------------------------------------------------------------
 # one-dimensional treeinfo optimizations (Brent): alpha, pinv, brlen scaler
+#
+# The WHOLE optimization (partition-eval objective + the Brent while
+# loop) runs as ONE cached jitted program per (family, engine statics):
+# :func:`pllmod_tpu.optimize.brent.minimize_brent_multi` is a
+# ``lax.while_loop``, so invoking it eagerly around a per-call objective
+# closure retraced AND remote-recompiled the full Brent program on EVERY
+# opt_alpha / opt_pinv / opt_brlen_scalers call — ml_search paid a
+# multi-second axon compile after every improved round (CLAUDE.md: fresh
+# jit objects per call are the known trap). Topology (idx8/e1/e2 or the
+# op table), branch lengths, starting point, bounds and tolerance are
+# all TRACED, so every SPR round of a search reuses one executable (the
+# fused-megakernel schedule keeps its static root refs, matching
+# compile_fast_eval).
 # ---------------------------------------------------------------------------
+_BRENT_PROGRAMS: dict = {}
+
+# family -> (partition, brlens, x) -> (partition', brlens'): where the
+# optimized scalar lands (alpha / prop_invar / a brlen scale factor —
+# the three stock onedim targets of pllmod_algo_opt_onedim_treeinfo and
+# opt_brlen_scaler, pllmod_algorithm.c:729-941)
+_BRENT_FAMILIES = {
+    "alpha": lambda p, brl, x: (p.with_alpha(x), brl),
+    "pinv": lambda p, brl, x: (
+        p.replace(prop_invar=jnp.full_like(p.prop_invar, x)), brl),
+    "scaler": lambda p, brl, x: (p, brl * x),
+}
+
+
+def _onedim_eval_args(treeinfo, part):
+    """(kind, arrays, statics) selecting the production evaluation path
+    for the cached Brent programs: ``arrays`` are traced program inputs,
+    ``statics`` are jit-cache key components (mirrors
+    engine.compile_fast_eval's dispatch)."""
+    if engine_mod.use_fast_kernel(part):
+        interp = engine_mod.fast_kernel_interpret()
+        split = engine_mod.use_split_clv(part)
+        if engine_mod.fast_eval_schedule(part) == "resident":
+            from pllmod_tpu.ops import pallas_resident
+            idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+                part, treeinfo.tree,
+                n_slots_min=pallas_resident.resident_slot_bound(
+                    part.n_tips))
+            tip_hi = engine_mod.tip_planes_cached(part)
+            return ("resident", (idx8, e1, e2, tip_hi),
+                    (n_slots, interp, split))
+        from pllmod_tpu.ops import pallas_clv
+        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+            part, treeinfo.tree, fuse_root=True)
+        return "fused", (idx8, e1, e2), (ri, n_slots, interp, split)
+    ops, root_info = treeinfo.tree.traversal_ops()
+    return ("scan", (jnp.asarray(ops),
+                     jnp.asarray(np.asarray(root_info, np.int32))), ())
+
+
+def _brent_onedim_program(family_key, make_fn, kind, statics):
+    key = (family_key, kind, statics)
+    prog = _BRENT_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+    if kind == "resident":
+        from pllmod_tpu.ops import pallas_resident
+        n_slots, interp, split = statics
+
+        def ev(p, brl, arrays):
+            idx8, e1, e2, tip_hi = arrays
+            return pallas_resident.loglikelihood_resident(
+                p, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
+    elif kind == "fused":
+        from pllmod_tpu.ops import pallas_clv
+        ri, n_slots, interp, split = statics
+
+        def ev(p, brl, arrays):
+            idx8, e1, e2 = arrays
+            return pallas_clv.loglikelihood_fused(
+                p, idx8, brl, e1, e2, ri, n_slots, interp, split)
+    else:
+
+        def ev(p, brl, arrays):
+            ops, ri = arrays
+            return engine_mod.loglikelihood(p, ops, brl,
+                                            (ri[0], ri[1], ri[2]))
+
+    def run(part, brl, arrays, x0, xmin, xmax, tol):
+        def obj(xs):
+            # unrolled (not vmapped): the TPU path is a pallas kernel
+            # with manual DMA — no batching rule; xs is tiny
+            vals = []
+            for k in range(xs.shape[0]):
+                p2, b2 = make_fn(part, brl, xs[k])
+                vals.append(ev(p2, b2, arrays))
+            return -jnp.stack(vals)
+
+        return minimize_brent_multi(obj, xmin, xmax, x0=x0, tol=tol)
+
+    prog = jax.jit(run)
+    _BRENT_PROGRAMS[key] = prog
+    return prog
+
+
 def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
-                tol=1e-4):
+                tol=1e-4, family=None):
     """Generic per-partition scalar Brent (pllmod_algo_opt_onedim_treeinfo,
     pllmod_algorithm.c:729-853). Each selected partition optimizes its own
-    scalar; evaluations are batched per partition."""
+    scalar; the whole Brent run is one cached device program (see above).
+
+    ``family``: a stock `_BRENT_FAMILIES` name; None (custom callbacks)
+    keys the program cache on the ``make_partition`` callable itself —
+    callers that reuse the callable object reuse the compile."""
     total = 0.0
     for i in treeinfo.local_indices():
         if mask_bit is not None and \
@@ -149,20 +251,22 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
         if part.reversible and part.eigen_lam is None:
             part = part.cache_eigen()
             treeinfo.partitions[i] = part
-        f = _loglh_fn(treeinfo, i)
-
-        @jax.jit
-        def obj(xs, part=part, f=f):
-            # unrolled (not vmapped): the TPU path is a pallas kernel with
-            # manual DMA — no batching rule; xs is tiny (one per problem)
-            return -jnp.stack([f(make_partition(part, xs[k]))
-                               for k in range(xs.shape[0])])
-
+        if family is not None:
+            make_fn, fam_key = _BRENT_FAMILIES[family], family
+        else:
+            def make_fn(p, b, x, mk=make_partition):
+                return mk(p, x), b
+            fam_key = make_partition
+        kind, arrays, statics = _onedim_eval_args(treeinfo, part)
+        brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(i),
+                                     part.dtype))
+        prog = _brent_onedim_program(fam_key, make_fn, kind, statics)
         x0 = jnp.asarray([get_x0(part)], part.dtype)
-        x_opt, f_opt = minimize_brent_multi(
-            obj, jnp.asarray([xmin], part.dtype),
-            jnp.asarray([xmax], part.dtype), x0=x0, tol=tol)
-        new_part = make_partition(part, x_opt[0])
+        x_opt, f_opt = prog(part, brl, arrays, x0,
+                            jnp.asarray([xmin], part.dtype),
+                            jnp.asarray([xmax], part.dtype),
+                            jnp.asarray(tol, part.dtype))
+        new_part, _ = make_fn(part, brl, x_opt[0])
         treeinfo.partitions[i] = new_part
         treeinfo.partition_loglh[i] = -float(f_opt[0])
         total += -float(f_opt[0])
@@ -191,7 +295,8 @@ def opt_alpha(treeinfo, min_alpha=common.MIN_ALPHA,
         treeinfo,
         make_partition=lambda p, a: p.with_alpha(a),
         get_x0=lambda p: p.alpha,
-        xmin=min_alpha, xmax=max_alpha, mask_bit=PARAM_ALPHA, tol=tol)
+        xmin=min_alpha, xmax=max_alpha, mask_bit=PARAM_ALPHA, tol=tol,
+        family="alpha")
 
 
 def opt_pinv(treeinfo, min_pinv=1e-9, max_pinv=common.MAX_PINV, tol=1e-4):
@@ -203,7 +308,8 @@ def opt_pinv(treeinfo, min_pinv=1e-9, max_pinv=common.MAX_PINV, tol=1e-4):
     return _opt_onedim(
         treeinfo, make_partition=make,
         get_x0=lambda p: jnp.maximum(p.pinv_mix(), 0.02),
-        xmin=min_pinv, xmax=max_pinv, mask_bit=PARAM_PINV, tol=tol)
+        xmin=min_pinv, xmax=max_pinv, mask_bit=PARAM_PINV, tol=tol,
+        family="pinv")
 
 
 def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
@@ -212,9 +318,6 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
     followed by normalization."""
     if treeinfo.brlen_linkage != BRLEN_SCALED:
         return treeinfo.compute_loglh()
-    ops, root_info = treeinfo.tree.traversal_ops()
-    ri = tuple(int(x) for x in root_info)
-    ops_j = jnp.asarray(ops)
     total = 0.0
     for i in treeinfo.local_indices():
         if not (treeinfo.params_to_optimize[i] & PARAM_BRANCH_LEN_SCALER):
@@ -223,26 +326,15 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
         if part.reversible and part.eigen_lam is None:
             part = part.cache_eigen()
             treeinfo.partitions[i] = part
-        base = jnp.asarray(treeinfo.tree.lengths, part.dtype)
-
-        if engine_mod.use_fast_kernel(part):
-            ev = engine_mod.compile_fast_eval(part, treeinfo.tree)
-
-            @jax.jit
-            def obj(xs, part=part, base=base, ev=ev):
-                return -jnp.stack([ev(part, base * xs[k])
-                                   for k in range(xs.shape[0])])
-        else:
-            @jax.jit
-            def obj(xs, part=part, base=base):
-                return jax.vmap(
-                    lambda s: -engine_mod.loglikelihood(part, ops_j,
-                                                        base * s, ri))(xs)
-
+        base = jnp.asarray(np.asarray(treeinfo.tree.lengths, part.dtype))
+        kind, arrays, statics = _onedim_eval_args(treeinfo, part)
+        prog = _brent_onedim_program("scaler", _BRENT_FAMILIES["scaler"],
+                                     kind, statics)
         x0 = jnp.asarray([treeinfo.brlen_scalers[i]], part.dtype)
-        x_opt, f_opt = minimize_brent_multi(
-            obj, jnp.asarray([min_scaler], part.dtype),
-            jnp.asarray([max_scaler], part.dtype), x0=x0, tol=tol)
+        x_opt, f_opt = prog(part, base, arrays, x0,
+                            jnp.asarray([min_scaler], part.dtype),
+                            jnp.asarray([max_scaler], part.dtype),
+                            jnp.asarray(tol, part.dtype))
         treeinfo.brlen_scalers[i] = float(x_opt[0])
         treeinfo.partition_loglh[i] = -float(f_opt[0])
         total += -float(f_opt[0])

@@ -227,6 +227,30 @@ def fast_eval_schedule(partition) -> str:
         else "fused"
 
 
+# Pre-expanded resident-kernel tip planes, cached per alignment: the
+# planes are model- and topology-invariant but ~tens of MB (n_tips × CS
+# × Ppad bf16), so per-optimizer-call rebuilds would device_put the
+# whole alignment expansion every time. Keyed by the identity of the
+# alignment arrays (strong refs keep ids stable for live entries) plus
+# the C·S expansion shape.
+_TIP_PLANES_CACHE: dict = {}
+
+
+def tip_planes_cached(partition):
+    """Cached :func:`pllmod_tpu.ops.pallas_resident.expanded_tip_planes`
+    for this partition's alignment (see cache note above)."""
+    key = (id(partition.tip_states), id(partition.code_clv),
+           partition.n_cats, partition.states)
+    ent = _TIP_PLANES_CACHE.get(key)
+    if (ent is None or ent[0] is not partition.tip_states
+            or ent[1] is not partition.code_clv):
+        from pllmod_tpu.ops import pallas_resident
+        ent = (partition.tip_states, partition.code_clv,
+               pallas_resident.expanded_tip_planes(partition))
+        _TIP_PLANES_CACHE[key] = ent
+    return ent[2]
+
+
 def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,
                       tip_hi=None):
     """Compile the production fast evaluation path (CS-gated resident or
@@ -254,7 +278,7 @@ def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,
         idx8, e1, e2, n_slots = pallas_resident.compile_resident(
             partition, tree, root_edge, n_slots_min=n_slots_min)
         if tip_hi is None:
-            tip_hi = pallas_resident.expanded_tip_planes(partition)
+            tip_hi = tip_planes_cached(partition)
 
         def ev(part, brl):
             return pallas_resident.loglikelihood_resident(
