@@ -162,3 +162,76 @@ def test_blo_ondevice_driver_fast_path(rng, force_fast):
                                      max_sweeps=8)
     assert l1 == l2
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_opt_onedim_fused_kind(rng, force_fast):
+    """opt_alpha/opt_pinv through the FUSED-megakernel kind of the cached
+    whole-Brent programs (CS > RESIDENT_CS_MAX routes to
+    loglikelihood_fused with static root refs) must match the scan
+    engine's optimum."""
+    from pllmod_tpu.algorithm.opt_model import opt_alpha, opt_pinv
+
+    tree = ref.random_binary_tree(rng, 8)
+    seqs = ref.random_sequences(rng, 8, 96)
+
+    def mk():
+        return create_partition(seqs, states=4, n_rate_cats=16, alpha=0.9,
+                                prop_invar=0.2, dtype=jnp.float32)
+
+    ti = TreeInfo(tree.copy(), [mk()])
+    assert engine_mod.fast_eval_schedule(ti.partitions[0]) == "fused"
+    opt_alpha(ti)
+    l_fast = opt_pinv(ti)
+    a_fast = float(ti.partitions[0].alpha)
+    p_fast = float(ti.partitions[0].prop_invar[0])
+
+    engine_mod.FORCE_FAST_KERNEL = False
+    ti2 = TreeInfo(tree.copy(), [mk()])
+    opt_alpha(ti2)
+    l_scan = opt_pinv(ti2)
+    assert l_fast == pytest.approx(l_scan, abs=5e-3)
+    assert a_fast == pytest.approx(float(ti2.partitions[0].alpha), rel=1e-2)
+    assert p_fast == pytest.approx(float(ti2.partitions[0].prop_invar[0]),
+                                   abs=1e-2)
+
+
+def test_opt_brlen_scalers_fast_path(rng, force_fast):
+    """The scaler Brent family (SCALED linkage) through the fast kernels
+    vs the scan engine."""
+    from pllmod_tpu.algorithm.opt_model import opt_brlen_scalers
+    from pllmod_tpu.common import BRLEN_SCALED
+
+    part, tree = _setup(rng)
+    part2 = create_partition(ref.random_sequences(rng, 9, 80), states=4,
+                             n_rate_cats=2, alpha=1.3, dtype=jnp.float32)
+    ti = TreeInfo(tree.copy(), [part, part2], brlen_linkage=BRLEN_SCALED)
+    l_fast = opt_brlen_scalers(ti)
+    s_fast = list(ti.brlen_scalers)
+
+    engine_mod.FORCE_FAST_KERNEL = False
+    ti2 = TreeInfo(tree.copy(), [part, part2], brlen_linkage=BRLEN_SCALED)
+    l_scan = opt_brlen_scalers(ti2)
+    assert l_fast == pytest.approx(l_scan, abs=5e-3)
+    np.testing.assert_allclose(np.asarray(s_fast),
+                               np.asarray(ti2.brlen_scalers), rtol=1e-2)
+
+
+def test_brent_program_cache_reuse(rng, force_fast):
+    """Two opt_alpha calls on DIFFERENT topologies of the same taxon
+    count must share ONE cached Brent program (topology is a traced
+    argument of the resident kind — the whole point of the cache; a
+    per-call program was a fresh remote compile per ml_search round)."""
+    import importlib
+    om = importlib.import_module("pllmod_tpu.algorithm.opt_model")
+    opt_alpha = om.opt_alpha
+
+    om._BRENT_PROGRAMS.clear()
+    part, tree = _setup(rng)
+    ti = TreeInfo(tree, [part])
+    l1 = opt_alpha(ti)
+    tree2 = ref.random_binary_tree(np.random.default_rng(123), 9)
+    ti2 = TreeInfo(tree2, [part])
+    l2 = opt_alpha(ti2)
+    assert np.isfinite(l1) and np.isfinite(l2)
+    keys = [k for k in om._BRENT_PROGRAMS if k[0] == "alpha"]
+    assert len(keys) == 1
