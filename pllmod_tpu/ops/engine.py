@@ -251,6 +251,48 @@ def tip_planes_cached(partition):
     return ent[2]
 
 
+# ONE device program evaluating K partitions' full-tree logL through the
+# resident kernel. treeinfo.compute_loglh's per-partition loop costs one
+# tunnel dispatch (~40 ms on axon) + one host sync EACH — partitioned
+# analyses (the reference's core use case) pay K× per evaluation. The
+# program takes partitions / branch lengths / traversal index rows as
+# TRACED pytrees, so one compile serves every topology of a taxon count
+# (the resident kind has no static root refs); keyed on the per-partition
+# static tuples only.
+_RESIDENT_MULTI_PROGRAMS: dict = {}
+
+
+def resident_multi_eval(parts, brls, artifacts, statics):
+    """Evaluate K resident-kind partitions in one jitted program.
+
+    Args:
+      parts: list of Partition pytrees (shapes may differ)
+      brls: list of per-partition branch-length arrays
+      artifacts: list of (idx8, e1, e2, tip_hi) from compile_resident /
+        tip_planes_cached
+      statics: tuple of per-partition (n_slots, interpret, split) — the
+        program-cache key
+    Returns:
+      [K] per-partition logL (one dispatch, one sync)
+    """
+    prog = _RESIDENT_MULTI_PROGRAMS.get(statics)
+    if prog is None:
+        from pllmod_tpu.ops import pallas_resident
+
+        def run(parts, brls, arrays):
+            outs = []
+            for k, (ns, interp, split) in enumerate(statics):
+                idx8, e1, e2, tip_hi = arrays[k]
+                outs.append(pallas_resident.loglikelihood_resident(
+                    parts[k], idx8, brls[k], (e1, e2), tip_hi, ns,
+                    interp, split))
+            return jnp.stack(outs)
+
+        prog = jax.jit(run)
+        _RESIDENT_MULTI_PROGRAMS[statics] = prog
+    return prog(tuple(parts), tuple(brls), tuple(artifacts))
+
+
 def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,
                       tip_hi=None):
     """Compile the production fast evaluation path (CS-gated resident or

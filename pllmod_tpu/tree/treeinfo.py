@@ -164,7 +164,27 @@ class TreeInfo:
         total = 0.0
         from pllmod_tpu.profile import timed
         with timed(self.counters):
+            # ≥2 resident-kind partitions: ONE combined device program
+            # (engine.resident_multi_eval) instead of one dispatch + one
+            # host sync per partition — the per-partition loop below
+            # costs ~40 ms each on the axon tunnel
+            multi = [] if incremental else [
+                i for i in self.local_indices()
+                if engine_mod.use_fast_kernel(self.partitions[i])
+                and engine_mod.fast_eval_schedule(
+                    self.partitions[i]) == "resident"]
+            if len(multi) >= 2:
+                lnls = self._fast_eval_multi(multi)
+                for k, i in enumerate(multi):
+                    self.partition_loglh[i] = float(lnls[k])
+                    total += float(lnls[k])
+                    self.counters.add_traversal(
+                        n_inner, self.partitions[i].n_patterns_padded)
+            else:
+                multi = []
             for i in self.local_indices():
+                if i in multi:
+                    continue
                 part = self.partitions[i]
                 brl = np.asarray(self.partition_brlens(i), float)
                 if incremental:
@@ -223,6 +243,31 @@ class TreeInfo:
             self.partition_loglh[i] = float(lnl)
             total += float(lnl)
         return total, persite
+
+    def _fast_eval_multi(self, idxs):
+        """K-partition combined resident evaluation: build per-partition
+        artifacts (the traversal index rows are topology-only and shared
+        across partitions of one tree; tip planes come from the engine
+        cache) and run :func:`pllmod_tpu.ops.engine.resident_multi_eval`
+        — one dispatch, one host sync for all K."""
+        from pllmod_tpu.ops import pallas_resident
+        part0 = self.partitions[idxs[0]]
+        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+            part0, self.tree,
+            n_slots_min=pallas_resident.resident_slot_bound(part0.n_tips))
+        interp = engine_mod.fast_kernel_interpret()
+        parts, brls, arts, statics = [], [], [], []
+        for i in idxs:
+            part = self.partitions[i]
+            parts.append(part)
+            brls.append(jnp.asarray(np.asarray(
+                self.partition_brlens(i), part.dtype)))
+            arts.append((idx8, e1, e2,
+                         engine_mod.tip_planes_cached(part)))
+            statics.append((n_slots, interp,
+                            engine_mod.use_split_clv(part)))
+        return np.asarray(engine_mod.resident_multi_eval(
+            parts, brls, arts, tuple(statics)))
 
     def _fast_eval(self, i, part, ops, ri):
         """Cached engine.compile_fast_eval closure for partition ``i``.

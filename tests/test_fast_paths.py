@@ -235,3 +235,31 @@ def test_brent_program_cache_reuse(rng, force_fast):
     assert np.isfinite(l1) and np.isfinite(l2)
     keys = [k for k in om._BRENT_PROGRAMS if k[0] == "alpha"]
     assert len(keys) == 1
+
+
+def test_treeinfo_multi_partition_single_dispatch(rng, force_fast):
+    """≥2 resident-kind partitions evaluate through ONE combined device
+    program (engine.resident_multi_eval); per-partition logLs must match
+    the scan engine, including across a topology change (the program is
+    topology-traced)."""
+    part, tree = _setup(rng)
+    part2 = create_partition(ref.random_sequences(rng, 9, 80), states=4,
+                             n_rate_cats=2, alpha=1.4, dtype=jnp.float32)
+    ti = TreeInfo(tree.copy(), [part, part2])
+    l_fast = ti.compute_loglh()
+    per_fast = list(ti.partition_loglh)
+
+    engine_mod.FORCE_FAST_KERNEL = False
+    ti2 = TreeInfo(tree.copy(), [part, part2])
+    l_scan = ti2.compute_loglh()
+    assert l_fast == pytest.approx(l_scan, abs=2e-3)
+    np.testing.assert_allclose(per_fast, ti2.partition_loglh, rtol=1e-6)
+
+    # topology change: same cached program, still correct
+    engine_mod.FORCE_FAST_KERNEL = True
+    tree3 = ref.random_binary_tree(np.random.default_rng(7), 9)
+    ti3 = TreeInfo(tree3.copy(), [part, part2])
+    l3_fast = ti3.compute_loglh()
+    engine_mod.FORCE_FAST_KERNEL = False
+    ti4 = TreeInfo(tree3.copy(), [part, part2])
+    assert l3_fast == pytest.approx(ti4.compute_loglh(), abs=2e-3)
