@@ -145,6 +145,15 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
 # all TRACED, so every SPR round of a search reuses one executable (the
 # fused-megakernel schedule keeps its static root refs, matching
 # compile_fast_eval).
+#
+# K selected partitions run as K LANES of one vectorized Brent inside the
+# same program — the reference's lock-step minimize_brent_multi over
+# per-partition scalars (opt_algorithms.c:1043-1252, one collective
+# objective evaluation per iteration). Lane updates depend only on their
+# own lane and converged lanes are frozen by masks, so per-partition
+# trajectories are identical to separate runs; partitioned analyses pay
+# one dispatch per Brent ITERATION SET instead of one whole-Brent
+# dispatch per partition.
 # ---------------------------------------------------------------------------
 _BRENT_PROGRAMS: dict = {}
 
@@ -186,11 +195,8 @@ def _onedim_eval_args(treeinfo, part):
                      jnp.asarray(np.asarray(root_info, np.int32))), ())
 
 
-def _brent_onedim_program(family_key, make_fn, kind, statics):
-    key = (family_key, kind, statics)
-    prog = _BRENT_PROGRAMS.get(key)
-    if prog is not None:
-        return prog
+def _onedim_ev(kind, statics):
+    """The per-lane evaluation closure for one (kind, statics)."""
     if kind == "resident":
         from pllmod_tpu.ops import pallas_resident
         n_slots, interp, split = statics
@@ -213,15 +219,26 @@ def _brent_onedim_program(family_key, make_fn, kind, statics):
             ops, ri = arrays
             return engine_mod.loglikelihood(p, ops, brl,
                                             (ri[0], ri[1], ri[2]))
+    return ev
 
-    def run(part, brl, arrays, x0, xmin, xmax, tol):
+
+def _brent_onedim_program(family_key, make_fn, kinds_statics):
+    """One jitted program running K lock-step Brent lanes, lane k
+    evaluating partition k through its own engine kind (unrolled, not
+    vmapped: the TPU paths are pallas kernels with manual DMA — no
+    batching rule; K is small)."""
+    key = (family_key, kinds_statics)
+    prog = _BRENT_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+    evs = [_onedim_ev(kind, st) for kind, st in kinds_statics]
+
+    def run(parts, brls, arrays, x0, xmin, xmax, tol):
         def obj(xs):
-            # unrolled (not vmapped): the TPU path is a pallas kernel
-            # with manual DMA — no batching rule; xs is tiny
             vals = []
-            for k in range(xs.shape[0]):
-                p2, b2 = make_fn(part, brl, xs[k])
-                vals.append(ev(p2, b2, arrays))
+            for k, ev in enumerate(evs):
+                p2, b2 = make_fn(parts[k], brls[k], xs[k])
+                vals.append(ev(p2, b2, arrays[k]))
             return -jnp.stack(vals)
 
         return minimize_brent_multi(obj, xmin, xmax, x0=x0, tol=tol)
@@ -232,15 +249,20 @@ def _brent_onedim_program(family_key, make_fn, kind, statics):
 
 
 def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
-                tol=1e-4, family=None):
+                tol=1e-4, family=None, brl_of=None, collect_x=None,
+                get_x0_i=None):
     """Generic per-partition scalar Brent (pllmod_algo_opt_onedim_treeinfo,
-    pllmod_algorithm.c:729-853). Each selected partition optimizes its own
-    scalar; the whole Brent run is one cached device program (see above).
+    pllmod_algorithm.c:729-853). All selected partitions optimize their
+    scalars as lock-step lanes of one cached device program (see above).
 
     ``family``: a stock `_BRENT_FAMILIES` name; None (custom callbacks)
     keys the program cache on the ``make_partition`` callable itself —
-    callers that reuse the callable object reuse the compile."""
-    total = 0.0
+    callers that reuse the callable object reuse the compile.
+    ``brl_of(i) -> [n_edges]``: override the per-partition branch-length
+    source (the scaler family evaluates at base lengths × x).
+    ``collect_x``: optional list receiving (partition_index, x_opt)
+    pairs (the scaler caller stores them in ``brlen_scalers``)."""
+    sel = []
     for i in treeinfo.local_indices():
         if mask_bit is not None and \
                 not (treeinfo.params_to_optimize[i] & mask_bit):
@@ -251,25 +273,43 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
         if part.reversible and part.eigen_lam is None:
             part = part.cache_eigen()
             treeinfo.partitions[i] = part
-        if family is not None:
-            make_fn, fam_key = _BRENT_FAMILIES[family], family
-        else:
-            def make_fn(p, b, x, mk=make_partition):
-                return mk(p, x), b
-            fam_key = make_partition
-        kind, arrays, statics = _onedim_eval_args(treeinfo, part)
-        brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(i),
-                                     part.dtype))
-        prog = _brent_onedim_program(fam_key, make_fn, kind, statics)
-        x0 = jnp.asarray([get_x0(part)], part.dtype)
-        x_opt, f_opt = prog(part, brl, arrays, x0,
-                            jnp.asarray([xmin], part.dtype),
-                            jnp.asarray([xmax], part.dtype),
-                            jnp.asarray(tol, part.dtype))
-        new_part, _ = make_fn(part, brl, x_opt[0])
+        sel.append((i, part))
+    if not sel:
+        return 0.0
+    if family is not None:
+        make_fn, fam_key = _BRENT_FAMILIES[family], family
+    else:
+        def make_fn(p, b, x, mk=make_partition):
+            return mk(p, x), b
+        fam_key = make_partition
+    dtype = sel[0][1].dtype
+    parts, brls, arrays, ks = [], [], [], []
+    for i, part in sel:
+        kind, arr, st = _onedim_eval_args(treeinfo, part)
+        parts.append(part)
+        src = brl_of(i) if brl_of is not None \
+            else treeinfo.partition_brlens(i)
+        brls.append(jnp.asarray(np.asarray(src, part.dtype)))
+        arrays.append(arr)
+        ks.append((kind, st))
+    prog = _brent_onedim_program(fam_key, make_fn, tuple(ks))
+    if get_x0_i is not None:
+        x0 = jnp.stack([jnp.asarray(get_x0_i(i), dtype) for i, _ in sel])
+    else:
+        x0 = jnp.stack([jnp.asarray(get_x0(p), dtype) for _, p in sel])
+    x_opt, f_opt = prog(tuple(parts), tuple(brls), tuple(arrays), x0,
+                        jnp.full((len(sel),), xmin, dtype),
+                        jnp.full((len(sel),), xmax, dtype),
+                        jnp.asarray(tol, dtype))
+    f_np = np.asarray(f_opt)
+    total = 0.0
+    for k, (i, part) in enumerate(sel):
+        new_part, _ = make_fn(part, brls[k], x_opt[k])
         treeinfo.partitions[i] = new_part
-        treeinfo.partition_loglh[i] = -float(f_opt[0])
-        total += -float(f_opt[0])
+        treeinfo.partition_loglh[i] = -float(f_np[k])
+        total += -float(f_np[k])
+        if collect_x is not None:
+            collect_x.append((i, float(x_opt[k])))
     return total
 
 
@@ -318,26 +358,18 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
     followed by normalization."""
     if treeinfo.brlen_linkage != BRLEN_SCALED:
         return treeinfo.compute_loglh()
-    total = 0.0
-    for i in treeinfo.local_indices():
-        if not (treeinfo.params_to_optimize[i] & PARAM_BRANCH_LEN_SCALER):
-            continue
-        part = treeinfo.partitions[i]
-        if part.reversible and part.eigen_lam is None:
-            part = part.cache_eigen()
-            treeinfo.partitions[i] = part
-        base = jnp.asarray(np.asarray(treeinfo.tree.lengths, part.dtype))
-        kind, arrays, statics = _onedim_eval_args(treeinfo, part)
-        prog = _brent_onedim_program("scaler", _BRENT_FAMILIES["scaler"],
-                                     kind, statics)
-        x0 = jnp.asarray([treeinfo.brlen_scalers[i]], part.dtype)
-        x_opt, f_opt = prog(part, base, arrays, x0,
-                            jnp.asarray([min_scaler], part.dtype),
-                            jnp.asarray([max_scaler], part.dtype),
-                            jnp.asarray(tol, part.dtype))
-        treeinfo.brlen_scalers[i] = float(x_opt[0])
-        treeinfo.partition_loglh[i] = -float(f_opt[0])
-        total += -float(f_opt[0])
+    found = []
+    total = _opt_onedim(
+        treeinfo,
+        make_partition=None,
+        get_x0=None,
+        get_x0_i=lambda i, ti=treeinfo: ti.brlen_scalers[i],
+        xmin=min_scaler, xmax=max_scaler,
+        mask_bit=PARAM_BRANCH_LEN_SCALER, tol=tol, family="scaler",
+        brl_of=lambda i, ti=treeinfo: ti.tree.lengths,
+        collect_x=found)
+    for i, x in found:
+        treeinfo.brlen_scalers[i] = x
     treeinfo.normalize_brlen_scalers()
     return total
 
