@@ -187,9 +187,13 @@ def _onedim_eval_args(treeinfo, part):
             return ("resident", (idx8, e1, e2, tip_hi),
                     (n_slots, interp, split))
         from pllmod_tpu.ops import pallas_clv
+        # fuse_root=False + DYNAMIC root refs (loglikelihood_fused_dyn):
+        # the root row is appended in-trace, so wide-CS (fused-kind)
+        # Brent programs are topology-independent like the resident kind
         idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
-            part, treeinfo.tree, fuse_root=True)
-        return "fused", (idx8, e1, e2), (ri, n_slots, interp, split)
+            part, treeinfo.tree, fuse_root=False)
+        rr = jnp.asarray(np.asarray(ri, np.int32))
+        return "fused", (idx8, e1, e2, rr), (n_slots, interp, split)
     ops, root_info = treeinfo.tree.traversal_ops()
     return ("scan", (jnp.asarray(ops),
                      jnp.asarray(np.asarray(root_info, np.int32))), ())
@@ -207,12 +211,13 @@ def _onedim_ev(kind, statics):
                 p, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
     elif kind == "fused":
         from pllmod_tpu.ops import pallas_clv
-        ri, n_slots, interp, split = statics
+        n_slots, interp, split = statics
 
         def ev(p, brl, arrays):
-            idx8, e1, e2 = arrays
-            return pallas_clv.loglikelihood_fused(
-                p, idx8, brl, e1, e2, ri, n_slots, interp, split)
+            idx8, e1, e2, rr = arrays
+            return pallas_clv.loglikelihood_fused_dyn(
+                p, idx8, brl, e1, e2, rr, n_slots, interp, split,
+                fuse_root=True)
     else:
 
         def ev(p, brl, arrays):

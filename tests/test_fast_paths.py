@@ -236,6 +236,17 @@ def test_brent_program_cache_reuse(rng, force_fast):
     keys = [k for k in om._BRENT_PROGRAMS if k[0] == "alpha"]
     assert len(keys) == 1
 
+    # fused kind (CS > RESIDENT_CS_MAX): dynamic root refs make it
+    # topology-independent too — still one program across topologies
+    om._BRENT_PROGRAMS.clear()
+    seqs = ref.random_sequences(np.random.default_rng(5), 9, 96)
+    pw = create_partition(seqs, states=4, n_rate_cats=16, alpha=0.9,
+                          dtype=jnp.float32)
+    opt_alpha(TreeInfo(tree.copy(), [pw]))
+    opt_alpha(TreeInfo(tree2.copy(), [pw]))
+    keys = [k for k in om._BRENT_PROGRAMS if k[0] == "alpha"]
+    assert len(keys) == 1 and keys[0][1][0][0] == "fused"
+
 
 def test_treeinfo_multi_partition_single_dispatch(rng, force_fast):
     """≥2 resident-kind partitions evaluate through ONE combined device
