@@ -171,60 +171,13 @@ _BRENT_FAMILIES = {
 
 def _onedim_eval_args(treeinfo, part):
     """(kind, arrays, statics) selecting the production evaluation path
-    for the cached Brent programs: ``arrays`` are traced program inputs,
-    ``statics`` are jit-cache key components (mirrors
-    engine.compile_fast_eval's dispatch)."""
+    for the cached Brent programs (engine.fast_lane_args layout; the
+    scan fallback serves CPU/f64 partitions)."""
     if engine_mod.use_fast_kernel(part):
-        interp = engine_mod.fast_kernel_interpret()
-        split = engine_mod.use_split_clv(part)
-        if engine_mod.fast_eval_schedule(part) == "resident":
-            from pllmod_tpu.ops import pallas_resident
-            idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-                part, treeinfo.tree,
-                n_slots_min=pallas_resident.resident_slot_bound(
-                    part.n_tips))
-            tip_hi = engine_mod.tip_planes_cached(part)
-            return ("resident", (idx8, e1, e2, tip_hi),
-                    (n_slots, interp, split))
-        from pllmod_tpu.ops import pallas_clv
-        # fuse_root=False + DYNAMIC root refs (loglikelihood_fused_dyn):
-        # the root row is appended in-trace, so wide-CS (fused-kind)
-        # Brent programs are topology-independent like the resident kind
-        idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
-            part, treeinfo.tree, fuse_root=False)
-        rr = jnp.asarray(np.asarray(ri, np.int32))
-        return "fused", (idx8, e1, e2, rr), (n_slots, interp, split)
+        return engine_mod.fast_lane_args(part, treeinfo.tree)
     ops, root_info = treeinfo.tree.traversal_ops()
     return ("scan", (jnp.asarray(ops),
                      jnp.asarray(np.asarray(root_info, np.int32))), ())
-
-
-def _onedim_ev(kind, statics):
-    """The per-lane evaluation closure for one (kind, statics)."""
-    if kind == "resident":
-        from pllmod_tpu.ops import pallas_resident
-        n_slots, interp, split = statics
-
-        def ev(p, brl, arrays):
-            idx8, e1, e2, tip_hi = arrays
-            return pallas_resident.loglikelihood_resident(
-                p, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
-    elif kind == "fused":
-        from pllmod_tpu.ops import pallas_clv
-        n_slots, interp, split = statics
-
-        def ev(p, brl, arrays):
-            idx8, e1, e2, rr = arrays
-            return pallas_clv.loglikelihood_fused_dyn(
-                p, idx8, brl, e1, e2, rr, n_slots, interp, split,
-                fuse_root=True)
-    else:
-
-        def ev(p, brl, arrays):
-            ops, ri = arrays
-            return engine_mod.loglikelihood(p, ops, brl,
-                                            (ri[0], ri[1], ri[2]))
-    return ev
 
 
 def _brent_onedim_program(family_key, make_fn, kinds_statics):
@@ -236,7 +189,7 @@ def _brent_onedim_program(family_key, make_fn, kinds_statics):
     prog = _BRENT_PROGRAMS.get(key)
     if prog is not None:
         return prog
-    evs = [_onedim_ev(kind, st) for kind, st in kinds_statics]
+    evs = [engine_mod.lane_ev(kind, st) for kind, st in kinds_statics]
 
     def run(parts, brls, arrays, x0, xmin, xmax, tol):
         def obj(xs):

@@ -252,44 +252,91 @@ def tip_planes_cached(partition):
 
 
 # ONE device program evaluating K partitions' full-tree logL through the
-# resident kernel. treeinfo.compute_loglh's per-partition loop costs one
+# fast kernels. treeinfo.compute_loglh's per-partition loop costs one
 # tunnel dispatch (~40 ms on axon) + one host sync EACH — partitioned
 # analyses (the reference's core use case) pay K× per evaluation. The
-# program takes partitions / branch lengths / traversal index rows as
-# TRACED pytrees, so one compile serves every topology of a taxon count
-# (the resident kind has no static root refs); keyed on the per-partition
-# static tuples only.
-_RESIDENT_MULTI_PROGRAMS: dict = {}
+# program takes partitions / branch lengths / traversal index rows /
+# root refs as TRACED pytrees, so one compile serves every topology of a
+# taxon count (the fused kind uses loglikelihood_fused_dyn with in-trace
+# root rows); keyed on the per-partition (kind, statics) tuples only.
+_MULTI_EVAL_PROGRAMS: dict = {}
 
 
-def resident_multi_eval(parts, brls, artifacts, statics):
-    """Evaluate K resident-kind partitions in one jitted program.
+def fast_lane_args(partition, tree):
+    """(kind, arrays, statics) for one partition's lane of a combined
+    fast-kernel program (multi_eval here; the cached whole-Brent
+    optimizer programs reuse the same layout). ``arrays`` are traced
+    program inputs, ``statics`` the jit-cache key components."""
+    from pllmod_tpu.ops import pallas_clv, pallas_resident
+    interp = fast_kernel_interpret()
+    split = use_split_clv(partition)
+    if fast_eval_schedule(partition) == "resident":
+        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
+            partition, tree,
+            n_slots_min=pallas_resident.resident_slot_bound(
+                partition.n_tips))
+        tip_hi = tip_planes_cached(partition)
+        return ("resident", (idx8, e1, e2, tip_hi),
+                (n_slots, interp, split))
+    # fuse_root=False + DYNAMIC root refs: the root row is appended
+    # in-trace by loglikelihood_fused_dyn, keeping the lane
+    # topology-independent like the resident kind
+    idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+        partition, tree, fuse_root=False)
+    import numpy as _np
+    rr = jnp.asarray(_np.asarray(ri, _np.int32))
+    return "fused", (idx8, e1, e2, rr), (n_slots, interp, split)
+
+
+def lane_ev(kind, statics):
+    """The evaluation closure for one (kind, statics) lane."""
+    if kind == "resident":
+        from pllmod_tpu.ops import pallas_resident
+        n_slots, interp, split = statics
+
+        def ev(p, brl, arrays):
+            idx8, e1, e2, tip_hi = arrays
+            return pallas_resident.loglikelihood_resident(
+                p, idx8, brl, (e1, e2), tip_hi, n_slots, interp, split)
+    elif kind == "fused":
+        from pllmod_tpu.ops import pallas_clv
+        n_slots, interp, split = statics
+
+        def ev(p, brl, arrays):
+            idx8, e1, e2, rr = arrays
+            return pallas_clv.loglikelihood_fused_dyn(
+                p, idx8, brl, e1, e2, rr, n_slots, interp, split,
+                fuse_root=True)
+    else:
+
+        def ev(p, brl, arrays):
+            ops, ri = arrays
+            return loglikelihood(p, ops, brl, (ri[0], ri[1], ri[2]))
+    return ev
+
+
+def multi_eval(parts, brls, artifacts, kinds_statics):
+    """Evaluate K fast-kernel partitions in one jitted program.
 
     Args:
-      parts: list of Partition pytrees (shapes may differ)
+      parts: list of Partition pytrees (shapes/kinds may differ)
       brls: list of per-partition branch-length arrays
-      artifacts: list of (idx8, e1, e2, tip_hi) from compile_resident /
-        tip_planes_cached
-      statics: tuple of per-partition (n_slots, interpret, split) — the
+      artifacts: list of per-lane arrays from :func:`fast_lane_args`
+      kinds_statics: tuple of per-partition (kind, statics) — the
         program-cache key
     Returns:
       [K] per-partition logL (one dispatch, one sync)
     """
-    prog = _RESIDENT_MULTI_PROGRAMS.get(statics)
+    prog = _MULTI_EVAL_PROGRAMS.get(kinds_statics)
     if prog is None:
-        from pllmod_tpu.ops import pallas_resident
+        evs = [lane_ev(kind, st) for kind, st in kinds_statics]
 
         def run(parts, brls, arrays):
-            outs = []
-            for k, (ns, interp, split) in enumerate(statics):
-                idx8, e1, e2, tip_hi = arrays[k]
-                outs.append(pallas_resident.loglikelihood_resident(
-                    parts[k], idx8, brls[k], (e1, e2), tip_hi, ns,
-                    interp, split))
-            return jnp.stack(outs)
+            return jnp.stack([ev(parts[k], brls[k], arrays[k])
+                              for k, ev in enumerate(evs)])
 
         prog = jax.jit(run)
-        _RESIDENT_MULTI_PROGRAMS[statics] = prog
+        _MULTI_EVAL_PROGRAMS[kinds_statics] = prog
     return prog(tuple(parts), tuple(brls), tuple(artifacts))
 
 

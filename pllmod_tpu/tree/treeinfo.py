@@ -164,15 +164,15 @@ class TreeInfo:
         total = 0.0
         from pllmod_tpu.profile import timed
         with timed(self.counters):
-            # ≥2 resident-kind partitions: ONE combined device program
-            # (engine.resident_multi_eval) instead of one dispatch + one
-            # host sync per partition — the per-partition loop below
-            # costs ~40 ms each on the axon tunnel
+            # ≥2 fast-kernel partitions: ONE combined device program
+            # (engine.multi_eval) instead of one dispatch + one host
+            # sync per partition — the per-partition loop below costs
+            # ~40 ms each on the axon tunnel. Mixed kinds (resident +
+            # fused-dyn lanes) share the program, so partitioned
+            # DNA+protein analyses stay one dispatch.
             multi = [] if incremental else [
                 i for i in self.local_indices()
-                if engine_mod.use_fast_kernel(self.partitions[i])
-                and engine_mod.fast_eval_schedule(
-                    self.partitions[i]) == "resident"]
+                if engine_mod.use_fast_kernel(self.partitions[i])]
             if len(multi) >= 2:
                 lnls = self._fast_eval_multi(multi)
                 for k, i in enumerate(multi):
@@ -245,29 +245,21 @@ class TreeInfo:
         return total, persite
 
     def _fast_eval_multi(self, idxs):
-        """K-partition combined resident evaluation: build per-partition
-        artifacts (the traversal index rows are topology-only and shared
-        across partitions of one tree; tip planes come from the engine
-        cache) and run :func:`pllmod_tpu.ops.engine.resident_multi_eval`
+        """K-partition combined fast-kernel evaluation: build per-lane
+        artifacts (engine.fast_lane_args; tip planes come from the
+        engine cache) and run :func:`pllmod_tpu.ops.engine.multi_eval`
         — one dispatch, one host sync for all K."""
-        from pllmod_tpu.ops import pallas_resident
-        part0 = self.partitions[idxs[0]]
-        idx8, e1, e2, n_slots = pallas_resident.compile_resident(
-            part0, self.tree,
-            n_slots_min=pallas_resident.resident_slot_bound(part0.n_tips))
-        interp = engine_mod.fast_kernel_interpret()
-        parts, brls, arts, statics = [], [], [], []
+        parts, brls, arts, ks = [], [], [], []
         for i in idxs:
             part = self.partitions[i]
+            kind, arr, st = engine_mod.fast_lane_args(part, self.tree)
             parts.append(part)
             brls.append(jnp.asarray(np.asarray(
                 self.partition_brlens(i), part.dtype)))
-            arts.append((idx8, e1, e2,
-                         engine_mod.tip_planes_cached(part)))
-            statics.append((n_slots, interp,
-                            engine_mod.use_split_clv(part)))
-        return np.asarray(engine_mod.resident_multi_eval(
-            parts, brls, arts, tuple(statics)))
+            arts.append(arr)
+            ks.append((kind, st))
+        return np.asarray(engine_mod.multi_eval(
+            parts, brls, arts, tuple(ks)))
 
     def _fast_eval(self, i, part, ops, ri):
         """Cached engine.compile_fast_eval closure for partition ``i``.

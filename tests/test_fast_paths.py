@@ -249,19 +249,23 @@ def test_brent_program_cache_reuse(rng, force_fast):
 
 
 def test_treeinfo_multi_partition_single_dispatch(rng, force_fast):
-    """≥2 resident-kind partitions evaluate through ONE combined device
-    program (engine.resident_multi_eval); per-partition logLs must match
-    the scan engine, including across a topology change (the program is
-    topology-traced)."""
+    """≥2 fast-kernel partitions evaluate through ONE combined device
+    program (engine.multi_eval) — MIXED kinds (resident CS=16/8 +
+    fused-dyn CS=64 lanes in the same program); per-partition logLs must
+    match the scan engine, including across a topology change (the
+    program is topology-traced)."""
     part, tree = _setup(rng)
     part2 = create_partition(ref.random_sequences(rng, 9, 80), states=4,
                              n_rate_cats=2, alpha=1.4, dtype=jnp.float32)
-    ti = TreeInfo(tree.copy(), [part, part2])
+    part3 = create_partition(ref.random_sequences(rng, 9, 64), states=4,
+                             n_rate_cats=16, alpha=0.7, dtype=jnp.float32)
+    assert engine_mod.fast_eval_schedule(part3) == "fused"
+    ti = TreeInfo(tree.copy(), [part, part2, part3])
     l_fast = ti.compute_loglh()
     per_fast = list(ti.partition_loglh)
 
     engine_mod.FORCE_FAST_KERNEL = False
-    ti2 = TreeInfo(tree.copy(), [part, part2])
+    ti2 = TreeInfo(tree.copy(), [part, part2, part3])
     l_scan = ti2.compute_loglh()
     assert l_fast == pytest.approx(l_scan, abs=2e-3)
     np.testing.assert_allclose(per_fast, ti2.partition_loglh, rtol=1e-6)
@@ -269,8 +273,8 @@ def test_treeinfo_multi_partition_single_dispatch(rng, force_fast):
     # topology change: same cached program, still correct
     engine_mod.FORCE_FAST_KERNEL = True
     tree3 = ref.random_binary_tree(np.random.default_rng(7), 9)
-    ti3 = TreeInfo(tree3.copy(), [part, part2])
+    ti3 = TreeInfo(tree3.copy(), [part, part2, part3])
     l3_fast = ti3.compute_loglh()
     engine_mod.FORCE_FAST_KERNEL = False
-    ti4 = TreeInfo(tree3.copy(), [part, part2])
+    ti4 = TreeInfo(tree3.copy(), [part, part2, part3])
     assert l3_fast == pytest.approx(ti4.compute_loglh(), abs=2e-3)
