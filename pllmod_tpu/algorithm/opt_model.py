@@ -33,7 +33,7 @@ from pllmod_tpu.common import (
 )
 from pllmod_tpu.ops import engine as engine_mod
 from pllmod_tpu.optimize.brent import minimize_brent_multi
-from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb
+from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb, minimize_lbfgsb_multi
 from pllmod_tpu.optimize.em import em_rates_weights
 from pllmod_tpu.optimize.blo import optimize_branch_lengths_treeinfo
 from pllmod_tpu.ops import clv as clv_mod
@@ -90,6 +90,72 @@ def _neg_cats_fn(r, part, ops, brl, ri):
 
 
 _vg_cats = jax.jit(jax.value_and_grad(_neg_cats_fn))
+
+
+# ---------------------------------------------------------------------------
+# Lock-step L-BFGS lanes: K selected partitions optimize one parameter
+# family as K independent instances whose objective evaluations are
+# batched into ONE jitted (value, grad) program per step — the
+# reference's pllmod_opt_minimize_lbfgsb_multi shape
+# (opt_algorithms.c:542-807: one collective evaluation per iteration for
+# all partition instances), completing the round-3 Brent-lane program
+# for the gradient families. Per-lane trajectories are identical to
+# standalone runs: lanes only share evaluation TIMING, never state
+# (optimize/lbfgsb.py minimize_lbfgsb_multi).
+# ---------------------------------------------------------------------------
+_VG_LANE_FNS = {
+    "alpha_pinv": _neg_alpha_pinv_fn,
+    "freqs": _neg_freqs_fn,
+    "cats": _neg_cats_fn,
+}
+
+_VG_LANE_PROGRAMS = engine_mod.LruCache(maxsize=32)
+
+
+def _vg_lane_program(family: str, lane_statics: tuple):
+    """One jitted program computing (value, grad) for K lanes of one
+    family in one dispatch. ``lane_statics``: per-lane static tuples
+    (the rates family bakes its ``pinned`` index per lane; others are
+    empty). All array aux (partition pytree, op table, brlens, root
+    ints) is TRACED, so one program serves every topology."""
+    key = (family, lane_statics)
+    prog = _VG_LANE_PROGRAMS.get(key)
+    if prog is not None:
+        return prog
+    if family == "rates":
+        vgs = [jax.value_and_grad(
+            lambda x, part, remap, ops, brl, ri, _p=st[0]:
+            _neg_rates_fn(x, part, remap, _p, ops, brl, ri))
+            for st in lane_statics]
+    else:
+        vgs = [jax.value_and_grad(_VG_LANE_FNS[family])] * len(lane_statics)
+
+    def run(xs, auxs):
+        return tuple(vg(xs[k], *auxs[k]) for k, vg in enumerate(vgs))
+
+    prog = jax.jit(run)
+    _VG_LANE_PROGRAMS[key] = prog
+    return prog
+
+
+def _lbfgsb_lanes(family: str, lanes: list, max_iters: int, pgtol: float):
+    """Run K lanes through :func:`minimize_lbfgsb_multi` against the
+    cached combined program. Each lane dict: x0 / lo / hi (numpy),
+    aux (traced array tuple), statics (program-key tuple), dtype.
+    Returns the per-lane (x_opt, f_opt, n_evals) list."""
+    prog = _vg_lane_program(family, tuple(l["statics"] for l in lanes))
+    auxs = tuple(l["aux"] for l in lanes)
+    dtypes = [l["dtype"] for l in lanes]
+
+    def vg_multi(xs):
+        outs = prog(tuple(jnp.asarray(np.asarray(x, dtypes[k]))
+                          for k, x in enumerate(xs)), auxs)
+        # ONE host transfer for all lanes' (f, g)
+        return jax.device_get(outs)
+
+    return minimize_lbfgsb_multi(
+        vg_multi, [l["x0"] for l in lanes], [l["lo"] for l in lanes],
+        [l["hi"] for l in lanes], max_iters=max_iters, pgtol=pgtol)
 
 
 def _grad_args(treeinfo, idx):
@@ -154,8 +220,13 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
 # trajectories are identical to separate runs; partitioned analyses pay
 # one dispatch per Brent ITERATION SET instead of one whole-Brent
 # dispatch per partition.
+#
+# LRU-bounded: stock families contribute a handful of keys, but
+# opt_onedim_custom keys on the make_partition CALLABLE — callers
+# passing a fresh lambda per call would otherwise grow the cache (and
+# its pinned executables) without bound.
 # ---------------------------------------------------------------------------
-_BRENT_PROGRAMS: dict = {}
+_BRENT_PROGRAMS = engine_mod.LruCache(maxsize=32)
 
 # family -> (partition, brlens, x) -> (partition', brlens'): where the
 # optimized scalar lands (alpha / prop_invar / a brlen scale factor —
@@ -259,15 +330,19 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
                         jnp.full((len(sel),), xmin, dtype),
                         jnp.full((len(sel),), xmax, dtype),
                         jnp.asarray(tol, dtype))
+    # one host transfer for both result vectors: eager per-lane getitem
+    # (x_opt[k]) compiles a tiny remote program per index on axon
     f_np = np.asarray(f_opt)
+    x_np = np.asarray(x_opt)
     total = 0.0
     for k, (i, part) in enumerate(sel):
-        new_part, _ = make_fn(part, brls[k], x_opt[k])
+        new_part, _ = make_fn(part, brls[k],
+                              jnp.asarray(x_np[k], part.dtype))
         treeinfo.partitions[i] = new_part
         treeinfo.partition_loglh[i] = -float(f_np[k])
         total += -float(f_np[k])
         if collect_x is not None:
-            collect_x.append((i, float(x_opt[k])))
+            collect_x.append((i, float(x_np[k])))
     return total
 
 
@@ -279,7 +354,14 @@ def opt_onedim_custom(treeinfo, make_partition, get_x0, xmin, xmax,
     ``make_partition(partition, x) -> partition`` writes the scalar into
     a partition, ``get_x0(partition) -> x`` reads the starting point.
     ``mask_bit=None`` optimizes the scalar on every local partition
-    regardless of ``params_to_optimize``. Returns the total logL."""
+    regardless of ``params_to_optimize``. Returns the total logL.
+
+    Compile-reuse contract: the whole Brent program is cached on the
+    ``make_partition`` CALLABLE's identity — pass the SAME function
+    object across calls (a module-level function, or a closure you
+    keep) to reuse the compiled optimizer; a fresh lambda per call
+    recompiles every time (the cache is LRU-bounded, so it will not
+    leak, but each miss pays a trace + compile)."""
     return _opt_onedim(treeinfo, make_partition=make_partition,
                        get_x0=get_x0, xmin=xmin, xmax=xmax,
                        mask_bit=mask_bit, tol=tol)
@@ -334,22 +416,28 @@ def opt_brlen_scalers(treeinfo, min_scaler=1e-3, max_scaler=100.0, tol=1e-4):
 
 def opt_alpha_pinv(treeinfo, tol=1e-4):
     """2-D L-BFGS on (alpha, pinv) jointly (pllmod_algo_opt_alpha_pinv,
-    pllmod_algorithm.c:296-342, :1313-1432)."""
-    total = 0.0
+    pllmod_algorithm.c:296-342, :1313-1432). All selected partitions run
+    as lock-step lanes of one combined (value, grad) program — one
+    dispatch per L-BFGS evaluation step for the whole treeinfo."""
+    sel, lanes = [], []
     for i in treeinfo.local_indices():
         mask = treeinfo.params_to_optimize[i]
         if not ((mask & PARAM_ALPHA) and (mask & PARAM_PINV)):
             continue
         part = treeinfo.partitions[i]
         ops_j, brl, ri = _grad_args(treeinfo, i)
-        x0 = np.array([float(part.alpha), max(float(part.pinv_mix()), 0.02)])
-        lo = np.array([common.MIN_ALPHA, 1e-9])
-        hi = np.array([common.MAX_ALPHA, common.MAX_PINV])
-        x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, _vg_alpha_pinv(
-                jnp.asarray(np.asarray(z, part.dtype)), part,
-                ops_j, brl, ri))),
-            x0, lo, hi, max_iters=100, pgtol=tol)
+        lanes.append(dict(
+            x0=np.array([float(part.alpha),
+                         max(float(part.pinv_mix()), 0.02)]),
+            lo=np.array([common.MIN_ALPHA, 1e-9]),
+            hi=np.array([common.MAX_ALPHA, common.MAX_PINV]),
+            aux=(part, ops_j, brl, ri), statics=(), dtype=part.dtype))
+        sel.append((i, part))
+    if not sel:
+        return 0.0
+    results = _lbfgsb_lanes("alpha_pinv", lanes, max_iters=100, pgtol=tol)
+    total = 0.0
+    for (i, part), (x, fv, _) in zip(sel, results):
         treeinfo.partitions[i] = part.with_alpha(x[0]).replace(
             prop_invar=jnp.full_like(part.prop_invar, x[1]))
         treeinfo.partition_loglh[i] = -float(fv)
@@ -370,8 +458,12 @@ def opt_subst_rates(treeinfo, symmetries=None,
     Args:
       symmetries: optional list of per-partition rate-symmetry int vectors
         (None entries = all-free GTR). SubstModel.rate_sym values fit here.
+
+    All selected partitions optimize as lock-step L-BFGS lanes of one
+    combined program (one dispatch per evaluation step; the per-lane
+    ``pinned`` symmetry index is a program static).
     """
-    total = 0.0
+    sel, lanes = [], []
     for i in treeinfo.local_indices():
         if not (treeinfo.params_to_optimize[i] & PARAM_SUBST_RATES):
             continue
@@ -396,13 +488,17 @@ def opt_subst_rates(treeinfo, symmetries=None,
                 first[c], seen[c] = j, True
         x0 = cur[first] / cur[first][pinned]
         x0 = np.delete(x0, pinned)
-        x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, _vg_rates(
-                jnp.asarray(np.asarray(z, part.dtype)), part, remap_j,
-                pinned, ops_j, brl, ri))),
-            np.clip(x0, min_rate, max_rate),
-            np.full(k - 1, min_rate), np.full(k - 1, max_rate),
-            max_iters=200, pgtol=tol)
+        lanes.append(dict(
+            x0=np.clip(x0, min_rate, max_rate),
+            lo=np.full(k - 1, min_rate), hi=np.full(k - 1, max_rate),
+            aux=(part, remap_j, ops_j, brl, ri), statics=(pinned,),
+            dtype=part.dtype))
+        sel.append((i, part, remap_j, pinned))
+    if not sel:
+        return 0.0
+    results = _lbfgsb_lanes("rates", lanes, max_iters=200, pgtol=tol)
+    total = 0.0
+    for (i, part, remap_j, pinned), (x, fv, _) in zip(sel, results):
         full = _expand_sym(jnp.asarray(np.asarray(x, part.dtype)),
                            remap_j, pinned)
         treeinfo.partitions[i] = part.with_model_params(
@@ -414,8 +510,10 @@ def opt_subst_rates(treeinfo, symmetries=None,
 
 def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
     """Optimize stationary frequencies as ratios to the last state
-    (pllmod_algo_opt_frequencies_treeinfo, pllmod_algorithm.c:1137-1311)."""
-    total = 0.0
+    (pllmod_algo_opt_frequencies_treeinfo, pllmod_algorithm.c:1137-1311).
+    All selected partitions run as lock-step L-BFGS lanes of one
+    combined program (one dispatch per evaluation step)."""
+    sel, lanes = [], []
     for i in treeinfo.local_indices():
         if not (treeinfo.params_to_optimize[i] & PARAM_FREQUENCIES):
             continue
@@ -424,12 +522,16 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
         ops_j, brl, ri = _grad_args(treeinfo, i)
         cur = np.asarray(part.freqs[0])
         x0 = np.clip(cur[:-1] / cur[-1], min_freq, common.MAX_FREQ)
-        x, fv, _ = minimize_lbfgsb(
-            lambda z: tuple(map(np.asarray, _vg_freqs(
-                jnp.asarray(np.asarray(z, part.dtype)), part,
-                ops_j, brl, ri))),
-            x0, np.full(s - 1, min_freq), np.full(s - 1, common.MAX_FREQ),
-            max_iters=200, pgtol=tol)
+        lanes.append(dict(
+            x0=x0, lo=np.full(s - 1, min_freq),
+            hi=np.full(s - 1, common.MAX_FREQ),
+            aux=(part, ops_j, brl, ri), statics=(), dtype=part.dtype))
+        sel.append((i, part))
+    if not sel:
+        return 0.0
+    results = _lbfgsb_lanes("freqs", lanes, max_iters=200, pgtol=tol)
+    total = 0.0
+    for (i, part), (x, fv, _) in zip(sel, results):
         raw = np.concatenate([x, [1.0]])
         freqs = raw / raw.sum()
         treeinfo.partitions[i] = part.with_model_params(
@@ -464,6 +566,30 @@ def _site_cat_likelihood(part, ops_j, brl, ri):
 # one python-level jit cache for the EM E-step across calls/rounds
 _site_cat_jit = jax.jit(_site_cat_likelihood, static_argnums=3)
 
+_EM_LANE_PROGRAMS = engine_mod.LruCache(maxsize=8)
+
+
+def _em_lane_program(K: int):
+    """One jitted program running K lanes' EM weight updates (E-step
+    per-site-per-category likelihoods + the EM while-loop) in one
+    dispatch."""
+    prog = _EM_LANE_PROGRAMS.get(K)
+    if prog is not None:
+        return prog
+
+    def run(parts, opss, brls, ris):
+        out = []
+        for k in range(K):
+            sc, _ = _site_cat_likelihood(parts[k], opss[k], brls[k],
+                                         ris[k])
+            out.append(em_rates_weights(sc, parts[k].pattern_weights,
+                                        parts[k].rate_weights))
+        return tuple(out)
+
+    prog = jax.jit(run)
+    _EM_LANE_PROGRAMS[K] = prog
+    return prog
+
 
 def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
                       max_rate=common.MAX_RATE, tol=1e-4,
@@ -476,11 +602,22 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
     The jitted objectives take the CURRENT partition as a traced argument
     and are built ONCE per partition, outside the alternation loop — a
     fresh ``jax.jit`` per round retraces AND recompiles every round
-    (measured: ~10 extra multi-second remote compiles per call on axon)."""
+    (measured: ~10 extra multi-second remote compiles per call on axon).
+
+    Round structure is ROUND-MAJOR across partitions: every alternation
+    round runs all still-unconverged partitions as lock-step lanes — one
+    combined EM dispatch, one combined L-BFGS program per evaluation
+    step, one combined convergence evaluation — instead of completing
+    each partition's whole alternation serially (the reference's
+    lock-step multi shape, opt_algorithms.c:1612-1840). Per-lane
+    trajectories are unchanged: each lane reads its branch lengths at
+    entry and its Σwr=1 factor is pushed into branch lengths at exit
+    (under UNLINKED linkage, only into that partition's own lengths)."""
+    from pllmod_tpu.common import BRLEN_UNLINKED
     ops, root_info = treeinfo.tree.traversal_ops()
     ri = tuple(int(x) for x in root_info)
     ops_j = jnp.asarray(ops)
-    total = 0.0
+    lanes = []
     for i in treeinfo.local_indices():
         mask = treeinfo.params_to_optimize[i]
         if not ((mask & PARAM_FREE_RATES) or (mask & PARAM_RATE_WEIGHTS)):
@@ -500,33 +637,62 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
                                                      part.gamma_mode)
             part = part.replace(
                 rate_cats=jnp.asarray(np.asarray(init, part.dtype)))
-        prev = -np.inf
-        for _ in range(max_rounds):
-            if mask & PARAM_RATE_WEIGHTS:
-                site_cat, _ = _site_cat_jit(part, ops_j, brl, ri)
-                w = em_rates_weights(site_cat, part.pattern_weights,
-                                     part.rate_weights)
-                part = part.replace(rate_weights=w)
-            if mask & PARAM_FREE_RATES:
-                x0 = np.asarray(part.rate_cats)
-                x, fv, _ = minimize_lbfgsb(
-                    lambda z: tuple(map(np.asarray, _vg_cats(
-                        jnp.asarray(np.asarray(z, part.dtype)), part,
-                        ops_j, brl, ri))),
-                    x0, np.full(part.n_cats, min_rate),
-                    np.full(part.n_cats, max_rate), max_iters=100, pgtol=tol)
-                part = part.replace(
-                    rate_cats=jnp.asarray(np.asarray(x, part.dtype)))
-            lnl = float(engine_mod.loglikelihood(part, ops_j, brl, ri))
-            if abs(lnl - prev) < tol:
-                break
-            prev = lnl
+        lanes.append(dict(i=i, part=part, mask=mask, brl=brl,
+                          prev=-np.inf, active=True))
+    if not lanes:
+        return 0.0
+    for _ in range(max_rounds):
+        act = [st for st in lanes if st["active"]]
+        if not act:
+            break
+        em_sel = [st for st in act if st["mask"] & PARAM_RATE_WEIGHTS]
+        if em_sel:
+            prog = _em_lane_program(len(em_sel))
+            ws = prog(tuple(st["part"] for st in em_sel),
+                      tuple(ops_j for _ in em_sel),
+                      tuple(st["brl"] for st in em_sel),
+                      tuple(ri for _ in em_sel))
+            for st, w in zip(em_sel, ws):
+                st["part"] = st["part"].replace(rate_weights=w)
+        lb_sel = [st for st in act if st["mask"] & PARAM_FREE_RATES]
+        if lb_sel:
+            lb_lanes = [dict(
+                x0=np.asarray(st["part"].rate_cats, np.float64),
+                lo=np.full(st["part"].n_cats, min_rate),
+                hi=np.full(st["part"].n_cats, max_rate),
+                aux=(st["part"], ops_j, st["brl"], ri), statics=(),
+                dtype=st["part"].dtype) for st in lb_sel]
+            results = _lbfgsb_lanes("cats", lb_lanes, max_iters=100,
+                                    pgtol=tol)
+            for st, (x, _fv, _n) in zip(lb_sel, results):
+                st["part"] = st["part"].replace(
+                    rate_cats=jnp.asarray(np.asarray(x, st["part"].dtype)))
+        # combined convergence evaluation: one dispatch for all lanes
+        ri_arr = jnp.asarray(np.asarray(ri, np.int32))
+        lnls = np.asarray(engine_mod.multi_eval(
+            [st["part"] for st in act], [st["brl"] for st in act],
+            [(ops_j, ri_arr) for _ in act],
+            tuple(("scan", ()) for _ in act)))
+        for st, lnl in zip(act, lnls):
+            lnl = float(lnl)
+            if abs(lnl - st["prev"]) < tol:
+                st["active"] = False
+            st["prev"] = lnl
+    total = 0.0
+    for st in lanes:
+        i, part = st["i"], st["part"]
         # renormalize: sum w*r = 1, factor goes into branch lengths
-        factor = float(part.rate_weights @ part.rate_cats)
+        factor = float(np.asarray(part.rate_weights) @
+                       np.asarray(part.rate_cats))
         part = part.replace(rate_cats=part.rate_cats / factor)
-        treeinfo.tree.lengths = treeinfo.tree.lengths * factor
-        if treeinfo.brlens is not None:
+        if treeinfo.brlen_linkage == BRLEN_UNLINKED:
+            # the factor is this partition's alone — scaling the shared
+            # topology lengths would leak it into other partitions
             treeinfo.brlens[i] *= factor
+        else:
+            treeinfo.tree.lengths = treeinfo.tree.lengths * factor
+            if treeinfo.brlens is not None:
+                treeinfo.brlens[i] *= factor
         lnl = float(_loglh_fn(treeinfo, i)(part))
         treeinfo.partitions[i] = part
         treeinfo.partition_loglh[i] = lnl

@@ -193,7 +193,18 @@ def use_fast_kernel(partition) -> bool:
     does not enforce tiling, so FORCE_FAST_KERNEL (tests) keeps
     exercising unaligned shapes on CPU."""
     if FORCE_FAST_KERNEL is not None:
-        return FORCE_FAST_KERNEL and partition.dtype == jnp.float32
+        if FORCE_FAST_KERNEL and partition.dtype != jnp.float32:
+            # loud, not silent: the kernels are f32-only (rescaling is
+            # f32-exponent based) — a forced-on override meeting an f64
+            # partition would otherwise quietly run the slow path and
+            # blind the test to the kernel it meant to exercise
+            import warnings
+            warnings.warn(
+                "FORCE_FAST_KERNEL=True ignored for non-f32 partition "
+                f"(dtype={partition.dtype}); running the XLA engine",
+                RuntimeWarning, stacklevel=2)
+            return False
+        return FORCE_FAST_KERNEL
     from pllmod_tpu.common import is_tpu
     cs = partition.n_cats * partition.states
     return (is_tpu() and partition.dtype == jnp.float32
@@ -227,13 +238,40 @@ def fast_eval_schedule(partition) -> str:
         else "fused"
 
 
+class LruCache(dict):
+    """Bounded insertion-ordered cache: a plain dict plus eviction of the
+    least-recently-USED entry past ``maxsize``. Module-level program /
+    plane caches use this so every alignment or callable ever seen does
+    not pin device memory (or a compiled executable) for process
+    lifetime."""
+
+    def __init__(self, maxsize: int):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)     # move-to-end on hit
+            super().__setitem__(key, val)
+            return val
+        return default
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().pop(key)
+        super().__setitem__(key, val)
+        while len(self) > self.maxsize:
+            super().pop(next(iter(self)))
+
+
 # Pre-expanded resident-kernel tip planes, cached per alignment: the
 # planes are model- and topology-invariant but ~tens of MB (n_tips × CS
 # × Ppad bf16), so per-optimizer-call rebuilds would device_put the
 # whole alignment expansion every time. Keyed by the identity of the
 # alignment arrays (strong refs keep ids stable for live entries) plus
-# the C·S expansion shape.
-_TIP_PLANES_CACHE: dict = {}
+# the C·S expansion shape; LRU-bounded so retired alignments (e.g. a
+# bootstrap-replicate sweep) release their device memory.
+_TIP_PLANES_CACHE: LruCache = LruCache(maxsize=4)
 
 
 def tip_planes_cached(partition):
@@ -259,7 +297,8 @@ def tip_planes_cached(partition):
 # root refs as TRACED pytrees, so one compile serves every topology of a
 # taxon count (the fused kind uses loglikelihood_fused_dyn with in-trace
 # root rows); keyed on the per-partition (kind, statics) tuples only.
-_MULTI_EVAL_PROGRAMS: dict = {}
+# LRU-bounded: each entry pins a compiled executable.
+_MULTI_EVAL_PROGRAMS: LruCache = LruCache(maxsize=32)
 
 
 def fast_lane_args(partition, tree):

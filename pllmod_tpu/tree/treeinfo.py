@@ -174,7 +174,7 @@ class TreeInfo:
                 i for i in self.local_indices()
                 if engine_mod.use_fast_kernel(self.partitions[i])]
             if len(multi) >= 2:
-                lnls = self._fast_eval_multi(multi)
+                lnls = self._fast_eval_multi(multi, ops, ri)
                 for k, i in enumerate(multi):
                     self.partition_loglh[i] = float(lnls[k])
                     total += float(lnls[k])
@@ -244,15 +244,29 @@ class TreeInfo:
             total += float(lnl)
         return total, persite
 
-    def _fast_eval_multi(self, idxs):
+    def _fast_eval_multi(self, idxs, ops, ri):
         """K-partition combined fast-kernel evaluation: build per-lane
         artifacts (engine.fast_lane_args; tip planes come from the
         engine cache) and run :func:`pllmod_tpu.ops.engine.multi_eval`
-        — one dispatch, one host sync for all K."""
+        — one dispatch, one host sync for all K.
+
+        Lane artifacts (index compiles + their device uploads) are
+        cached per partition on (topology, alignment identity), mirroring
+        the single-partition ``_fast_eval`` cache: repeated evaluations
+        of an unchanged topology skip the host rebuild entirely."""
+        lc = getattr(self, "_lane_cache", None)
+        if lc is None:
+            lc = self._lane_cache = {}
         parts, brls, arts, ks = [], [], [], []
         for i in idxs:
             part = self.partitions[i]
-            kind, arr, st = engine_mod.fast_lane_args(part, self.tree)
+            fkey = (ops.tobytes(), ri, part.n_tips,
+                    part.n_cats * part.states, id(part.tip_states))
+            ent = lc.get(i)
+            if ent is None or ent[0] != fkey:
+                ent = (fkey, engine_mod.fast_lane_args(part, self.tree))
+                lc[i] = ent
+            kind, arr, st = ent[1]
             parts.append(part)
             brls.append(jnp.asarray(np.asarray(
                 self.partition_brlens(i), part.dtype)))
