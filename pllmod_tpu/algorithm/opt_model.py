@@ -180,6 +180,18 @@ def _loglh_fn(treeinfo, idx, need_grad: bool = False):
     part0 = treeinfo.partitions[idx]
     brl = jnp.asarray(treeinfo.partition_brlens(idx), part0.dtype)
     if not need_grad and engine_mod.use_fast_kernel(part0):
+        if treeinfo.mesh is not None:
+            # sharded: the Pallas kernels run under the shard_map-wrapped
+            # combined program (K=1 lane)
+            kind, arr, st = engine_mod.fast_lane_args(
+                part0, treeinfo.tree, treeinfo.mesh, treeinfo.mesh_axis)
+
+            def f(part):
+                return engine_mod.multi_eval(
+                    [part], [brl], [arr], ((kind, st),),
+                    treeinfo.mesh, treeinfo.mesh_axis)[0]
+
+            return f
         ev = engine_mod.compile_fast_eval(part0, treeinfo.tree)
 
         def f(part):
@@ -245,18 +257,33 @@ def _onedim_eval_args(treeinfo, part):
     for the cached Brent programs (engine.fast_lane_args layout; the
     scan fallback serves CPU/f64 partitions)."""
     if engine_mod.use_fast_kernel(part):
-        return engine_mod.fast_lane_args(part, treeinfo.tree)
+        return engine_mod.fast_lane_args(part, treeinfo.tree,
+                                         treeinfo.mesh, treeinfo.mesh_axis)
     ops, root_info = treeinfo.tree.traversal_ops()
     return ("scan", (jnp.asarray(ops),
                      jnp.asarray(np.asarray(root_info, np.int32))), ())
 
 
-def _brent_onedim_program(family_key, make_fn, kinds_statics):
+def _brent_onedim_program(family_key, make_fn, kinds_statics, parts,
+                          mesh=None, axis_name=None):
     """One jitted program running K lock-step Brent lanes, lane k
     evaluating partition k through its own engine kind (unrolled, not
     vmapped: the TPU paths are pallas kernels with manual DMA — no
-    batching rule; K is small)."""
-    key = (family_key, kinds_statics)
+    batching rule; K is small).
+
+    Under a site mesh with Pallas lanes the whole program (lane
+    objectives + the Brent while-loop) runs under shard_map: every
+    device advances the SAME lock-step Brent against psum'd objective
+    values — the reference's all-ranks-evaluate-in-the-same-order
+    invariant (opt_algorithms.c:1043-1252) by construction. XLA-engine
+    lanes need no wrapper (GSPMD shards them from the input shardings).
+    """
+    wrap_mesh = mesh is not None and any(
+        kind in ("resident", "fused") for kind, _ in kinds_statics)
+    key = (family_key, kinds_statics, mesh if wrap_mesh else None,
+           axis_name if wrap_mesh else None,
+           tuple(engine_mod._mesh_spec_sig(p) for p in parts)
+           if wrap_mesh else None)
     prog = _BRENT_PROGRAMS.get(key)
     if prog is not None:
         return prog
@@ -268,10 +295,25 @@ def _brent_onedim_program(family_key, make_fn, kinds_statics):
             for k, ev in enumerate(evs):
                 p2, b2 = make_fn(parts[k], brls[k], xs[k])
                 vals.append(ev(p2, b2, arrays[k]))
-            return -jnp.stack(vals)
+            v = -jnp.stack(vals)
+            if wrap_mesh:
+                v = jax.lax.psum(v, axis_name)
+            return v
 
         return minimize_brent_multi(obj, xmin, xmax, x0=x0, tol=tol)
 
+    if wrap_mesh:
+        from functools import partial as _partial
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from pllmod_tpu.parallel.sharding import partition_specs
+        pspecs = tuple(partition_specs(p, axis_name) for p in parts)
+        aspecs = tuple(engine_mod.lane_arr_specs(kind, axis_name)
+                       for kind, _ in kinds_statics)
+        run = _partial(shard_map, mesh=mesh,
+                       in_specs=(pspecs, tuple(P() for _ in parts), aspecs,
+                                 P(), P(), P(), P()),
+                       out_specs=(P(), P()), check_vma=False)(run)
     prog = jax.jit(run)
     _BRENT_PROGRAMS[key] = prog
     return prog
@@ -321,7 +363,8 @@ def _opt_onedim(treeinfo, make_partition, get_x0, xmin, xmax, mask_bit,
         brls.append(jnp.asarray(np.asarray(src, part.dtype)))
         arrays.append(arr)
         ks.append((kind, st))
-    prog = _brent_onedim_program(fam_key, make_fn, tuple(ks))
+    prog = _brent_onedim_program(fam_key, make_fn, tuple(ks), parts,
+                                 treeinfo.mesh, treeinfo.mesh_axis)
     if get_x0_i is not None:
         x0 = jnp.stack([jnp.asarray(get_x0_i(i), dtype) for i, _ in sel])
     else:

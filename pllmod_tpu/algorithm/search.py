@@ -106,6 +106,11 @@ def ml_search(treeinfo, *, radius_min: int = 1, radius_step: int = 5,
         treeinfo.brlen_scalers = ti2.brlen_scalers
         treeinfo.params_to_optimize = ti2.params_to_optimize
         treeinfo.brlen_linkage = ti2.brlen_linkage
+        if treeinfo.mesh is not None:
+            # restore the distributed layout: checkpoints hold host
+            # arrays, the resumed search keeps running sharded
+            from pllmod_tpu.parallel import shard_treeinfo
+            shard_treeinfo(treeinfo, treeinfo.mesh, treeinfo.mesh_axis)
         ck_state = json.loads(extra.decode())
 
     def save_ck(mode, cur_radius, rounds, lnl, start_lnl):

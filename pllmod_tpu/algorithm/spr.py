@@ -87,6 +87,88 @@ def _prob_matrices_jit(partition, brlens):
     return partition.prob_matrices(brlens)
 
 
+# shard_map wrappers for the Pallas paths under a site mesh
+# (treeinfo.mesh set by parallel.shard_treeinfo). The XLA scorer and CLV
+# builds shard transparently via GSPMD and need no entries here.
+_SHARDED_SPR_CACHE: dict = {}
+
+
+def _sharded_prog(key, build):
+    prog = _SHARDED_SPR_CACHE.get(key)
+    if prog is None:
+        prog = _SHARDED_SPR_CACHE[key] = build()
+        if len(_SHARDED_SPR_CACHE) > 16:
+            _SHARDED_SPR_CACHE.pop(next(iter(_SHARDED_SPR_CACHE)))
+    return prog
+
+
+def _fused_clvs_brl_sharded(mesh, axis, partition, brl, idx8, e1, e2,
+                            n_slots: int, interp: bool):
+    """Full-tree directed CLVs through the megakernel under shard_map:
+    each device traverses its pattern shard; the returned standard-layout
+    buffers stay pattern-sharded for the downstream scorer."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
+
+    def build():
+        pspecs = partition_specs(partition, axis)
+
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(), P()),
+                  out_specs=(P(None, axis, None, None), P(None, axis)),
+                  check_vma=False)
+        def body(part, brl, i8, a, b):
+            return _fused_clvs_brl(part, brl, i8, a, b, n_slots, interp)
+
+        return body
+
+    prog = _sharded_prog(("clvs", mesh, axis, n_slots, interp,
+                          _spec_sig(partition)), build)
+    return prog(partition, brl, idx8, e1, e2)
+
+
+def _score_all_regrafts_sharded(mesh, axis, partition, ops_R, brlens_R,
+                                clv_S, scaler_S, t_s, edge_ref, edge_mask,
+                                half_len, fused_idx, fused_nslots: int,
+                                fused_interp: bool):
+    """Fast-mode batched regraft scoring under shard_map: remainder-tree
+    megakernel CLVs per pattern shard, per-edge site sums psum'd (the
+    per-candidate analog of the reference's reduce seam)."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
+
+    def build():
+        pspecs = partition_specs(partition, axis)
+
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(axis, None, None),
+                            P(axis), P(), P(), P(), P(),
+                            (P(), P(), P())),
+                  out_specs=P(), check_vma=False)
+        def body(part, opsR, brlR, cS, sS, ts, eref, emask, hl, fidx):
+            lnls = _score_all_regrafts(
+                part, opsR, brlR, cS, sS, ts, eref, emask, hl,
+                fused_idx=fidx, fused_nslots=fused_nslots,
+                fused_interp=fused_interp)
+            # psum the live-edge site sums; masked slots are -inf on
+            # every shard (psum keeps them -inf)
+            return jax.lax.psum(jnp.where(emask, lnls, 0.0), axis) + \
+                jnp.where(emask, 0.0, -jnp.inf)
+
+        return body
+
+    prog = _sharded_prog(("score", mesh, axis, fused_nslots, fused_interp,
+                          _spec_sig(partition)), build)
+    return prog(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
+                edge_ref, edge_mask, half_len, fused_idx)
+
+
 @jax.jit
 def _subtree_clv_slot(clvs_f, scalers_f, slot):
     """Slice one directed-CLV slot with a TRACED index: every candidate
@@ -376,6 +458,9 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     part_idx = list(treeinfo.local_indices())
     # batched scoring currently drives one partition at a time and sums
     n_edge_slots = len(tree.edge_nodes)
+    # site-sharded execution (parallel.shard_treeinfo): Pallas paths run
+    # through the shard_map wrappers above; XLA paths shard via GSPMD
+    mesh, mesh_axis = treeinfo.mesh, treeinfo.mesh_axis
 
     for i in part_idx:
         if treeinfo.partitions[i].eigen_lam is None:
@@ -454,9 +539,14 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                         fused_full = pallas_clv.compile_fused_ops(
                             part, trav_full.ops)
                     fi, fe1, fe2, fns = fused_full
-                    full_clvs[i] = _fused_clvs_brl(
-                        part, brl_full, fi, fe1, fe2, fns,
-                        engine_mod.fast_kernel_interpret())
+                    if mesh is not None:
+                        full_clvs[i] = _fused_clvs_brl_sharded(
+                            mesh, mesh_axis, part, brl_full, fi, fe1,
+                            fe2, fns, engine_mod.fast_kernel_interpret())
+                    else:
+                        full_clvs[i] = _fused_clvs_brl(
+                            part, brl_full, fi, fe1, fe2, fns,
+                            engine_mod.fast_kernel_interpret())
                     full_fast[i] = True
                 else:
                     P_full = _prob_matrices_jit(part, brl_full)
@@ -527,8 +617,13 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                                      fast=full_fast[i])
                 cS_tup.append(cS)
                 sS_tup.append(sS)
+            # under a mesh the thorough (triplet-Newton) scorer runs the
+            # XLA pipeline — GSPMD shards it from the input shardings;
+            # the per-edge in-vmap Newton has no per-iteration psum seam
+            # in the pallas path
             fargs = _fused_R_args(parts[0], ops_R, trav_full) \
-                if all(full_fast[i] for i in part_idx) else {}
+                if (mesh is None and all(full_fast[i] for i in part_idx)) \
+                else {}
             scores, ts, tx, ty = _score_all_regrafts_thorough(
                 parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
                 t_s0, edge_ref, mask_j, halves,
@@ -550,9 +645,16 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                     fargs = fargs_shared
                 else:
                     fargs = {}
-                score_parts.append(_score_all_regrafts(
-                    part, ops_R_j, brl_R, cS, sS, t_s0,
-                    edge_ref, mask_j, halves, **fargs))
+                if mesh is not None and fargs:
+                    score_parts.append(_score_all_regrafts_sharded(
+                        mesh, mesh_axis, part, ops_R_j, brl_R, cS, sS,
+                        t_s0, edge_ref, mask_j, halves,
+                        fargs["fused_idx"], fargs["fused_nslots"],
+                        fargs["fused_interp"]))
+                else:
+                    score_parts.append(_score_all_regrafts(
+                        part, ops_R_j, brl_R, cS, sS, t_s0,
+                        edge_ref, mask_j, halves, **fargs))
 
         if not score_parts:
             return None

@@ -274,17 +274,24 @@ class LruCache(dict):
 _TIP_PLANES_CACHE: LruCache = LruCache(maxsize=4)
 
 
-def tip_planes_cached(partition):
+def tip_planes_cached(partition, mesh=None, axis_name=None):
     """Cached :func:`pllmod_tpu.ops.pallas_resident.expanded_tip_planes`
-    for this partition's alignment (see cache note above)."""
+    for this partition's alignment (see cache note above). Under a site
+    mesh the planes are committed pattern-sharded ([tips, CS, Ppad] on
+    the last axis) so the shard_map programs don't reshard them per
+    call."""
     key = (id(partition.tip_states), id(partition.code_clv),
-           partition.n_cats, partition.states)
+           partition.n_cats, partition.states, mesh, axis_name)
     ent = _TIP_PLANES_CACHE.get(key)
     if (ent is None or ent[0] is not partition.tip_states
             or ent[1] is not partition.code_clv):
         from pllmod_tpu.ops import pallas_resident
-        ent = (partition.tip_states, partition.code_clv,
-               pallas_resident.expanded_tip_planes(partition))
+        planes = pallas_resident.expanded_tip_planes(partition)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            planes = jax.device_put(
+                planes, NamedSharding(mesh, P(None, None, axis_name)))
+        ent = (partition.tip_states, partition.code_clv, planes)
         _TIP_PLANES_CACHE[key] = ent
     return ent[2]
 
@@ -301,11 +308,13 @@ def tip_planes_cached(partition):
 _MULTI_EVAL_PROGRAMS: LruCache = LruCache(maxsize=32)
 
 
-def fast_lane_args(partition, tree):
+def fast_lane_args(partition, tree, mesh=None, axis_name=None):
     """(kind, arrays, statics) for one partition's lane of a combined
     fast-kernel program (multi_eval here; the cached whole-Brent
     optimizer programs reuse the same layout). ``arrays`` are traced
-    program inputs, ``statics`` the jit-cache key components."""
+    program inputs, ``statics`` the jit-cache key components.
+    ``mesh``/``axis_name``: commit pattern-indexed lane arrays (the
+    resident tip planes) to their mesh sharding."""
     from pllmod_tpu.ops import pallas_clv, pallas_resident
     interp = fast_kernel_interpret()
     split = use_split_clv(partition)
@@ -314,7 +323,7 @@ def fast_lane_args(partition, tree):
             partition, tree,
             n_slots_min=pallas_resident.resident_slot_bound(
                 partition.n_tips))
-        tip_hi = tip_planes_cached(partition)
+        tip_hi = tip_planes_cached(partition, mesh, axis_name)
         return ("resident", (idx8, e1, e2, tip_hi),
                 (n_slots, interp, split))
     # fuse_root=False + DYNAMIC root refs: the root row is appended
@@ -354,7 +363,20 @@ def lane_ev(kind, statics):
     return ev
 
 
-def multi_eval(parts, brls, artifacts, kinds_statics):
+def lane_arr_specs(kind, axis_name):
+    """shard_map in_specs for one lane's artifact arrays: everything
+    replicated except pattern-indexed planes (the resident tip planes,
+    [tips, CS, Ppad] sharded on patterns)."""
+    from jax.sharding import PartitionSpec as P
+    if kind == "resident":
+        return (P(), P(), P(), P(None, None, axis_name))
+    if kind == "fused":
+        return (P(), P(), P(), P())
+    return (P(), P())            # scan: (ops, root-ref ints)
+
+
+def multi_eval(parts, brls, artifacts, kinds_statics, mesh=None,
+               axis_name=None):
     """Evaluate K fast-kernel partitions in one jitted program.
 
     Args:
@@ -363,20 +385,49 @@ def multi_eval(parts, brls, artifacts, kinds_statics):
       artifacts: list of per-lane arrays from :func:`fast_lane_args`
       kinds_statics: tuple of per-partition (kind, statics) — the
         program-cache key
+      mesh/axis_name: when given, the program runs under shard_map on
+        the site mesh — each device evaluates every lane's kernels on
+        its local pattern shard, and the per-lane site sums psum over
+        the mesh (the reference's parallel_reduce_cb seam,
+        treeinfo.c:1061-1067)
     Returns:
       [K] per-partition logL (one dispatch, one sync)
     """
-    prog = _MULTI_EVAL_PROGRAMS.get(kinds_statics)
+    key = (kinds_statics, mesh, axis_name,
+           tuple(_mesh_spec_sig(p) for p in parts) if mesh else None)
+    prog = _MULTI_EVAL_PROGRAMS.get(key)
     if prog is None:
         evs = [lane_ev(kind, st) for kind, st in kinds_statics]
 
         def run(parts, brls, arrays):
-            return jnp.stack([ev(parts[k], brls[k], arrays[k])
+            lnls = jnp.stack([ev(parts[k], brls[k], arrays[k])
                               for k, ev in enumerate(evs)])
+            if mesh is not None:
+                lnls = jax.lax.psum(lnls, axis_name)
+            return lnls
 
+        if mesh is not None:
+            from functools import partial as _partial
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from pllmod_tpu.parallel.sharding import partition_specs
+            pspecs = tuple(partition_specs(p, axis_name) for p in parts)
+            aspecs = tuple(lane_arr_specs(kind, axis_name)
+                           for kind, _ in kinds_statics)
+            run = _partial(shard_map, mesh=mesh,
+                           in_specs=(pspecs, tuple(P() for _ in parts),
+                                     aspecs),
+                           out_specs=P(), check_vma=False)(run)
         prog = jax.jit(run)
-        _MULTI_EVAL_PROGRAMS[kinds_statics] = prog
+        _MULTI_EVAL_PROGRAMS[key] = prog
     return prog(tuple(parts), tuple(brls), tuple(artifacts))
+
+
+def _mesh_spec_sig(partition):
+    """Optional-field signature for shard_map spec pytrees (the in_specs
+    structure must match the partition pytree structure)."""
+    return tuple(f for f in ("eigen_lam", "eigen_V", "eigen_Vinv")
+                 if getattr(partition, f) is not None)
 
 
 def compile_fast_eval(partition, tree, root_edge=None, n_slots_min=None,

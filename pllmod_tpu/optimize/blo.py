@@ -255,23 +255,29 @@ def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
 
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp",
-                                   "fused_newton"))
+                                   "fused_newton", "axis_name"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
                max_newton_iters: int = 10, fused_idx=None,
                fused_nslots=None, fused_interp=False, eref6=None,
-               fused_newton: bool = False):
+               fused_newton: bool = False, axis_name=None):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens).
 
     ``edge_mask`` doubles as the update selector: a color sub-sweep
-    passes only its color class (see :func:`_edge_colors`)."""
+    passes only its color class (see :func:`_edge_colors`).
+
+    ``axis_name``: running under shard_map on a site mesh — per-shard
+    sumtables, with every Newton iteration's (df, ddf) and the sweep
+    logL psum-reduced (the reference's per-iteration collective,
+    pll_optimize.c:1270-1286). The in-kernel fused Newton cannot psum
+    per iteration, so sharded sweeps use the iterative path."""
     live_idx = jnp.argmax(edge_mask)               # any live edge
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
         st, sc, eigen, lnB = _deriv_pipeline_fast(
             partition, brlens, fused_idx, fused_nslots, fused_interp,
             eref6)
-        if fused_newton:
+        if fused_newton and axis_name is None:
             # fused per-edge Newton: whole bracketed optimization per
             # edge against its VMEM-resident sumtable row — ONE st read
             # total instead of one per Newton iteration (the measured
@@ -309,16 +315,28 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                 partition, st, sc, t, eigen)
             return df, ddf
 
+    if axis_name is not None:
+        _local_deriv = deriv_fn
+
+        def deriv_fn(t):
+            df, ddf = _local_deriv(t)
+            return (jax.lax.psum(df, axis_name),
+                    jax.lax.psum(ddf, axis_name))
+
+        lnl0 = jax.lax.psum(lnl0, axis_name)
+
     t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
 @partial(jax.jit, static_argnames=("n_slots", "fused_nslots",
-                                   "fused_interp", "fused_newton"))
+                                   "fused_interp", "fused_newton",
+                                   "axis_name"))
 def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
             n_slots: int, fused_idx=None, fused_nslots=None,
-            fused_interp=False, eref6=None, fused_newton: bool = False):
+            fused_interp=False, eref6=None, fused_newton: bool = False,
+            axis_name=None):
     # fused_newton is accepted (callers splat _fused_args) but unused:
     # a bare logL evaluation has no Newton loop
     if eref6 is not None:
@@ -328,7 +346,10 @@ def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
             eref6)
         lnl_all, _, _ = pallas_deriv.edge_derivatives_pallas(
             partition, st, sc, brlens, eigen, lnB, fused_interp)
-        return lnl_all[jnp.argmax(edge_mask)].astype(brlens.dtype)
+        lnl = lnl_all[jnp.argmax(edge_mask)].astype(brlens.dtype)
+        if axis_name is not None:
+            lnl = jax.lax.psum(lnl, axis_name)
+        return lnl
     P = partition.prob_matrices(brlens)
     fused = None if fused_nslots is None else (
         fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
@@ -349,13 +370,13 @@ def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
 
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp",
-                                   "fused_newton"))
+                                   "fused_newton", "axis_name"))
 def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
                      n_slots: int, max_newton_iters: int = 10,
                      fused_idx=None, fused_nslots=None,
                      fused_interp=False, eref6=None,
-                     fused_newton: bool = False):
+                     fused_newton: bool = False, axis_name=None):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -382,7 +403,7 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
             sc_all.append(sc)
             eig_all.append(eigen)
             lnb_all.append(lnB)
-        if fused_newton:
+        if fused_newton and axis_name is None:
             # multi-partition fused Newton: every partition's sumtable
             # row for an edge resident in VMEM at once; per-iteration
             # (lnl, df, ddf) accumulate over partitions IN-KERNEL with
@@ -431,8 +452,13 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                     part, st, sc, t * s, eigen)
             df_tot = df_tot + df * s
             ddf_tot = ddf_tot + ddf * s * s
+        if axis_name is not None:
+            df_tot = jax.lax.psum(df_tot, axis_name)
+            ddf_tot = jax.lax.psum(ddf_tot, axis_name)
         return df_tot, ddf_tot
 
+    if axis_name is not None:
+        lnl0 = jax.lax.psum(lnl0, axis_name)
     t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
     return jnp.where(edge_mask, t_opt, brlens), lnl0
@@ -516,16 +542,18 @@ def _driver_loop(sweep_fn, final_fn, brlens, color_masks, tolerance,
 
 @partial(jax.jit, static_argnames=("n_slots", "n_polish",
                                    "max_newton_iters", "fused_nslots",
-                                   "fused_interp", "fused_newton"))
+                                   "fused_interp", "fused_newton",
+                                   "axis_name"))
 def _blo_run(partition, levels, offsets, edge_ref, color_masks, edge_mask,
              brlens, min_brlen, max_brlen, tol, tolerance, n_slots: int,
              max_sweeps=32, n_polish: int = 4,
              max_newton_iters: int = 10, fused_idx=None, fused_nslots=None,
-             fused_interp=False, eref6=None, fused_newton: bool = False):
+             fused_interp=False, eref6=None, fused_newton: bool = False,
+             axis_name=None):
     """Whole single-partition BLO driver as ONE device program."""
     fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
                  fused_interp=fused_interp, eref6=eref6,
-                 fused_newton=fused_newton)
+                 fused_newton=fused_newton, axis_name=axis_name)
 
     def sweep_fn(brl, cm):
         return _blo_sweep(partition, levels, offsets, edge_ref, cm, brl,
@@ -542,19 +570,20 @@ def _blo_run(partition, levels, offsets, edge_ref, color_masks, edge_mask,
 
 @partial(jax.jit, static_argnames=("n_slots",
                                    "max_newton_iters", "fused_nslots",
-                                   "fused_interp", "fused_newton"))
+                                   "fused_interp", "fused_newton",
+                                   "axis_name"))
 def _blo_run_multi(partitions, scalers, levels, offsets, edge_ref,
                    edge_mask, brlens, min_brlen, max_brlen, tol,
                    tolerance, n_slots: int, max_sweeps=32,
                    max_newton_iters: int = 10, fused_idx=None,
                    fused_nslots=None, fused_interp=False, eref6=None,
-                   fused_newton: bool = False):
+                   fused_newton: bool = False, axis_name=None):
     """Whole multi-partition (LINKED/SCALED) BLO driver as ONE device
     program (plain Jacobi sweeps, no colors — mirrors the host
     :func:`optimize_branch_lengths_treeinfo` loop)."""
     fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
                  fused_interp=fused_interp, eref6=eref6,
-                 fused_newton=fused_newton)
+                 fused_newton=fused_newton, axis_name=axis_name)
 
     def sweep_fn(brl, cm):
         return _blo_sweep_multi(partitions, scalers, levels, offsets,
@@ -571,6 +600,94 @@ def _blo_run_multi(partitions, scalers, levels, offsets, edge_ref,
 
     return _driver_loop(sweep_fn, final_fn, brlens, edge_mask[None],
                         tolerance, max_sweeps, n_polish=0)
+
+
+# shard_map-wrapped on-device BLO drivers for the fused pipeline under a
+# site mesh (the XLA fallback path needs no wrapper: GSPMD shards it from
+# the partition input shardings). Cached per (mesh, statics) — each entry
+# is a compiled whole-smoothing program.
+_SHARDED_RUN_CACHE: dict = {}
+
+
+def _blo_run_sharded(mesh, axis_name, partition, edge_ref, color_masks,
+                     edge_mask, brlens, min_brlen, max_brlen, tol,
+                     tolerance, max_sweeps, n_polish, max_newton_iters,
+                     fused_idx, fused_nslots, fused_interp, eref6):
+    """:func:`_blo_run` under shard_map: every device runs the whole
+    smoothing driver on its pattern shard, with (df, ddf, logL) psums at
+    the seams (``axis_name`` plumbed into the sweeps). The fused
+    per-edge Newton kernel is disabled (it cannot psum per iteration);
+    sharded sweeps use the iterative pipeline."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
+
+    key = ("single", mesh, axis_name, n_polish, max_newton_iters,
+           fused_nslots, fused_interp, _spec_sig(partition))
+    prog = _SHARDED_RUN_CACHE.get(key)
+    if prog is None:
+        pspecs = partition_specs(partition, axis_name)
+
+        def run(part, eref, cmasks, emask, brl, mn, mx, tl, tolc, msw,
+                fidx, er6):
+            return _blo_run(
+                part, (), (), eref, cmasks, emask, brl, mn, mx, tl, tolc,
+                0, msw, n_polish=n_polish,
+                max_newton_iters=max_newton_iters, fused_idx=fidx,
+                fused_nslots=fused_nslots, fused_interp=fused_interp,
+                eref6=er6, fused_newton=False, axis_name=axis_name)
+
+        body = _partial(shard_map, mesh=mesh,
+                        in_specs=(pspecs, P(), P(), P(), P(), P(), P(),
+                                  P(), P(), P(), (P(), P(), P()), P()),
+                        out_specs=(P(), P()), check_vma=False)(run)
+        prog = jax.jit(body)
+        if len(_SHARDED_RUN_CACHE) > 16:
+            _SHARDED_RUN_CACHE.pop(next(iter(_SHARDED_RUN_CACHE)))
+        _SHARDED_RUN_CACHE[key] = prog
+    return prog(partition, edge_ref, color_masks, edge_mask, brlens,
+                min_brlen, max_brlen, tol, tolerance,
+                jnp.asarray(max_sweeps, jnp.int32), fused_idx, eref6)
+
+
+def _blo_run_multi_sharded(mesh, axis_name, partitions, scalers, edge_ref,
+                           edge_mask, brlens, min_brlen, max_brlen, tol,
+                           tolerance, max_sweeps, max_newton_iters,
+                           fused_idx, fused_nslots, fused_interp, eref6):
+    """:func:`_blo_run_multi` under shard_map (see _blo_run_sharded)."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
+
+    key = ("multi", mesh, axis_name, max_newton_iters, fused_nslots,
+           fused_interp, tuple(_spec_sig(p) for p in partitions))
+    prog = _SHARDED_RUN_CACHE.get(key)
+    if prog is None:
+        pspecs = tuple(partition_specs(p, axis_name) for p in partitions)
+
+        def run(parts, scls, eref, emask, brl, mn, mx, tl, tolc, msw,
+                fidx, er6):
+            return _blo_run_multi(
+                parts, scls, (), (), eref, emask, brl, mn, mx, tl, tolc,
+                0, msw, max_newton_iters=max_newton_iters, fused_idx=fidx,
+                fused_nslots=fused_nslots, fused_interp=fused_interp,
+                eref6=er6, fused_newton=False, axis_name=axis_name)
+
+        body = _partial(shard_map, mesh=mesh,
+                        in_specs=(pspecs,
+                                  tuple(P() for _ in partitions),
+                                  P(), P(), P(), P(), P(), P(), P(), P(),
+                                  (P(), P(), P()), P()),
+                        out_specs=(P(), P()), check_vma=False)(run)
+        prog = jax.jit(body)
+        if len(_SHARDED_RUN_CACHE) > 16:
+            _SHARDED_RUN_CACHE.pop(next(iter(_SHARDED_RUN_CACHE)))
+        _SHARDED_RUN_CACHE[key] = prog
+    return prog(tuple(partitions), tuple(scalers), edge_ref, edge_mask,
+                brlens, min_brlen, max_brlen, tol, tolerance,
+                jnp.asarray(max_sweeps, jnp.int32), fused_idx, eref6)
 
 
 def _use_ondevice_driver(on_device, fargs) -> bool:
@@ -621,7 +738,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                             edges=None, radius: int | None = None,
                             around_edge: int | None = None,
                             colored: bool = True,
-                            on_device: bool | None = None):
+                            on_device: bool | None = None,
+                            mesh=None, mesh_axis=None):
     """Optimize branch lengths of ``tree`` under ``partition``.
 
     Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
@@ -641,6 +759,11 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     after an SPR move, pll_optimize.c:1633-1712): pass ``edges`` (an
     iterable of edge ids) or ``around_edge`` + ``radius`` (BFS distance
     over the topology) to optimize only that subset; the rest stay fixed.
+
+    ``mesh``/``mesh_axis``: site-sharded execution (parallel.shard_
+    treeinfo): the fused pipeline runs under shard_map with psum'd
+    Newton derivatives (pll_optimize.c:1270-1286's per-iteration
+    reduce); the XLA fallback shards transparently via GSPMD.
 
     Returns (brlens [n_edge_slots], logL) — and writes the optimized
     lengths back into ``tree`` unless ``write_back=False``.
@@ -686,12 +809,25 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         # whole smoothing driver (sweeps + damping + polish + final eval)
         # as ONE device program — identical semantics to the host loop
         # below, minus ~130 per-sub-sweep dispatch/sync round trips
-        best_brlens, best_lnl = _blo_run(
-            partition, levels, offsets, edge_ref,
-            jnp.stack(sweep_masks), edge_mask, brlens,
-            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), jnp.asarray(tolerance, dtype),
-            n_slots, max_sweeps=max_sweeps, **fargs)
+        if mesh is not None and fargs:
+            best_brlens, best_lnl = _blo_run_sharded(
+                mesh, mesh_axis, partition, edge_ref,
+                jnp.stack(sweep_masks), edge_mask, brlens,
+                jnp.asarray(min_brlen, dtype),
+                jnp.asarray(max_brlen, dtype),
+                jnp.asarray(newton_tol, dtype),
+                jnp.asarray(tolerance, dtype), max_sweeps, 4, 10,
+                fargs["fused_idx"], fargs["fused_nslots"],
+                fargs["fused_interp"], fargs["eref6"])
+        else:
+            best_brlens, best_lnl = _blo_run(
+                partition, levels, offsets, edge_ref,
+                jnp.stack(sweep_masks), edge_mask, brlens,
+                jnp.asarray(min_brlen, dtype),
+                jnp.asarray(max_brlen, dtype),
+                jnp.asarray(newton_tol, dtype),
+                jnp.asarray(tolerance, dtype),
+                n_slots, max_sweeps=max_sweeps, **fargs)
         best_lnl = float(best_lnl)
         if write_back:
             tree.lengths = np.asarray(best_brlens, np.float64).copy()
@@ -945,6 +1081,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     from pllmod_tpu.common import BRLEN_UNLINKED, BRLEN_SCALED
 
     tree = treeinfo.tree
+    mesh, mesh_axis = treeinfo.mesh, treeinfo.mesh_axis
     if treeinfo.brlen_linkage == BRLEN_UNLINKED:
         total = 0.0
         for i in treeinfo.local_indices():
@@ -954,7 +1091,8 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
             _, lnl = optimize_branch_lengths(
                 part, t, max_sweeps=max_sweeps, tolerance=tolerance,
                 min_brlen=min_brlen, max_brlen=max_brlen,
-                newton_tol=newton_tol, on_device=on_device)
+                newton_tol=newton_tol, on_device=on_device,
+                mesh=mesh, mesh_axis=mesh_axis)
             treeinfo.brlens[i] = t.lengths
             treeinfo.partition_loglh[i] = lnl
             total += lnl
@@ -984,12 +1122,26 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
     brlens = jnp.asarray(np.clip(tree.lengths, min_brlen, max_brlen), dtype)
 
     if _use_ondevice_driver(on_device, fargs):
-        best_brlens, best_lnl = _blo_run_multi(
-            parts, tuple(jnp.asarray(s, dtype) for s in scalers),
-            levels, offsets, edge_ref, edge_mask, brlens,
-            jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), jnp.asarray(tolerance, dtype),
-            n_slots, max_sweeps=max_sweeps, **fargs)
+        if mesh is not None and fargs:
+            best_brlens, best_lnl = _blo_run_multi_sharded(
+                mesh, mesh_axis, parts,
+                tuple(jnp.asarray(s, dtype) for s in scalers),
+                edge_ref, edge_mask, brlens,
+                jnp.asarray(min_brlen, dtype),
+                jnp.asarray(max_brlen, dtype),
+                jnp.asarray(newton_tol, dtype),
+                jnp.asarray(tolerance, dtype), max_sweeps, 10,
+                fargs["fused_idx"], fargs["fused_nslots"],
+                fargs["fused_interp"], fargs["eref6"])
+        else:
+            best_brlens, best_lnl = _blo_run_multi(
+                parts, tuple(jnp.asarray(s, dtype) for s in scalers),
+                levels, offsets, edge_ref, edge_mask, brlens,
+                jnp.asarray(min_brlen, dtype),
+                jnp.asarray(max_brlen, dtype),
+                jnp.asarray(newton_tol, dtype),
+                jnp.asarray(tolerance, dtype),
+                n_slots, max_sweeps=max_sweeps, **fargs)
         tree.lengths = np.asarray(best_brlens, np.float64).copy()
         return float(best_lnl)
 

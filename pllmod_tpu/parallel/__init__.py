@@ -13,6 +13,7 @@ from pllmod_tpu.parallel.sharding import (  # noqa: F401
     SITES_AXIS,
     make_mesh,
     shard_partition,
+    shard_treeinfo,
     replicate,
 )
 from pllmod_tpu.parallel.partition_dp import (  # noqa: F401

@@ -70,6 +70,33 @@ def shard_partition(partition, mesh: Mesh, axis_name: str = SITES_AXIS):
     )
 
 
+def shard_treeinfo(treeinfo, mesh: Mesh, axis_name: str = SITES_AXIS):
+    """Distribute a TreeInfo over a site mesh: every local partition's
+    pattern axis is sharded across the devices and the mesh is recorded
+    on the treeinfo — from then on EVERY driver (compute_loglh,
+    opt_model's Brent/L-BFGS lane programs, the BLO smoothing driver,
+    spr_round, ml_search) executes against the sharded arrays with the
+    per-evaluation site reduction riding a psum, the reference's single
+    distributed contract threaded through all its drivers
+    (parallel_reduce_cb at treeinfo.c:1061-1067; per-Newton-iteration
+    reduces at pll_optimize.c:1270-1286; lock-step optimizer instances at
+    opt_algorithms.c:542-807, algo_callback.c:353-359).
+
+    The XLA engines need no wrappers — jit propagates the input
+    shardings and GSPMD inserts the collectives; the Pallas production
+    kernels run under shard_map wrappers keyed off ``treeinfo.mesh``
+    (engine.multi_eval / the Brent lane programs / the on-device BLO
+    driver). Returns the treeinfo (modified in place).
+    """
+    for i in range(treeinfo.n_partitions):
+        if treeinfo.partitions[i] is not None:
+            treeinfo.partitions[i] = shard_partition(
+                treeinfo.partitions[i], mesh, axis_name)
+    treeinfo.mesh = mesh
+    treeinfo.mesh_axis = axis_name
+    return treeinfo
+
+
 def partition_specs(partition, axis_name: str = SITES_AXIS):
     """PartitionSpec pytree for a Partition: pattern axes sharded on
     ``axis_name``, model parameters replicated."""

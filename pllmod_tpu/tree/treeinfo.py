@@ -72,6 +72,11 @@ class TreeInfo:
         # CLV-op counters (treeinfo->counter analog, treeinfo.c:1017)
         from pllmod_tpu.profile import Counters
         self.counters = Counters()
+        # distributed execution: set by parallel.shard_treeinfo — every
+        # driver consults these to route Pallas paths through shard_map
+        # (the XLA engines shard transparently via GSPMD)
+        self.mesh = None
+        self.mesh_axis = None
 
     # ------------------------------------------------------------------
     @property
@@ -173,7 +178,9 @@ class TreeInfo:
             multi = [] if incremental else [
                 i for i in self.local_indices()
                 if engine_mod.use_fast_kernel(self.partitions[i])]
-            if len(multi) >= 2:
+            # under a site mesh even a single fast partition routes
+            # through the (shard_map-wrapped) combined program
+            if len(multi) >= 2 or (self.mesh is not None and multi):
                 lnls = self._fast_eval_multi(multi, ops, ri)
                 for k, i in enumerate(multi):
                     self.partition_loglh[i] = float(lnls[k])
@@ -261,10 +268,12 @@ class TreeInfo:
         for i in idxs:
             part = self.partitions[i]
             fkey = (ops.tobytes(), ri, part.n_tips,
-                    part.n_cats * part.states, id(part.tip_states))
+                    part.n_cats * part.states, id(part.tip_states),
+                    self.mesh)
             ent = lc.get(i)
             if ent is None or ent[0] != fkey:
-                ent = (fkey, engine_mod.fast_lane_args(part, self.tree))
+                ent = (fkey, engine_mod.fast_lane_args(
+                    part, self.tree, self.mesh, self.mesh_axis))
                 lc[i] = ent
             kind, arr, st = ent[1]
             parts.append(part)
@@ -273,7 +282,7 @@ class TreeInfo:
             arts.append(arr)
             ks.append((kind, st))
         return np.asarray(engine_mod.multi_eval(
-            parts, brls, arts, tuple(ks)))
+            parts, brls, arts, tuple(ks), self.mesh, self.mesh_axis))
 
     def _fast_eval(self, i, part, ops, ri):
         """Cached engine.compile_fast_eval closure for partition ``i``.
