@@ -49,10 +49,35 @@ _PREC = jax.lax.Precision.HIGHEST
 # results are bit-identical either way).
 FULL_CLV_REUSE = True
 
-# Adaptive speculative scoring dispatch (see the driver in spr_round).
-# False = strictly serial prepare->sync->decide; results are identical
-# either way (ablation/measurement knob).
+# Max prune candidates scored per device dispatch in fast mode: the
+# adaptive driver grows the batch 1 -> 2 -> ... -> limit while
+# candidates don't apply, and resets to 1 on an applied move (see the
+# driver in spr_round). None = auto: PLLMOD_SPR_BATCH env override,
+# else a live-buffer memory budget. 1 = the round-3 serial driver.
+SPR_BATCH_MAX: int | None = None
+
+# round-3 speculation knob — superseded by the batched driver (kept so
+# existing probes that toggle it don't crash; it has no effect).
 SPR_SPECULATE = True
+
+
+def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
+    """Auto batch bound: K candidates cost ~K·(stride + 2·E)·Ppad·C·S·4
+    bytes of live CLV buffer + gathered edge CLVs; budget ~1 GB."""
+    import os
+    env = os.environ.get("PLLMOD_SPR_BATCH")
+    if env:
+        return max(1, int(env))
+    if SPR_BATCH_MAX is not None:
+        return max(1, SPR_BATCH_MAX)
+    per = 0
+    for i in treeinfo.local_indices():
+        p = treeinfo.partitions[i]
+        per += ((stride + 2 * n_edge_slots) * p.n_patterns_padded
+                * p.n_cats * p.states * 4)
+    k = max(1, int((1 << 30) // max(per, 1)))
+    k = 1 << (k.bit_length() - 1)          # floor to a power of two
+    return int(min(16, k))
 
 
 @partial(jax.jit, static_argnames=("n_slots",))
@@ -370,6 +395,124 @@ def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
     return jnp.where(edge_mask, lnls, neg), ts, tx, ty
 
 
+@jax.jit
+def _gather_subtree_clvs(partition, clvs_f, scalers_f, refs):
+    """Pruned-subtree root CLVs for a BATCH of candidates in one gather:
+    ``refs`` int32 [K] node references into the full-tree directed
+    buffer (tips < n_tips, inner = n_tips + slot). Returns
+    ([K, P, C, S], [K, P])."""
+    return clv_mod.gather_node_clvs(partition, clvs_f, scalers_f, refs)
+
+
+@partial(jax.jit, static_argnames=("stride", "fused_nslots",
+                                   "fused_interp"))
+def _score_regrafts_batch(partition, ops_cat, brl_cat, clv_S_b, scaler_S_b,
+                          t_s_b, edge_ref_flat, edge_mask_b, half_flat,
+                          stride: int, fused_idx=None, fused_nslots=None,
+                          fused_interp=False):
+    """Fast-mode regraft scoring for K prune candidates in ONE program.
+
+    The K remainder trees' directed traversals are CONCATENATED into one
+    op table (candidate k's CLV slots offset by ``k*stride``, its edge /
+    P-matrix ids by ``k*E``), so one pruning pass — megakernel on TPU,
+    masked scan elsewhere — computes every candidate's remainder CLVs,
+    and one batched einsum scores all K x E regraft placements. This
+    removes the per-prune-candidate dispatch serialization that
+    dominates warm search rounds on the remote-TPU runtime (~30 ms
+    tunnel latency x ~100 candidates; the reference's equivalent loop is
+    the per-subnode queue at algo_search.c:901-1022).
+
+    Args:
+      ops_cat: int32 [K*n_ops_full, 5] concatenated+offset op tables
+      brl_cat: [K*E] per-candidate remainder branch lengths
+      clv_S_b / scaler_S_b: [K, P, C, S] / [K, P] pruned-subtree CLVs
+      t_s_b: [K] subtree attachment lengths
+      edge_ref_flat: int32 [K*E, 2] offset directed-CLV refs
+      edge_mask_b: bool [K, E]
+      half_flat: [K*E] attachment half-lengths
+      stride: CLV-slot stride between candidates (n_ops_full + 2)
+    Returns:
+      lnl [K, E] (-inf on masked edges)
+    """
+    dtype = partition.dtype
+    K, E = edge_mask_b.shape
+    Ppad = partition.n_patterns_padded
+    C, S = partition.n_cats, partition.states
+    P = partition.prob_matrices(brl_cat)                    # [K*E, C,S,S]
+    if fused_nslots is None:
+        init_clvs = jnp.zeros((K * stride + 1, Ppad, C, S), dtype)
+        init_scalers = jnp.zeros((K * stride + 1, Ppad), jnp.int32)
+        clvs, scalers = clv_mod.update_partials(partition, P, ops_cat,
+                                                init_clvs, init_scalers)
+    else:
+        from pllmod_tpu.ops import pallas_clv
+        idx8, e1, e2 = fused_idx
+        clvs, scalers = pallas_clv.update_partials_fused_std(
+            partition, P, idx8, e1, e2, fused_nslots, fused_interp)
+
+    P_s = partition.prob_matrices(t_s_b)                    # [K, C,S,S]
+    s_in = jnp.einsum("kpcj,kcij->kpci", clv_S_b, P_s,
+                      preferred_element_type=dtype, precision=_PREC)
+    fc = partition.freqs_per_cat()
+
+    A_x, sx = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                       edge_ref_flat[:, 0])  # [K*E,P,C,S]
+    A_y, sy = clv_mod.gather_node_clvs(partition, clvs, scalers,
+                                       edge_ref_flat[:, 1])
+    P_h = partition.prob_matrices(half_flat)                # [K*E, C,S,S]
+    u_x = jnp.einsum("epcj,ecij->epci", A_x, P_h,
+                     preferred_element_type=dtype, precision=_PREC)
+    u_y = jnp.einsum("epcj,ecij->epci", A_y, P_h,
+                     preferred_element_type=dtype, precision=_PREC)
+    per_cat = jnp.einsum("kpci,ci,kepci,kepci->kepc", s_in, fc,
+                         u_x.reshape(K, E, Ppad, C, S),
+                         u_y.reshape(K, E, Ppad, C, S),
+                         preferred_element_type=dtype, precision=_PREC)
+    sc_tot = (sx + sy).reshape(K, E, Ppad) + scaler_S_b[:, None, :]
+    lnl = jax.vmap(lambda lk, sc: lk_mod._site_lnl(partition, lk, sc))(
+        per_cat.reshape(K * E, Ppad, C), sc_tot.reshape(K * E, Ppad))
+    lnls = jnp.einsum("ep,p->e", lnl, partition.pattern_weights,
+                      precision=_PREC).reshape(K, E)
+    return jnp.where(edge_mask_b, lnls, -jnp.inf)
+
+
+def _score_regrafts_batch_sharded(mesh, axis, partition, ops_cat, brl_cat,
+                                  clv_S_b, scaler_S_b, t_s_b,
+                                  edge_ref_flat, edge_mask_b, half_flat,
+                                  stride: int, fused_idx,
+                                  fused_nslots: int, fused_interp: bool):
+    """:func:`_score_regrafts_batch` under shard_map on the site mesh
+    (per-shard remainder CLVs; psum'd per-edge site sums)."""
+    from functools import partial as _partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
+
+    def build():
+        pspecs = partition_specs(partition, axis)
+
+        @jax.jit
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, P(), P(), P(None, axis, None, None),
+                            P(None, axis), P(), P(), P(), P(),
+                            (P(), P(), P())),
+                  out_specs=P(), check_vma=False)
+        def body(part, opsc, brlc, cSb, sSb, tsb, eref, emaskb, hl, fidx):
+            lnls = _score_regrafts_batch(
+                part, opsc, brlc, cSb, sSb, tsb, eref, emaskb, hl,
+                stride=stride, fused_idx=fidx, fused_nslots=fused_nslots,
+                fused_interp=fused_interp)
+            return jax.lax.psum(jnp.where(emaskb, lnls, 0.0), axis) + \
+                jnp.where(emaskb, 0.0, -jnp.inf)
+
+        return body
+
+    prog = _sharded_prog(("score_b", mesh, axis, stride, fused_nslots,
+                          fused_interp, _spec_sig(partition)), build)
+    return prog(partition, ops_cat, brl_cat, clv_S_b, scaler_S_b, t_s_b,
+                edge_ref_flat, edge_mask_b, half_flat, fused_idx)
+
+
 @dataclasses.dataclass
 class SprEntry:
     """bestnode toplist entry (algo_search.c:70-346)."""
@@ -490,14 +633,15 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     full_fast: dict[int, bool] = {}
     dirty_nodes: set[int] = set()
 
-    def prepare(prune_edge, junction):
-        """Host build + scoring DISPATCH for one prune candidate (no
-        device sync). Returns a context for :func:`resolve`, or None if
-        the candidate is skipped. Safe to run speculatively before the
-        previous candidate's resolution: only ``resolve`` mutates the
-        tree, and the dirty-node validity protocol makes a rebuild done
-        here correct regardless of where apply boundaries land."""
-        nonlocal trav_full, full_clvs, full_fast
+    n_tips = tree.n_tips
+    n_ops_full = 3 * (n_tips - 2)
+    E = n_edge_slots
+    stride = n_ops_full + 2     # per-candidate CLV-slot stride (batch)
+
+    def host_build(prune_edge, junction):
+        """Host-only candidate construction (staleness + cutoff checks,
+        remainder tree, radius mask, directed traversal). No device
+        work, no tree mutation; None = candidate skipped."""
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         if u < 0 or junction not in (u, v):
             return None  # candidate went stale after an applied SPR
@@ -517,43 +661,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         if len(nbrs) != 2:
             return None
         (a, _ea), (b, _eb) = nbrs
-
         sub_nodes = moves.subtree_nodes(tree, prune_edge, sub_root)
-        reusable = (FULL_CLV_REUSE and trav_full is not None
-                    and not (dirty_nodes & sub_nodes)
-                    and (tree.is_tip(sub_root)
-                         or (sub_root, junction) in trav_full.slot_of))
-        if not reusable:
-            trav_full = DirectedTraversal(tree)
-            levels_f, offsets_f, _eref_f, n_slots_f = trav_full.schedule()
-            full_clvs = {}
-            full_fast = {}
-            fused_full = None
-            for i in part_idx:
-                part = treeinfo.partitions[i]
-                brl_full = jnp.asarray(np.asarray(
-                    treeinfo.partition_brlens(i), part.dtype))
-                if engine_mod.use_fast_kernel(part):
-                    from pllmod_tpu.ops import pallas_clv
-                    if fused_full is None:
-                        fused_full = pallas_clv.compile_fused_ops(
-                            part, trav_full.ops)
-                    fi, fe1, fe2, fns = fused_full
-                    if mesh is not None:
-                        full_clvs[i] = _fused_clvs_brl_sharded(
-                            mesh, mesh_axis, part, brl_full, fi, fe1,
-                            fe2, fns, engine_mod.fast_kernel_interpret())
-                    else:
-                        full_clvs[i] = _fused_clvs_brl(
-                            part, brl_full, fi, fe1, fe2, fns,
-                            engine_mod.fast_kernel_interpret())
-                    full_fast[i] = True
-                else:
-                    P_full = _prob_matrices_jit(part, brl_full)
-                    full_clvs[i] = _directed_clvs_sched(
-                        part, P_full, levels_f, offsets_f, n_slots_f)
-                    full_fast[i] = False
-            dirty_nodes.clear()
 
         # ---- remainder tree R: dissolve junction, drop subtree edges ----
         R = tree.copy()
@@ -575,92 +683,205 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         mask &= R.edge_nodes[:, 0] >= 0
         if not mask.any():
             return None
-
         trav_R = DirectedTraversal(R, root_tip=root_tip)
+        mask = mask & trav_R.edge_mask
+        if not mask.any():
+            return None
+        return dict(cand=(prune_edge, junction), prune_edge=prune_edge,
+                    junction=junction, a=a, b=b, R=R, mask=mask,
+                    trav_R=trav_R, sub_root=sub_root, sub_nodes=sub_nodes)
+
+    def ensure_full_clvs(builds):
+        """Full-tree directed CLVs for every build's pruned-subtree CLV,
+        under the dirty-node validity protocol (see module docstring):
+        rebuild once iff any build's subtree touches a dirty node."""
+        nonlocal trav_full, full_clvs, full_fast
+        need = trav_full is None or not FULL_CLV_REUSE
+        if not need:
+            for bld in builds:
+                if (dirty_nodes & bld["sub_nodes"]) or (
+                        not tree.is_tip(bld["sub_root"])
+                        and (bld["sub_root"], bld["junction"])
+                        not in trav_full.slot_of):
+                    need = True
+                    break
+        if not need:
+            return
+        trav_full = DirectedTraversal(tree)
+        full_clvs.clear()
+        full_fast.clear()
+        fused_full = None
+        levels_f = None
+        for i in part_idx:
+            part = treeinfo.partitions[i]
+            brl_full = jnp.asarray(np.asarray(
+                treeinfo.partition_brlens(i), part.dtype))
+            if engine_mod.use_fast_kernel(part):
+                from pllmod_tpu.ops import pallas_clv
+                if fused_full is None:
+                    fused_full = pallas_clv.compile_fused_ops(
+                        part, trav_full.ops)
+                fi, fe1, fe2, fns = fused_full
+                if mesh is not None:
+                    full_clvs[i] = _fused_clvs_brl_sharded(
+                        mesh, mesh_axis, part, brl_full, fi, fe1,
+                        fe2, fns, engine_mod.fast_kernel_interpret())
+                else:
+                    full_clvs[i] = _fused_clvs_brl(
+                        part, brl_full, fi, fe1, fe2, fns,
+                        engine_mod.fast_kernel_interpret())
+                full_fast[i] = True
+            else:
+                if levels_f is None:
+                    levels_f, offsets_f, _eref_f, n_slots_f = \
+                        trav_full.schedule()
+                P_full = _prob_matrices_jit(part, brl_full)
+                full_clvs[i] = _directed_clvs_sched(
+                    part, P_full, levels_f, offsets_f, n_slots_f)
+                full_fast[i] = False
+        dirty_nodes.clear()
+
+    def _subtree_ref(bld, fast):
+        """Node reference of the pruned subtree's root CLV in the
+        full-tree buffer (fused buffers keep DirectedTraversal's slot
+        numbering; level-batched buffers use the remapped slots)."""
+        if tree.is_tip(bld["sub_root"]):
+            return bld["sub_root"]
+        key = (bld["sub_root"], bld["junction"])
+        return n_tips + (trav_full.slot_of[key] if fast
+                         else trav_full.sched_slot(*key))
+
+    def dispatch_batch(builds):
+        """ONE device dispatch (per partition) scoring every build's
+        whole regraft set — the K-candidate batched scorer. Returns the
+        per-candidate resolve() contexts in candidate order."""
+        ensure_full_clvs(builds)
+        K = len(builds)
+        dtype0 = treeinfo.partitions[part_idx[0]].dtype
+        ops_cat = np.full((K * n_ops_full, 5), -1, np.int32)
+        eref_cat = np.zeros((K * E, 2), np.int64)
+        mask_b = np.zeros((K, E), bool)
+        brl_cat = np.full(K * E, 0.1)
+        half_cat = np.full(K * E, 0.05)
+        t_s_b = np.zeros(K)
+        for k, bld in enumerate(builds):
+            tr = bld["trav_R"]
+            ops_k = tr.ops.astype(np.int64).copy()
+            ops_k[:, 0] += k * stride
+            for col in (1, 3):
+                inner = ops_k[:, col] >= n_tips
+                ops_k[inner, col] += k * stride
+            ops_k[:, 2] += k * E
+            ops_k[:, 4] += k * E
+            ops_cat[k * n_ops_full:k * n_ops_full + len(ops_k)] = ops_k
+            er = tr.edge_ref.astype(np.int64).copy()
+            er[er >= n_tips] += k * stride
+            eref_cat[k * E:(k + 1) * E] = er
+            mask_b[k] = bld["mask"]
+            R = bld["R"]
+            brl_cat[k * E:(k + 1) * E] = np.where(
+                R.edge_nodes[:, 0] >= 0, R.lengths, 0.1)
+            half_cat[k * E:(k + 1) * E] = R.lengths / 2.0
+            t_s_b[k] = tree.lengths[bld["prune_edge"]]
+        ops_cat_j = jnp.asarray(ops_cat)
+        eref_j = jnp.asarray(eref_cat.astype(np.int32))
+        mask_j = jnp.asarray(mask_b)
+        brl_j = jnp.asarray(brl_cat.astype(np.dtype(dtype0)))
+        half_j = jnp.asarray(half_cat.astype(np.dtype(dtype0)))
+        tsb_j = jnp.asarray(t_s_b.astype(np.dtype(dtype0)))
+        score_parts = []        # per partition: np [K, E]
+        fargs_shared = None
+        for i in part_idx:
+            part = treeinfo.partitions[i]
+            refs_S = jnp.asarray(np.asarray(
+                [_subtree_ref(bld, full_fast[i]) for bld in builds],
+                np.int32))
+            cSb, sSb = _gather_subtree_clvs(part, *full_clvs[i], refs_S)
+            if full_fast[i]:
+                if fargs_shared is None:
+                    from pllmod_tpu.ops import pallas_clv
+                    fi, fe1, fe2, fns = pallas_clv.compile_fused_ops(
+                        part, ops_cat, pad_to=len(ops_cat),
+                        n_slots_min=K * stride)
+                    fargs_shared = dict(
+                        fused_idx=(fi, fe1, fe2), fused_nslots=fns,
+                        fused_interp=engine_mod.fast_kernel_interpret())
+                if mesh is not None:
+                    scores = _score_regrafts_batch_sharded(
+                        mesh, mesh_axis, part, ops_cat_j, brl_j, cSb,
+                        sSb, tsb_j, eref_j, mask_j, half_j, stride,
+                        fargs_shared["fused_idx"],
+                        fargs_shared["fused_nslots"],
+                        fargs_shared["fused_interp"])
+                else:
+                    scores = _score_regrafts_batch(
+                        part, ops_cat_j, brl_j, cSb, sSb, tsb_j, eref_j,
+                        mask_j, half_j, stride, **fargs_shared)
+            else:
+                scores = _score_regrafts_batch(
+                    part, ops_cat_j, brl_j, cSb, sSb, tsb_j, eref_j,
+                    mask_j, half_j, stride)
+            score_parts.append(np.asarray(scores, np.float64))
+        return [dict(prune_edge=bld["prune_edge"],
+                     junction=bld["junction"], a=bld["a"], b=bld["b"],
+                     R=bld["R"], mask=bld["mask"],
+                     score_parts=[sp[k] for sp in score_parts],
+                     triplets_dev=None)
+                for k, bld in enumerate(builds)]
+
+    def prepare_thorough(prune_edge, junction):
+        """Thorough-mode candidate: host build + the triplet-Newton
+        batched scorer (one candidate per dispatch — thorough rounds are
+        few and dominated by the in-dispatch Newton work)."""
+        bld = host_build(prune_edge, junction)
+        if bld is None:
+            return None
+        ensure_full_clvs([bld])
+        trav_R = bld["trav_R"]
+        R = bld["R"]
         ops_R = np.full_like(trav_full.ops, -1)
         ops_R[:len(trav_R.ops)] = trav_R.ops
         ops_R_j = jnp.asarray(ops_R)
         edge_ref = jnp.asarray(trav_R.edge_ref)
-        mask &= trav_R.edge_mask
-
-        triplets_dev = None
-
-        def subtree_clv(part, clvs_f, scalers_f, fast=False):
-            if tree.is_tip(sub_root):
-                return _subtree_clv_tip(part,
-                                        jnp.asarray(sub_root, jnp.int32))
-            # fused buffers keep DirectedTraversal's own slot numbering;
-            # the level-batched buffers use the remapped schedule slots
-            slot = (trav_full.slot_of[(sub_root, junction)] if fast
-                    else trav_full.sched_slot(sub_root, junction))
-            return _subtree_clv_slot(clvs_f, scalers_f,
-                                     jnp.asarray(slot, jnp.int32))
-
+        mask_j = jnp.asarray(bld["mask"])
         dtype0 = treeinfo.partitions[part_idx[0]].dtype
         brl_R = jnp.asarray(np.asarray(
             np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1), dtype0))
-        t_s0 = jnp.asarray(np.asarray(tree.lengths[prune_edge], dtype0))
+        t_s0 = jnp.asarray(np.asarray(
+            tree.lengths[bld["prune_edge"]], dtype0))
         halves = jnp.asarray(np.asarray(R.lengths / 2.0, dtype0))
-        mask_j = jnp.asarray(mask)
 
-        if thorough:
-            parts = tuple(treeinfo.partitions[i] for i in part_idx)
-            from pllmod_tpu.common import BRLEN_SCALED
-            if treeinfo.brlen_linkage == BRLEN_SCALED:
-                pscs = tuple(float(treeinfo.brlen_scalers[i])
-                             for i in part_idx)
-            else:
-                pscs = tuple(1.0 for _ in part_idx)
-            cS_tup, sS_tup = [], []
-            for i in part_idx:
-                cS, sS = subtree_clv(treeinfo.partitions[i], *full_clvs[i],
-                                     fast=full_fast[i])
-                cS_tup.append(cS)
-                sS_tup.append(sS)
-            # under a mesh the thorough (triplet-Newton) scorer runs the
-            # XLA pipeline — GSPMD shards it from the input shardings;
-            # the per-edge in-vmap Newton has no per-iteration psum seam
-            # in the pallas path
-            fargs = _fused_R_args(parts[0], ops_R, trav_full) \
-                if (mesh is None and all(full_fast[i] for i in part_idx)) \
-                else {}
-            scores, ts, tx, ty = _score_all_regrafts_thorough(
-                parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
-                t_s0, edge_ref, mask_j, halves,
-                jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0),
-                **fargs)
-            triplets_dev = (ts, tx, ty)
-            score_parts = [scores]
+        parts = tuple(treeinfo.partitions[i] for i in part_idx)
+        from pllmod_tpu.common import BRLEN_SCALED
+        if treeinfo.brlen_linkage == BRLEN_SCALED:
+            pscs = tuple(float(treeinfo.brlen_scalers[i])
+                         for i in part_idx)
         else:
-            score_parts = []
-            fargs_shared = None      # schedule depends only on R + n_tips
-            for i in part_idx:
-                part = treeinfo.partitions[i]
-                cS, sS = subtree_clv(part, *full_clvs[i],
-                                     fast=full_fast[i])
-                if full_fast[i]:
-                    if fargs_shared is None:
-                        fargs_shared = _fused_R_args(part, ops_R,
-                                                     trav_full)
-                    fargs = fargs_shared
-                else:
-                    fargs = {}
-                if mesh is not None and fargs:
-                    score_parts.append(_score_all_regrafts_sharded(
-                        mesh, mesh_axis, part, ops_R_j, brl_R, cS, sS,
-                        t_s0, edge_ref, mask_j, halves,
-                        fargs["fused_idx"], fargs["fused_nslots"],
-                        fargs["fused_interp"]))
-                else:
-                    score_parts.append(_score_all_regrafts(
-                        part, ops_R_j, brl_R, cS, sS, t_s0,
-                        edge_ref, mask_j, halves, **fargs))
-
-        if not score_parts:
-            return None
-        return dict(prune_edge=prune_edge, junction=junction, a=a, b=b,
-                    R=R, mask=mask, score_parts=score_parts,
-                    triplets_dev=triplets_dev)
+            pscs = tuple(1.0 for _ in part_idx)
+        cS_tup, sS_tup = [], []
+        for i in part_idx:
+            refs = jnp.asarray(
+                np.asarray([_subtree_ref(bld, full_fast[i])], np.int32))
+            cS, sS = _gather_subtree_clvs(treeinfo.partitions[i],
+                                          *full_clvs[i], refs)
+            cS_tup.append(cS[0])
+            sS_tup.append(sS[0])
+        # under a mesh the thorough (triplet-Newton) scorer runs the
+        # XLA pipeline — GSPMD shards it from the input shardings; the
+        # per-edge in-vmap Newton has no per-iteration psum seam in the
+        # pallas path
+        fargs = _fused_R_args(parts[0], ops_R, trav_full) \
+            if (mesh is None and all(full_fast[i] for i in part_idx)) \
+            else {}
+        scores, ts, tx, ty = _score_all_regrafts_thorough(
+            parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
+            t_s0, edge_ref, mask_j, halves,
+            jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0),
+            **fargs)
+        return dict(prune_edge=bld["prune_edge"],
+                    junction=bld["junction"], a=bld["a"], b=bld["b"],
+                    R=R, mask=bld["mask"], score_parts=[scores],
+                    triplets_dev=(ts, tx, ty))
 
     def resolve(ctx):
         """Sync the candidate's scores and decide (filter, apply-or-
@@ -748,43 +969,51 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         del toplist[ntopol_keep:]
         return False
 
-    # ---- adaptively pipelined candidate driver --------------------------
-    # When the recent apply rate is LOW (the steady state of a converging
-    # search), prepare+dispatch candidate k+1 BEFORE syncing candidate
-    # k's scores: the ~30 ms tunnel round-trip of the sync overlaps the
-    # next host build. A resolution that APPLIES a move makes the
-    # speculated context stale — it is simply rebuilt (the dirty-node
-    # protocol makes the speculative full-CLV rebuild itself safe), so
-    # at HIGH apply rates speculation only wastes dispatches and the
-    # driver stays serial. Serial-equivalent by construction either way:
-    # resolutions run in candidate order against exactly the tree state
-    # a serial loop would see (measured identical outputs).
-    import collections
-    pending = None
-    recent = collections.deque(maxlen=12)
-
-    def _resolve_pending():
-        nonlocal pending
-        ver = n_applied
-        resolve(pending)
-        recent.append(1 if n_applied != ver else 0)
-        pending = None
-        return n_applied != ver
-
-    for pe_j in _prune_candidates(tree):
-        spec = pending is not None
-        ctx = prepare(*pe_j)
-        if spec and _resolve_pending() and ctx is not None:
-            ctx = prepare(*pe_j)    # stale speculation: redo
-        if ctx is None:
-            continue
-        pending = ctx
-        rate_low = (SPR_SPECULATE and len(recent) >= 6
-                    and sum(recent) * 3 <= len(recent))
-        if not rate_low:
-            _resolve_pending()
-    if pending is not None:
-        _resolve_pending()
+    # ---- adaptively BATCHED candidate driver ----------------------------
+    # Serial-equivalent by construction: candidates resolve in candidate
+    # order against exactly the tree state a serial loop would see. In
+    # the steady state of a converging search (few applies) the batch
+    # grows geometrically, so the ~30 ms-per-dispatch tunnel stream that
+    # dominated warm rounds collapses to ~n_candidates/K dispatches; an
+    # applied move makes the REST of the batch stale — those candidates
+    # are simply requeued and re-scored against the post-apply tree,
+    # and the batch resets to 1 (high apply rates degrade gracefully to
+    # the serial loop).
+    from itertools import chain
+    if thorough:
+        for pe_j in _prune_candidates(tree):
+            ctx = prepare_thorough(*pe_j)
+            if ctx is not None:
+                resolve(ctx)
+    else:
+        batch_max = _spr_batch_limit(treeinfo, E, stride)
+        cand_iter = iter(_prune_candidates(tree))
+        batch_size = 1
+        while True:
+            builds = []
+            while len(builds) < batch_size:
+                nxt = next(cand_iter, None)
+                if nxt is None:
+                    break
+                bld = host_build(*nxt)
+                if bld is not None:
+                    builds.append(bld)
+            if not builds:
+                break
+            ctxs = dispatch_batch(builds)
+            applied_at = None
+            for j, ctx in enumerate(ctxs):
+                if resolve(ctx):
+                    applied_at = j
+                    break
+            if applied_at is not None:
+                if applied_at + 1 < len(builds):
+                    cand_iter = chain(
+                        [b["cand"] for b in builds[applied_at + 1:]],
+                        cand_iter)
+                batch_size = 1
+            else:
+                batch_size = min(batch_size * 2, batch_max)
 
     # full branch-length optimization (algo_search.c:1232)
     final_lnl = optimize_branch_lengths_treeinfo(
