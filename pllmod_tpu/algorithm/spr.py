@@ -76,6 +76,10 @@ def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
         per += ((stride + 2 * n_edge_slots) * p.n_patterns_padded
                 * p.n_cats * p.states * 4)
     k = max(1, int((1 << 30) // max(per, 1)))
+    # Mosaic stores the scalar-prefetch idx8 rows padded to 128 lanes in
+    # SMEM (512 B/row, 1 MiB budget): cap the concatenated table at
+    # ~1900 rows (measured: 2208 rows = 1.08 MiB → compile failure)
+    k = min(k, max(1, 1900 // max(stride - 2, 1)))
     k = 1 << (k.bit_length() - 1)          # floor to a power of two
     return int(min(16, k))
 

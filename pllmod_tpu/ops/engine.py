@@ -131,6 +131,37 @@ def loglikelihood_update(partition, ops, brlens, root_info, init_clvs,
     return lnl, clvs, scalers
 
 
+@partial(jax.jit, static_argnames=("n_slots", "interpret"))
+def fused_update_eval(partition, idx8, brlens, e1, e2, rr, init_clvs,
+                      init_scalers, n_slots: int, interpret: bool):
+    """Partial-traversal evaluation on the FUSED megakernel: run only
+    the (masked/bucketed) dirty op rows on top of CACHED CS×P buffers —
+    the CLV-validity protocol (treeinfo.c:872-944) on the production
+    TPU kernel. The prior buffers alias into the kernel outputs, so
+    clean slots are never touched (no copy, no recompute); the root
+    reduction uses TRACED refs so any root placement shares the
+    program. Buffers run exact-f32 (split storage would force a
+    whole-buffer plane merge at the root — defeating incrementality).
+
+    Returns (logL, clvs, scalers) for further incremental reuse.
+    """
+    from pllmod_tpu.ops import pallas_clv
+    if partition.eigen_lam is not None:
+        P12 = pallas_clv.fused_p12(partition, brlens, e1, e2)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            partition, None, idx8, e1, e2, n_slots, interpret, P12=P12,
+            split=False, init=(init_clvs, init_scalers))
+    else:
+        P = partition.prob_matrices(brlens)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            partition, P, idx8, e1, e2, n_slots, interpret,
+            split=False, init=(init_clvs, init_scalers))
+    P_root = partition.prob_matrices(jnp.take(brlens, rr[2])[None])[0]
+    lnl = pallas_clv.root_loglikelihood_csp_dyn(
+        partition, clvs, scalers, rr[0], rr[1], P_root)
+    return lnl, clvs, scalers
+
+
 def loglikelihood_bounded(partition, tree, brlens=None, root_edge=None):
     """Memory-bounded full-tree logL: the CLV buffer holds only the
     O(log n) slots concurrently live under a Sethi-Ullman-ordered serial

@@ -971,7 +971,7 @@ def split_pack_p12(P12):
 def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
                           interpret: bool = False, P12=None,
                           thread_scalers: bool = True,
-                          split: bool = False):
+                          split: bool = False, init=None):
     """Whole-traversal pruning in one pallas call.
 
     Args:
@@ -989,6 +989,11 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         dots — the wide-state mode); False = exact HIGHEST dot (see
         :func:`_make_fused_kernel`). split=True returns bf16
         [n_slots, 2, CS, Ppad] (planes lo, hi) instead of f32.
+      init: optional (clvs, scalers) PRIOR buffers (output shapes/
+        dtypes) aliased into the outputs: slots the op table does not
+        write RETAIN their prior values — the CLV-validity partial-
+        traversal protocol (reference treeinfo.c:872-944) on the fused
+        kernel; pass a MASKED/dirty-row op table and the cached buffers.
     Returns (clvs_csp [n_slots, CS, Ppad] f32 — or the split layout —
              scalers [n_slots, 1, Ppad] int32).
     """
@@ -1009,7 +1014,9 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),         # codetab
             pl.BlockSpec((1, 2 * CS, pwidth),
                          lambda w, p, idx: (w, 0, 0)),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY),           # init clvs
+              pl.BlockSpec(memory_space=pl.ANY)]           # init scalers
+             if init is not None else []),
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1033,8 +1040,24 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         compiler_params = pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"))
     clv_shape = ((n_slots, 2, CS, Ppad) if store else (n_slots, CS, Ppad))
+    kern = _make_fused_kernel(n_codes, nW, nP, thread_scalers, split)
+    io_aliases = None
+    if init is not None:
+        # prior buffers ride in as aliased inputs (indices count the
+        # scalar-prefetch operand): the kernel never reads or writes
+        # the extra refs — aliasing alone preserves unwritten slots
+        io_aliases = {4: 0, 5: 1}
+
+        def kern_init(s_ref, tc_ref, ct_ref, p12_ref, _ic, _is, clv_ref,
+                      sc_ref, *scratch):
+            kern(s_ref, tc_ref, ct_ref, p12_ref, clv_ref, sc_ref,
+                 *scratch)
+
+        kern_run = kern_init
+    else:
+        kern_run = kern
     fn = pl.pallas_call(
-        _make_fused_kernel(n_codes, nW, nP, thread_scalers, split),
+        kern_run,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(clv_shape,
@@ -1043,6 +1066,7 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         ],
         compiler_params=compiler_params,
         interpret=interpret,
+        **({"input_output_aliases": io_aliases} if io_aliases else {}),
     )
     if P12 is None:
         # pair the two children's block-diagonal P matrices into one
@@ -1054,6 +1078,8 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
     if split:
         P12 = split_pack_p12(P12)
+    if init is not None:
+        return fn(idx8, tip_codes, codetab, P12, init[0], init[1])
     return fn(idx8, tip_codes, codetab, P12)
 
 
@@ -1080,7 +1106,10 @@ def compile_fused_ops(partition, ops, pad_to: int | None = None,
     level_of: dict[int, int] = {}
     rows_by_level: dict[int, list] = {}
     for row in live:
-        deps = [level_of[int(c) - n_tips]
+        # child slots not defined by THIS table are external (already
+        # valid in an aliased prior buffer — the partial-traversal
+        # case): they impose no ordering, like tips
+        deps = [level_of.get(int(c) - n_tips, -1)
                 for c in (row[1], row[3]) if int(c) >= n_tips]
         lvl = (max(deps) + 1) if deps else 0
         level_of[int(row[0])] = lvl

@@ -314,9 +314,53 @@ class TreeInfo:
                 part, self.tree, tip_hi=tip_hi))
         return fc[i][1]
 
+    @staticmethod
+    def _dirty_rows(ops, brl, prev_brl, n_tips):
+        """Op rows invalidated by a branch-length change: a row is dirty
+        when one of its child edges changed OR a child CLV is dirty
+        (the reference's clv_valid propagation, treeinfo.c:872-944).
+        Returns (rows list, changed-edge set)."""
+        changed = set(np.nonzero(brl != prev_brl)[0])
+        invalid_slots = set()
+        rows = []
+        for r in ops:
+            if r[0] < 0:
+                continue
+            dirty = int(r[2]) in changed or int(r[4]) in changed
+            for c in (int(r[1]), int(r[3])):
+                if c >= n_tips and (c - n_tips) in invalid_slots:
+                    dirty = True
+            if dirty:
+                invalid_slots.add(int(r[0]))
+                rows.append(r)
+        return rows, changed
+
+    @staticmethod
+    def _bucket_rows(rows, ops):
+        """Dirty rows padded (masked) to the next power of two — bounds
+        the number of compiled partial-traversal programs. Minimum
+        bucket 4: the fused kernel's DMA lookahead wants a few grid
+        steps, and 1/2/4-row tables would otherwise each compile."""
+        n_run = len(rows)
+        bucket = 4
+        while bucket < max(n_run, 1):
+            bucket *= 2
+        sub = np.full((bucket, 5), -1, ops.dtype)
+        if rows:
+            sub[:n_run] = np.stack(rows)
+        return sub
+
     def _loglh_incremental(self, i, part, ops, ri, brl):
         """One partition's partial-traversal evaluation. Returns
-        (logL, number of op rows actually recomputed)."""
+        (logL, number of op rows actually recomputed).
+
+        Engine selection mirrors the full evaluation: TPU-class f32
+        partitions run the FUSED megakernel with the prior CS×P buffers
+        ALIASED into the kernel outputs (engine.fused_update_eval — only
+        dirty rows execute, clean slots are untouched); elsewhere the
+        XLA partial-traversal path (f64-capable reference path)."""
+        if engine_mod.use_fast_kernel(part):
+            return self._loglh_incremental_fast(i, part, ops, ri, brl)
         if not hasattr(self, "_incr_cache"):
             self._incr_cache = {}
         cache = self._incr_cache.get(i)
@@ -331,35 +375,60 @@ class TreeInfo:
                                        lnl=float(lnl))
             return float(lnl), int((ops[:, 0] >= 0).sum())
 
-        changed = set(np.nonzero(brl != cache["brl"])[0])
-        n_tips = part.n_tips
-        invalid_slots = set()
-        rows = []
-        for r in ops:
-            if r[0] < 0:
-                continue
-            dirty = int(r[2]) in changed or int(r[4]) in changed
-            for c in (int(r[1]), int(r[3])):
-                if c >= n_tips and (c - n_tips) in invalid_slots:
-                    dirty = True
-            if dirty:
-                invalid_slots.add(int(r[0]))
-                rows.append(r)
+        rows, changed = self._dirty_rows(ops, brl, cache["brl"],
+                                         part.n_tips)
         if not rows and not changed:
             # cached logL, NOT partition_loglh: a plain evaluation at
             # different brlens in between may have overwritten the latter
             return cache["lnl"], 0
         n_run = len(rows)
-        # pad to the next power of two (masked rows) to bound recompiles
-        bucket = 1
-        while bucket < max(n_run, 1):
-            bucket *= 2
-        sub = np.full((bucket, 5), -1, ops.dtype)
-        if rows:
-            sub[:n_run] = np.stack(rows)
+        sub = self._bucket_rows(rows, ops)
         lnl, clvs, scalers = engine_mod.loglikelihood_update(
             part, jnp.asarray(sub), brl_j, ri,
             cache["clvs"], cache["scalers"])
+        cache["brl"] = brl.copy()
+        cache["clvs"] = clvs
+        cache["scalers"] = scalers
+        cache["lnl"] = float(lnl)
+        return float(lnl), n_run
+
+    def _loglh_incremental_fast(self, i, part, ops, ri, brl):
+        """Fused-megakernel partial-traversal evaluation (see
+        :func:`pllmod_tpu.ops.engine.fused_update_eval`)."""
+        from pllmod_tpu.ops import pallas_clv
+        if not hasattr(self, "_incr_cache"):
+            self._incr_cache = {}
+        cache = self._incr_cache.get(i)
+        key = (ops.tobytes(), ri, "fast")
+        brl_j = jnp.asarray(np.asarray(brl, np.dtype(part.dtype)))
+        rr = jnp.asarray(np.asarray(ri, np.int32))
+        interp = engine_mod.fast_kernel_interpret()
+        if (cache is None or cache["key"] != key
+                or cache["part"] is not part):
+            idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(part, ops)
+            Ppad = part.n_patterns_padded
+            CS = part.n_cats * part.states
+            z_c = jnp.zeros((n_slots, CS, Ppad), jnp.float32)
+            z_s = jnp.zeros((n_slots, 1, Ppad), jnp.int32)
+            lnl, clvs, scalers = engine_mod.fused_update_eval(
+                part, idx8, brl_j, e1, e2, rr, z_c, z_s, n_slots, interp)
+            self._incr_cache[i] = dict(
+                key=key, part=part, brl=brl.copy(), clvs=clvs,
+                scalers=scalers, lnl=float(lnl), n_slots=n_slots)
+            return float(lnl), int((ops[:, 0] >= 0).sum())
+
+        rows, changed = self._dirty_rows(ops, brl, cache["brl"],
+                                         part.n_tips)
+        if not rows and not changed:
+            return cache["lnl"], 0
+        n_run = len(rows)
+        sub = self._bucket_rows(rows, ops)
+        n_slots = cache["n_slots"]
+        idx8, e1, e2, _ns = pallas_clv.compile_fused_ops(
+            part, sub, pad_to=len(sub), n_slots_min=n_slots)
+        lnl, clvs, scalers = engine_mod.fused_update_eval(
+            part, idx8, brl_j, e1, e2, rr, cache["clvs"],
+            cache["scalers"], n_slots, interp)
         cache["brl"] = brl.copy()
         cache["clvs"] = clvs
         cache["scalers"] = scalers

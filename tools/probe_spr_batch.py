@@ -53,6 +53,16 @@ def main():
                                               radius_max=10, thorough=False)
             p(f"converged batch_max={bmax} round {r}: lnl {lnl:.3f} "
               f"applied {n_app} wall {time.perf_counter()-t0:.1f}s")
+    # PURE-SCORING rounds (epsilon=1e9 -> no candidate ever applies):
+    # isolates the per-candidate scoring dispatch stream, the true
+    # steady state of a converged search
+    for bmax in (1, None, 1, None):
+        spr_mod.SPR_BATCH_MAX = bmax
+        t0 = time.perf_counter()
+        lnl, n_app, _ = spr_mod.spr_round(ti, radius_min=1, radius_max=10,
+                                          thorough=False, epsilon=1e9)
+        p(f"pure-scoring batch_max={bmax}: lnl {lnl:.3f} "
+          f"applied {n_app} wall {time.perf_counter()-t0:.1f}s")
     spr_mod.SPR_BATCH_MAX = None
 
 
