@@ -76,10 +76,11 @@ def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
         per += ((stride + 2 * n_edge_slots) * p.n_patterns_padded
                 * p.n_cats * p.states * 4)
     k = max(1, int((1 << 30) // max(per, 1)))
-    # Mosaic stores the scalar-prefetch idx8 rows padded to 128 lanes in
-    # SMEM (512 B/row, 1 MiB budget): cap the concatenated table at
-    # ~1900 rows (measured: 2208 rows = 1.08 MiB → compile failure)
-    k = min(k, max(1, 1900 // max(stride - 2, 1)))
+    # SMEM cap on the concatenated table: the fused kernel's prefetch is
+    # column-major [8, nW] (~32 B/row in SMEM, 1 MiB budget — the
+    # row-major layout cost 512 B/row and failed to compile at 2208
+    # rows); keep a wide margin for the runtime's other SMEM uses
+    k = min(k, max(1, 24000 // max(stride - 2, 1)))
     k = 1 << (k.bit_length() - 1)          # floor to a power of two
     return int(min(16, k))
 

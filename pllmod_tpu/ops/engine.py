@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -131,8 +132,9 @@ def loglikelihood_update(partition, ops, brlens, root_info, init_clvs,
     return lnl, clvs, scalers
 
 
-@partial(jax.jit, static_argnames=("n_slots", "interpret"))
-def fused_update_eval(partition, idx8, brlens, e1, e2, rr, init_clvs,
+@partial(jax.jit, static_argnames=("n_slots", "interpret"),
+         donate_argnums=(4, 5))
+def fused_update_eval(partition, tab10, brlens, rr, init_clvs,
                       init_scalers, n_slots: int, interpret: bool):
     """Partial-traversal evaluation on the FUSED megakernel: run only
     the (masked/bucketed) dirty op rows on top of CACHED CS×P buffers —
@@ -143,9 +145,22 @@ def fused_update_eval(partition, idx8, brlens, e1, e2, rr, init_clvs,
     program. Buffers run exact-f32 (split storage would force a
     whole-buffer plane merge at the root — defeating incrementality).
 
+    The prior buffers are DONATED (donate_argnums): without donation
+    XLA defensively copies the whole aliased CLV buffer every call
+    (measured 178-439 ms/eval at 512-1024 taxa — slower than a full
+    eval), with it the kernel writes in place. Callers must treat the
+    passed buffers as consumed and keep only the returned ones.
+
+    ``tab10``: ONE packed int32 [10, B] table (idx8.T | e1 | e2) from
+    ``compile_fused_ops(..., as_numpy=True)`` — per-call tables reach
+    the device in a single transfer instead of three.
+
     Returns (logL, clvs, scalers) for further incremental reuse.
     """
     from pllmod_tpu.ops import pallas_clv
+    idx8 = tab10[:8].T
+    e1 = tab10[8]
+    e2 = tab10[9]
     if partition.eigen_lam is not None:
         P12 = pallas_clv.fused_p12(partition, brlens, e1, e2)
         clvs, scalers = pallas_clv.update_partials_fused(
@@ -160,6 +175,58 @@ def fused_update_eval(partition, idx8, brlens, e1, e2, rr, init_clvs,
     lnl = pallas_clv.root_loglikelihood_csp_dyn(
         partition, clvs, scalers, rr[0], rr[1], P_root)
     return lnl, clvs, scalers
+
+
+def loglikelihood_bounded_fused(partition, tree, brlens=None,
+                                root_edge=None, interpret=None):
+    """Memory-bounded full-tree logL on the FUSED megakernel: the
+    Sethi-Ullman slot-recycled serial schedule (O(log n) live slots —
+    reference pll_tree.c:1509-1573) compiled for the kernel in SERIAL
+    order (compile_fused_ops(serial=True): per-row fences cover the
+    2-deep write pipeline's RAW hazards). This is the NORTH-STAR
+    capacity+speed mode (BASELINE.md §3): at 10k taxa × 100k patterns
+    the CLV buffer is ~18 slots ≈ 115 MB instead of 64 TB full-buffer,
+    and the whole traversal stays one pallas dispatch instead of an
+    O(n)-step XLA scan. Returns (logL, n_slots)."""
+    from pllmod_tpu.ops import pallas_clv
+    if brlens is None:
+        brlens = tree.lengths
+    brlens = jnp.asarray(np.asarray(brlens, np.dtype(partition.dtype)))
+    ops, root_info = tree.traversal_ops(root_edge)
+    u, v, e = (int(x) for x in root_info)
+    n_tips = partition.n_tips
+    ops_b, n_slots_b, slot_map = clv_mod.bounded_slot_ops(
+        np.asarray(ops), n_tips, root_refs=(u, v))
+
+    def remap(x):
+        return x if x < n_tips else n_tips + int(slot_map[x - n_tips])
+
+    idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(
+        partition, np.asarray(ops_b), serial=True)
+    if interpret is None:
+        interpret = fast_kernel_interpret()
+    rr = jnp.asarray(np.asarray((remap(u), remap(v), e), np.int32))
+    lnl = _bounded_fused_eval(partition, idx8, brlens, e1, e2, rr,
+                              n_slots, interpret)
+    return lnl, n_slots
+
+
+@partial(jax.jit, static_argnames=("n_slots", "interpret"))
+def _bounded_fused_eval(partition, idx8, brlens, e1, e2, rr,
+                        n_slots: int, interpret: bool):
+    from pllmod_tpu.ops import pallas_clv
+    if partition.eigen_lam is not None:
+        P12 = pallas_clv.fused_p12(partition, brlens, e1, e2)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            partition, None, idx8, e1, e2, n_slots, interpret, P12=P12,
+            split=False)
+    else:
+        P = partition.prob_matrices(brlens)
+        clvs, scalers = pallas_clv.update_partials_fused(
+            partition, P, idx8, e1, e2, n_slots, interpret, split=False)
+    P_root = partition.prob_matrices(jnp.take(brlens, rr[2])[None])[0]
+    return pallas_clv.root_loglikelihood_csp_dyn(
+        partition, clvs, scalers, rr[0], rr[1], P_root)
 
 
 def loglikelihood_bounded(partition, tree, brlens=None, root_edge=None):

@@ -619,7 +619,12 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
     the 6-pass HIGHEST dot, which dominates the per-step chain at
     large CS. Accuracy = dropped-Pl@lo only (~1e-8 relative logL)."""
     store = split is True                  # bf16x2 split STORAGE
-    def _kernel(idx_ref,               # prefetch [nW, 8] int32
+    def _kernel(idx_ref,               # prefetch [8, nW] int32 (COLUMN-
+                                       # major: Mosaic pads SMEM rows to
+                                       # 128 lanes, so [nW, 8] would cost
+                                       # 512 B/row — 16x the bytes — and
+                                       # cap tables at ~2k rows; see
+                                       # update_partials_fused)
                 tip_codes_ref,         # ANY [n_tips, 1, P] int32
                 codetab_ref,           # VMEM [CS, n_codes_pad] f32
                 P12_ref,               # VMEM block [1, 2*CS, 2*CS]
@@ -640,10 +645,10 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             cnt[0] = 0
             cnt[1] = 0
 
-        out_slot = idx_ref[w, 6]
+        out_slot = idx_ref[6, w]
         # fence fires on the first pattern-tile of the first node of each
         # level: all previous-level writes must land before its reads
-        fence_now = (idx_ref[w, 7] == 1) & (p == 0)
+        fence_now = (idx_ref[7, w] == 1) & (p == 0)
 
         def clv_dst(slot, pt):
             if store:
@@ -679,9 +684,9 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
             nsem = 3 if store else 2
             for k in (0, 1):
                 sem = nsem * k
-                slot = idx_ref[wt, k]
-                is_tip = idx_ref[wt, 2 + k] == 1
-                tip = idx_ref[wt, 4 + k]
+                slot = idx_ref[k, wt]
+                is_tip = idx_ref[2 + k, wt] == 1
+                tip = idx_ref[4 + k, wt]
 
                 @pl.when(is_tip)
                 def _(slot=slot, tip=tip, k=k, sem=sem):
@@ -728,15 +733,15 @@ def _make_fused_kernel(n_codes: int, nW: int, nP: int,
         def _():
             w_n = nxt // nP
             p_n = jax.lax.rem(nxt, jnp.asarray(nP, jnp.int32))
-            nxt_fence = (idx_ref[w_n, 7] == 1) & (p_n == 0)
+            nxt_fence = (idx_ref[7, w_n] == 1) & (p_n == 0)
 
             @pl.when(jnp.logical_not(nxt_fence))
             def _():
                 reads(nxt, True)
 
         buf = par                                  # this step's read set
-        is_tip1 = idx_ref[w, 2] == 1
-        is_tip2 = idx_ref[w, 3] == 1
+        is_tip1 = idx_ref[2, w] == 1
+        is_tip2 = idx_ref[3, w] == 1
 
         def expand(k, is_tip):
             # one-hot MXU expansion: codetab [CS, n_codes] @ onehot
@@ -1078,13 +1083,15 @@ def update_partials_fused(partition, P, idx8, e1, e2, n_slots: int,
         P12 = P12.at[:, CS:, CS:].set(Pbd[e2])
     if split:
         P12 = split_pack_p12(P12)
+    idx8_t = idx8.T                    # [8, nW] column-major prefetch
     if init is not None:
-        return fn(idx8, tip_codes, codetab, P12, init[0], init[1])
-    return fn(idx8, tip_codes, codetab, P12)
+        return fn(idx8_t, tip_codes, codetab, P12, init[0], init[1])
+    return fn(idx8_t, tip_codes, codetab, P12)
 
 
 def compile_fused_ops(partition, ops, pad_to: int | None = None,
-                      n_slots_min: int | None = None):
+                      n_slots_min: int | None = None,
+                      as_numpy: bool = False, serial: bool = False):
     """Compile an ARBITRARY pruning-op list (including directed-CLV
     schedules from BLO/SPR and masked/padded op tables) for the fused
     megakernel, PRESERVING the original slot numbering — the kernel's
@@ -1097,12 +1104,24 @@ def compile_fused_ops(partition, ops, pad_to: int | None = None,
     dummy tip/tip ops writing to a scratch slot. Returns
     (idx8 [pad_to or n_live, 8], e1, e2, n_slots) with n_slots =
     max_slot + 2 (last slot = scratch).
+
+    ``serial=True``: keep the ORIGINAL row order — required for
+    SLOT-RECYCLED tables (clv.bounded_slot_ops: a slot is written
+    several times, so level reordering would corrupt reads). Fences are
+    emitted per-row wherever a row reads a slot written within the last
+    2 rows (the kernel's write pipeline is 2-deep: a write issued at
+    row w is guaranteed drained by row w+2's buffer recycle, so only
+    distance ≤ 2 RAW hazards need a drain). This is the memory-bounded
+    capacity mode of the megakernel (reference pll_tree.c:1509-1573).
     """
     ops = np.asarray(ops)
     n_tips = partition.n_tips
     live = ops[ops[:, 0] >= 0]
     if live.size == 0:
         raise ValueError("no live ops")
+    if serial:
+        return _compile_fused_serial(live, ops, n_tips, pad_to,
+                                     n_slots_min, as_numpy)
     level_of: dict[int, int] = {}
     rows_by_level: dict[int, list] = {}
     for row in live:
@@ -1149,9 +1168,63 @@ def compile_fused_ops(partition, ops, pad_to: int | None = None,
         idx8 = np.concatenate([idx8, dummy])
         e1 = np.concatenate([e1, np.zeros(npad, np.int64)])
         e2 = np.concatenate([e2, np.zeros(npad, np.int64)])
+    return _fused_table_out(idx8, e1, e2, n_slots, as_numpy)
+
+
+def _fused_table_out(idx8, e1, e2, n_slots, as_numpy):
+    if as_numpy:
+        # ONE packed [10, n] host array (idx8.T | e1 | e2): callers that
+        # rebuild tables per call (incremental eval) upload it in a
+        # single device transfer — three separate device_puts cost ~3
+        # tunnel round-trips per call on the remote runtime
+        return (np.concatenate([idx8.T, e1[None], e2[None]]
+                               ).astype(np.int32), n_slots)
     return (jnp.asarray(idx8.astype(np.int32)),
             jnp.asarray(e1.astype(np.int32)),
             jnp.asarray(e2.astype(np.int32)), n_slots)
+
+
+def _compile_fused_serial(live, ops, n_tips, pad_to, n_slots_min,
+                          as_numpy):
+    """Serial-order fused-kernel table (see compile_fused_ops
+    ``serial=True``): original row order, per-row fences on distance-≤2
+    RAW hazards, slot recycling allowed."""
+    arr = live.astype(np.int64)
+    c1, c2 = arr[:, 1], arr[:, 3]
+    it1 = (c1 < n_tips).astype(np.int64)
+    it2 = (c2 < n_tips).astype(np.int64)
+    out = arr[:, 0]
+    n = arr.shape[0]
+    fence = np.zeros(n, np.int64)
+    for w in range(n):
+        for c, is_t in ((c1[w], it1[w]), (c2[w], it2[w])):
+            if is_t:
+                continue
+            slot = c - n_tips
+            if (w >= 1 and out[w - 1] == slot) or \
+                    (w >= 2 and out[w - 2] == slot):
+                fence[w] = 1
+    idx8 = np.stack([
+        np.where(it1 == 1, 0, c1 - n_tips),
+        np.where(it2 == 1, 0, c2 - n_tips),
+        it1, it2,
+        np.where(it1 == 1, c1, 0), np.where(it2 == 1, c2, 0),
+        out, fence,
+    ], axis=1)
+    e1 = arr[:, 2]
+    e2 = arr[:, 4]
+    n_slots = int(out.max()) + 2
+    if n_slots_min is not None:
+        n_slots = max(n_slots, n_slots_min)
+    if pad_to is not None and pad_to > idx8.shape[0]:
+        npad = pad_to - idx8.shape[0]
+        dummy = np.zeros((npad, 8), np.int64)
+        dummy[:, 2] = dummy[:, 3] = 1
+        dummy[:, 6] = n_slots - 1
+        idx8 = np.concatenate([idx8, dummy])
+        e1 = np.concatenate([e1, np.zeros(npad, np.int64)])
+        e2 = np.concatenate([e2, np.zeros(npad, np.int64)])
+    return _fused_table_out(idx8, e1, e2, n_slots, as_numpy)
 
 
 def update_partials_fused_std(partition, P, idx8, e1, e2, n_slots: int,

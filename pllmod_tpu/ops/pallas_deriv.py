@@ -126,9 +126,9 @@ def _make_sumtable_kernel(n_codes: int, nE: int, nP: int, split: bool):
             nsem = 3 if split else 2
             for k in (0, 1):
                 sem = nsem * k
-                slot = eref_ref[et, k]
-                is_tip = eref_ref[et, 2 + k] == 1
-                tip = eref_ref[et, 4 + k]
+                slot = eref_ref[k, et]
+                is_tip = eref_ref[2 + k, et] == 1
+                tip = eref_ref[4 + k, et]
 
                 @pl.when(is_tip)
                 def _(slot=slot, tip=tip, k=k, sem=sem, bf=bf, pt=pt):
@@ -169,8 +169,8 @@ def _make_sumtable_kernel(n_codes: int, nE: int, nP: int, split: bool):
             reads(nxt, True)
 
         buf = par
-        is_tip1 = eref_ref[e, 2] == 1
-        is_tip2 = eref_ref[e, 3] == 1
+        is_tip1 = eref_ref[2, e] == 1
+        is_tip2 = eref_ref[3, e] == 1
 
         def expand(k, is_tip):
             @pl.when(is_tip)
@@ -269,7 +269,10 @@ def edge_sumtables_pallas(partition, clvs, scalers, eref6,
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    return fn(eref6, tip_codes, codetab, AB, clvs, scalers)
+    # column-major prefetch: Mosaic pads SMEM rows to 128 lanes, so the
+    # row-major [nE, 6] layout costs 512 B/row and overflows the 1 MiB
+    # SMEM budget at ~2k rows (≥1k-taxon trees)
+    return fn(eref6.T, tip_codes, codetab, AB, clvs, scalers)
 
 
 # ---------------------------------------------------------------------------

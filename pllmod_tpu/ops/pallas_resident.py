@@ -219,8 +219,8 @@ def _make_resident_kernel_ip(nW: int, nP: int, NS: int):
             pt = st // nW_j
             bf = jax.lax.rem(st, two)
             for k in (0, 1):
-                is_tip = idx_ref[wt, 2 + k] == 1
-                tip = idx_ref[wt, 4 + k]
+                is_tip = idx_ref[2 + k, wt] == 1
+                tip = idx_ref[4 + k, wt]
 
                 @pl.when(is_tip)
                 def _(tip=tip, k=k, bf=bf, pt=pt):
@@ -248,11 +248,11 @@ def _make_resident_kernel_ip(nW: int, nP: int, NS: int):
             reads(step + 1, True)
 
         buf = jax.lax.rem(step, two)
-        is_tip1 = idx_ref[w, 2] == 1
-        is_tip2 = idx_ref[w, 3] == 1
+        is_tip1 = idx_ref[2, w] == 1
+        is_tip2 = idx_ref[3, w] == 1
 
         def child(k, is_tip):
-            opk = jnp.where(is_tip, NS + 2 * buf + k, idx_ref[w, k])
+            opk = jnp.where(is_tip, NS + 2 * buf + k, idx_ref[k, w])
             ch = slots[opk]                               # [2CS, T] bf16
             corr = jax.lax.dot_general(
                 Pip_ref[0, :, 2 * k * CS:(2 * k + 2) * CS], ch,
@@ -269,8 +269,8 @@ def _make_resident_kernel_ip(nW: int, nP: int, NS: int):
         prod = child(0, is_tip1) * child(1, is_tip2)
 
         zero_s = jnp.zeros((1, T), jnp.int32)
-        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[w, 0]])
-        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[w, 1]])
+        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[0, w]])
+        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[1, w]])
 
         # exact power-of-two rescale (identical to the XLA engines)
         m = jnp.max(prod, axis=0, keepdims=True)
@@ -287,7 +287,7 @@ def _make_resident_kernel_ip(nW: int, nP: int, NS: int):
 
         @pl.when(jnp.logical_not(is_root))
         def _():
-            out = idx_ref[w, 6]
+            out = idx_ref[6, w]
             oh = scaled.astype(jnp.bfloat16)
             slots[out, :CS] = (scaled - oh.astype(jnp.float32)).astype(
                 jnp.bfloat16)
@@ -365,8 +365,8 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
             pt = st // nW_j
             bf = jax.lax.rem(st, two)
             for k in (0, 1):
-                is_tip = idx_ref[wt, 2 + k] == 1
-                tip = idx_ref[wt, 4 + k]
+                is_tip = idx_ref[2 + k, wt] == 1
+                tip = idx_ref[4 + k, wt]
 
                 @pl.when(is_tip)
                 def _(tip=tip, k=k, bf=bf, pt=pt):
@@ -390,8 +390,8 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
             reads(step + 1, True)
 
         buf = jax.lax.rem(step, two)
-        is_tip1 = idx_ref[w, 2] == 1
-        is_tip2 = idx_ref[w, 3] == 1
+        is_tip1 = idx_ref[2, w] == 1
+        is_tip2 = idx_ref[3, w] == 1
 
         for k, is_tip in ((0, is_tip1), (1, is_tip2)):
             @pl.when(is_tip)
@@ -409,7 +409,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
             def _(k=k):
                 if "noasm" in probes:
                     return
-                slot = idx_ref[w, k]
+                slot = idx_ref[k, w]
                 if store:
                     # child-major slot rows [lo, hi]: ONE contiguous copy
                     asm[buf, 2 * k * CS:(2 * k + 2) * CS] = slots[slot]
@@ -417,8 +417,8 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
                     asm[buf, k * CS:(k + 1) * CS] = slots[slot]
 
         zero_s = jnp.zeros((1, T), jnp.int32)
-        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[w, 0]])
-        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[w, 1]])
+        s1 = jnp.where(is_tip1, zero_s, ssc[idx_ref[0, w]])
+        s2 = jnp.where(is_tip2, zero_s, ssc[idx_ref[1, w]])
 
         if "nodot" in probes:
             lr = asm[buf, :2 * CS, :].astype(jnp.float32)
@@ -480,7 +480,7 @@ def _make_resident_kernel(nW: int, nP: int, split: bool,
 
         @pl.when(jnp.logical_not(is_root))
         def _():
-            out = idx_ref[w, 6]
+            out = idx_ref[6, w]
             if store:
                 oh = scaled.astype(jnp.bfloat16)
                 if "nocast" in probes:
@@ -607,7 +607,7 @@ def loglikelihood_resident(partition, idx8, brlens, e12, tip_hi,
         compiler_params=compiler_params,
         interpret=interpret,
     )
-    prod, rsc = fn(idx8, tip_hi, P12)
+    prod, rsc = fn(idx8.T, tip_hi, P12)
     per_cat = prod.astype(partition.dtype).reshape(C, S, -1).sum(axis=1)
     lnl = lk_mod._site_lnl(partition, per_cat.T, rsc[0])
     return jnp.sum(lnl * partition.pattern_weights)

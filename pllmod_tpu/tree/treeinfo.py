@@ -405,13 +405,15 @@ class TreeInfo:
         interp = engine_mod.fast_kernel_interpret()
         if (cache is None or cache["key"] != key
                 or cache["part"] is not part):
-            idx8, e1, e2, n_slots = pallas_clv.compile_fused_ops(part, ops)
+            tab10, n_slots = pallas_clv.compile_fused_ops(part, ops,
+                                                          as_numpy=True)
             Ppad = part.n_patterns_padded
             CS = part.n_cats * part.states
             z_c = jnp.zeros((n_slots, CS, Ppad), jnp.float32)
             z_s = jnp.zeros((n_slots, 1, Ppad), jnp.int32)
             lnl, clvs, scalers = engine_mod.fused_update_eval(
-                part, idx8, brl_j, e1, e2, rr, z_c, z_s, n_slots, interp)
+                part, jnp.asarray(tab10), brl_j, rr, z_c, z_s, n_slots,
+                interp)
             self._incr_cache[i] = dict(
                 key=key, part=part, brl=brl.copy(), clvs=clvs,
                 scalers=scalers, lnl=float(lnl), n_slots=n_slots)
@@ -424,10 +426,11 @@ class TreeInfo:
         n_run = len(rows)
         sub = self._bucket_rows(rows, ops)
         n_slots = cache["n_slots"]
-        idx8, e1, e2, _ns = pallas_clv.compile_fused_ops(
-            part, sub, pad_to=len(sub), n_slots_min=n_slots)
+        tab10, _ns = pallas_clv.compile_fused_ops(
+            part, sub, pad_to=len(sub), n_slots_min=n_slots,
+            as_numpy=True)
         lnl, clvs, scalers = engine_mod.fused_update_eval(
-            part, idx8, brl_j, e1, e2, rr, cache["clvs"],
+            part, jnp.asarray(tab10), brl_j, rr, cache["clvs"],
             cache["scalers"], n_slots, interp)
         cache["brl"] = brl.copy()
         cache["clvs"] = clvs

@@ -97,3 +97,29 @@ def test_bounded_10k_taxa(rng):
     l_lvl = float(engine_mod.tree_loglikelihood(part, tree,
                                                 schedule="levels"))
     assert float(l_b) == pytest.approx(l_lvl, rel=2e-6)
+
+
+def test_bounded_fused_matches_scan(rng):
+    """The serial-order fused-kernel bounded mode (slot recycling + per-
+    row RAW fences, compile_fused_ops(serial=True)) equals the XLA
+    bounded scan — the north-star capacity+speed path."""
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import engine
+    from pllmod_tpu.ops.partition import create_partition
+    from tests import reference_impl as ref
+
+    for n in (12, 33):
+        tree = ref.random_binary_tree(rng, n)
+        seqs = ref.random_sequences(rng, n, 300)
+        part = create_partition(seqs, states=4, n_rate_cats=4, alpha=0.8,
+                                prop_invar=0.1, dtype=jnp.float32,
+                                pattern_pad=128)
+        l_scan, ns = engine.loglikelihood_bounded(part, tree)
+        l_fused, ns_f = engine.loglikelihood_bounded_fused(
+            part, tree, interpret=True)
+        assert ns_f == ns or abs(ns_f - ns) <= 1
+        assert float(l_fused) == pytest.approx(float(l_scan), rel=2e-6)
+        # cached-eigen path too (fused_p12 branch)
+        l_fe, _ = engine.loglikelihood_bounded_fused(
+            part.cache_eigen(), tree, interpret=True)
+        assert float(l_fe) == pytest.approx(float(l_scan), rel=2e-6)

@@ -28,7 +28,7 @@ def main():
     from tests import reference_impl as ref
 
     p("devices:", jax.devices())
-    for n_taxa, sites in ((128, 4096), (512, 4096), (1024, 4096)):
+    for n_taxa, sites in ((512, 4096), (2048, 8192), (4096, 16384)):
         rng = np.random.default_rng(11)
         tree = ref.random_binary_tree(rng, n_taxa, 0.02, 0.8)
         seqs = ref.random_sequences(rng, n_taxa, sites)
@@ -36,13 +36,17 @@ def main():
                                 dtype=jnp.float32).cache_eigen()
         ti = TreeInfo(tree, [part])
         edges = np.nonzero(tree.edge_nodes[:, 0] >= 0)[0]
-        # warm both paths (compiles + first-exec costs)
+        # warm both paths (compiles + first-exec costs); the incremental
+        # program recompiles per dirty-row BUCKET (pow-2 — path length
+        # to the root differs per edge), so warm with one full pass over
+        # the same edge cycle the timed loop uses
         l_full = ti.compute_loglh()
         l_inc = ti.compute_loglh(incremental=True)
-        ti.set_branch_length(int(edges[3]), float(tree.lengths[edges[3]]) * 1.01)
-        ti.compute_loglh(incremental=True)
-        ti.set_branch_length(int(edges[4]), float(tree.lengths[edges[4]]) * 1.01)
-        ti.compute_loglh(incremental=True)
+        for it in range(12):
+            e = int(edges[5 + (it % 10)])
+            ti.set_branch_length(e, float(tree.lengths[e]) * 1.001)
+            ti.compute_loglh(incremental=True)
+            ti.compute_loglh()
         p(f"{n_taxa}x{sites}: full {l_full:.3f} inc-seed {l_inc:.3f}")
 
         N = 20

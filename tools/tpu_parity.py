@@ -98,8 +98,143 @@ def main(n_taxa: int = 16, n_sites: int = 512) -> int:
               f"auto={sched}{'+split' if split else '':7s} "
               f"logL {got:.4f} oracle {oracle:.4f} "
               f"rel {rel:.2e} (levels {rel_l:.2e})", flush=True)
+    failures += check_multi_eval(tree, rng, n_taxa, n_sites)
+    failures += check_derivatives(tree, rng, n_taxa, n_sites)
+    failures += check_bounded_serial(rng)
     print("PASS" if failures == 0 else f"{failures} FAILURES", flush=True)
     return failures
+
+
+def check_multi_eval(tree, rng, n_taxa, n_sites) -> int:
+    """Mixed resident+fused combined-lane program (engine.multi_eval):
+    a DNA+G4 (resident kind) + protein-like GT16 (fused kind) pair must
+    each match its own single-partition production evaluation."""
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import engine, charmap
+    from pllmod_tpu.ops.partition import create_partition
+
+    parts, singles = [], []
+    for states, cats in ((4, 4), (16, 4)):
+        syms = charmap.MULTI_SYMBOLS[:states]
+        mat = np.array(list(syms))[rng.integers(0, states,
+                                                (n_taxa, n_sites))]
+        nr = states * (states - 1) // 2
+        part = create_partition(
+            ["".join(r) for r in mat], states=states, n_rate_cats=cats,
+            charmap=charmap.multistate(states), alpha=0.8,
+            subst_rates=rng.uniform(0.5, 2.0, nr),
+            freqs=rng.dirichlet([8] * states),
+            compress=False, dtype=jnp.float32).cache_eigen()
+        parts.append(part)
+        singles.append(float(engine.tree_loglikelihood(part, tree)))
+    brls, arts, ks = [], [], []
+    for part in parts:
+        kind, arr, st = engine.fast_lane_args(part, tree)
+        brls.append(jnp.asarray(np.asarray(tree.lengths, np.float32)))
+        arts.append(arr)
+        ks.append((kind, st))
+    got = np.asarray(engine.multi_eval(parts, brls, arts, tuple(ks)))
+    fails = 0
+    for k in range(2):
+        rel = abs(got[k] - singles[k]) / abs(singles[k])
+        ok = rel < 1e-6
+        fails += not ok
+        print(f"{'OK ' if ok else 'FAIL'} multi_eval lane {k} "
+              f"({ks[k][0]:8s}) logL {got[k]:.4f} single {singles[k]:.4f} "
+              f"rel {rel:.2e}", flush=True)
+    return fails
+
+
+def check_derivatives(tree, rng, n_taxa, n_sites) -> int:
+    """Fused derivative pipeline (megakernel directed CLVs → pallas
+    sumtables → pallas per-edge derivatives) vs the XLA derivative path
+    on-chip, DNA+G4 and GT16 shapes."""
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import charmap, engine
+    from pllmod_tpu.ops import derivatives as deriv_mod
+    from pllmod_tpu.ops import pallas_deriv
+    from pllmod_tpu.optimize import blo as blo_mod
+
+    fails = 0
+    for states, cats, label in ((4, 4, "DNA+G4"), (16, 4, "GT16+G4")):
+        syms = charmap.MULTI_SYMBOLS[:states]
+        mat = np.array(list(syms))[rng.integers(0, states,
+                                                (n_taxa, n_sites))]
+        nr = states * (states - 1) // 2
+        part = create_partition_cached(
+            ["".join(r) for r in mat], states, cats, rng)
+        trav = blo_mod.DirectedTraversal(tree)
+        fargs = blo_mod._fused_args(part, trav)
+        if not fargs:
+            print(f"SKIP deriv {label} (no fast path)", flush=True)
+            continue
+        brl = jnp.asarray(np.clip(np.asarray(tree.lengths), 1e-4, 100.0
+                                  ).astype(np.float32))
+        st, sc, eigen, lnB = blo_mod._deriv_pipeline_fast(
+            part, brl, fargs["fused_idx"], fargs["fused_nslots"],
+            fargs["fused_interp"], fargs["eref6"])
+        lnl_f, df_f, ddf_f = pallas_deriv.edge_derivatives_pallas(
+            part, st, sc, brl, eigen, lnB, fargs["fused_interp"])
+        # XLA reference: level-scheduled directed CLVs + batched derivs
+        levels, offsets, edge_ref, n_slots = trav.schedule()
+        P = part.prob_matrices(brl)
+        clvs, scalers = blo_mod._directed_clvs(part, P, levels, offsets,
+                                               n_slots, None)
+        st_x, sc_x = blo_mod._edge_sumtables(part, clvs, scalers,
+                                             edge_ref, eigen)
+        lnl_x, df_x, ddf_x = deriv_mod.edge_derivatives_batch(
+            part, st_x, sc_x, brl, eigen)
+        m = np.asarray(trav.edge_mask)
+        rel_df = np.max(np.abs(np.asarray(df_f)[m] - np.asarray(df_x)[m])
+                        / np.maximum(np.abs(np.asarray(df_x)[m]), 1e3))
+        rel_l = np.max(np.abs(np.asarray(lnl_f)[m] - np.asarray(lnl_x)[m])
+                       / np.abs(np.asarray(lnl_x)[m]))
+        ok = rel_l < 1e-6 and rel_df < 1e-3
+        fails += not ok
+        print(f"{'OK ' if ok else 'FAIL'} deriv {label:8s} "
+              f"rel lnl {rel_l:.2e} rel df {rel_df:.2e}", flush=True)
+    return fails
+
+
+def create_partition_cached(seqs, states, cats, rng):
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import charmap
+    from pllmod_tpu.ops.partition import create_partition
+    nr = states * (states - 1) // 2
+    return create_partition(
+        seqs, states=states, n_rate_cats=cats,
+        charmap=charmap.multistate(states), alpha=0.8,
+        subst_rates=rng.uniform(0.5, 2.0, nr),
+        freqs=rng.dirichlet([8] * states),
+        compress=False, dtype=jnp.float32).cache_eigen()
+
+
+def check_bounded_serial(rng) -> int:
+    """Serial-order (slot-recycled) fused kernel vs the XLA bounded scan
+    on-chip — validates the per-row RAW fences on real DMA (interpret
+    mode cannot: round-4 serial mode, engine.loglikelihood_bounded_fused)."""
+    import jax.numpy as jnp
+    from pllmod_tpu.ops import engine
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree.topology import Tree
+    from __graft_entry__ import _random_newick
+
+    fails = 0
+    for n in (24, 96):
+        tree = Tree.from_newick(_random_newick(n, rng))
+        mat = np.array(list("ACGT"))[rng.integers(0, 4, (n, 512))]
+        part = create_partition(["".join(r) for r in mat], states=4,
+                                n_rate_cats=4, alpha=0.8,
+                                compress=False,
+                                dtype=jnp.float32).cache_eigen()
+        l_scan, _ = engine.loglikelihood_bounded(part, tree)
+        l_fused, _ = engine.loglikelihood_bounded_fused(part, tree)
+        rel = abs(float(l_fused) - float(l_scan)) / abs(float(l_scan))
+        ok = rel < 1e-6
+        fails += not ok
+        print(f"{'OK ' if ok else 'FAIL'} bounded-serial {n} taxa "
+              f"rel {rel:.2e}", flush=True)
+    return fails
 
 
 if __name__ == "__main__":
