@@ -57,6 +57,26 @@ def loglikelihood_persite(partition, ops, brlens, root_info):
                                      persite=True)
 
 
+def loglikelihood_persite_fast(partition, tree, brlens=None,
+                               root_edge=None):
+    """(total, per-pattern logL) through the fused megakernel — the
+    TPU-class per-site path (the XLA :func:`loglikelihood_persite`
+    stays the f64-capable oracle). The root-edge site vector falls out
+    of the fused-root epilogue (pallas_clv.root_from_prod_slot), so the
+    per-site diagnostic costs the same one kernel dispatch as a plain
+    fused evaluation (treeinfo.c:1084-1099's persite out-array)."""
+    from pllmod_tpu.ops import pallas_clv
+    if brlens is None:
+        brlens = tree.lengths
+    brlens = jnp.asarray(np.asarray(brlens, np.float64),
+                         partition.dtype)
+    idx8, e1, e2, ri, n_slots = pallas_clv.compile_fused(
+        partition, tree, root_edge, fuse_root=True)
+    return pallas_clv.loglikelihood_fused(
+        partition, idx8, brlens, e1, e2, ri, n_slots,
+        fast_kernel_interpret(), use_split_clv(partition), True)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def loglikelihood_levels(partition, levels, brlens, offsets, root_info,
                          n_slots: int):

@@ -1306,10 +1306,16 @@ def _root_pair(partition, P_root):
     return pair
 
 
-def root_from_prod_slot(partition, clvs, scalers, root_slot: int):
+def root_from_prod_slot(partition, clvs, scalers, root_slot: int,
+                        persite: bool = False):
     """Edge logL epilogue for the fused-root path: the kernel already
     left the (rescaled) per-category site product in ``root_slot``; its
-    scaler row is the TOTAL exponent (children cumulative + own)."""
+    scaler row is the TOTAL exponent (children cumulative + own).
+
+    ``persite=True`` additionally returns the per-PATTERN logL vector
+    (the reference's ``persite`` out-array,
+    pll_compute_edge_loglikelihood) — free here, since the site vector
+    exists right before the weighted reduction."""
     from pllmod_tpu.ops import likelihood as lk_mod
     C, S = partition.n_cats, partition.states
     dtype = partition.dtype
@@ -1320,13 +1326,16 @@ def root_from_prod_slot(partition, clvs, scalers, root_slot: int):
         prod = clvs[root_slot].astype(dtype)
     per_cat = prod.reshape(C, S, -1).sum(axis=1)             # [C, P]
     lnl = lk_mod._site_lnl(partition, per_cat.T, scalers[root_slot, 0])
-    return jnp.sum(lnl * partition.pattern_weights)
+    total = jnp.sum(lnl * partition.pattern_weights)
+    if persite:
+        return total, lnl
+    return total
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
                         n_slots: int, interpret: bool = False,
-                        split: bool = False):
+                        split: bool = False, persite: bool = False):
     """Full-tree logL through the fused whole-traversal kernel.
 
     With a cached eigendecomposition the per-node transition matrices are
@@ -1367,7 +1376,9 @@ def loglikelihood_fused(partition, idx8, brlens, e1, e2, root_info,
         partition, None, idx8, e1, e2, n_slots, interpret=interpret,
         P12=P12, split=split)
     if fuse_root:
-        return root_from_prod_slot(partition, clvs, scalers, root_info[3])
+        return root_from_prod_slot(partition, clvs, scalers, root_info[3],
+                                   persite=persite)
+    assert not persite, "persite needs compile_fused(fuse_root=True)"
     return root_loglikelihood_csp(partition, clvs, scalers,
                                   root_info[0], root_info[1], P_root)
 

@@ -253,14 +253,37 @@ def _deriv_pipeline_fast(partition, brlens, fused_idx, fused_nslots,
     return st, sc, eigen, pallas_deriv.invar_log_plane(partition)
 
 
+def _safe_accept(edge_mask, brlens, t_opt, l_old_all, l_new_all,
+                 axis_name):
+    """Per-edge eval-and-revert of the reference's SAFE mode
+    (PLLMOD_OPT_BLO_NEWTON_SAFE, pll_optimize.c:1587-1632): edge ``e``'s
+    proposed length is accepted only if the tree logL with ONLY that
+    edge changed does not drop.  ``l_*_all[e]`` is exactly that
+    quantity — per-edge logL through edge ``e``'s sumtable (others at
+    incoming lengths), so one batched derivative evaluation at the
+    proposed lengths replaces the reference's serial re-evaluations.
+    The tolerance absorbs the dtype's rounding noise at the logL scale
+    (the reference compares exactly, in double)."""
+    dtype = brlens.dtype
+    l_old = l_old_all.astype(dtype)
+    l_new = l_new_all.astype(dtype)
+    if axis_name is not None:
+        l_old = jax.lax.psum(l_old, axis_name)
+        l_new = jax.lax.psum(l_new, axis_name)
+    eps = 32.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(l_old))
+    accept = l_new >= l_old - eps
+    return jnp.where(edge_mask & accept, t_opt, brlens)
+
+
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp",
-                                   "fused_newton", "axis_name"))
+                                   "fused_newton", "axis_name", "safe"))
 def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                min_brlen, max_brlen, tol, n_slots: int,
                max_newton_iters: int = 10, fused_idx=None,
                fused_nslots=None, fused_interp=False, eref6=None,
-               fused_newton: bool = False, axis_name=None):
+               fused_newton: bool = False, axis_name=None,
+               safe: bool = False):
     """One Jacobi BLO sweep. Returns (new_brlens, logL at incoming brlens).
 
     ``edge_mask`` doubles as the update selector: a color sub-sweep
@@ -270,7 +293,9 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
     sumtables, with every Newton iteration's (df, ddf) and the sweep
     logL psum-reduced (the reference's per-iteration collective,
     pll_optimize.c:1270-1286). The in-kernel fused Newton cannot psum
-    per iteration, so sharded sweeps use the iterative path."""
+    per iteration, so sharded sweeps use the iterative path.
+
+    ``safe``: per-edge eval-and-revert (see :func:`_safe_accept`)."""
     live_idx = jnp.argmax(edge_mask)               # any live edge
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
@@ -287,6 +312,15 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                 max_newton_iters, eigen, lnB, fused_interp)
             lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
             t_opt = t_all.astype(brlens.dtype)
+            if safe:
+                # recompute the baseline with the SAME evaluator as
+                # l_new so the comparison's fp noise is symmetric
+                l_old_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                    partition, st, sc, brlens, eigen, lnB, fused_interp)
+                l_new_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                    partition, st, sc, t_opt, eigen, lnB, fused_interp)
+                return _safe_accept(edge_mask, brlens, t_opt, l_old_all,
+                                    l_new_all, axis_name), lnl0
             return jnp.where(edge_mask, t_opt, brlens), lnl0
         lnl0_all, _, _ = pallas_deriv.edge_derivatives_pallas(
             partition, st, sc, brlens, eigen, lnB, fused_interp)
@@ -296,6 +330,11 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
             _, df, ddf = pallas_deriv.edge_derivatives_pallas(
                 partition, st, sc, t, eigen, lnB, fused_interp)
             return df.astype(t.dtype), ddf.astype(t.dtype)
+
+        def l_at(t):
+            l_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                partition, st, sc, t, eigen, lnB, fused_interp)
+            return l_all
     else:
         P = partition.prob_matrices(brlens)
         fused = None if fused_nslots is None else (
@@ -315,6 +354,11 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
                 partition, st, sc, t, eigen)
             return df, ddf
 
+        def l_at(t):
+            l_all, _, _ = deriv_mod.edge_derivatives_batch(
+                partition, st, sc, t, eigen)
+            return l_all
+
     if axis_name is not None:
         _local_deriv = deriv_fn
 
@@ -327,18 +371,21 @@ def _blo_sweep(partition, levels, offsets, edge_ref, edge_mask, brlens,
 
     t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
+    if safe:
+        return _safe_accept(edge_mask, brlens, t_opt, lnl0_all,
+                            l_at(t_opt), axis_name), lnl0
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
 @partial(jax.jit, static_argnames=("n_slots", "fused_nslots",
                                    "fused_interp", "fused_newton",
-                                   "axis_name"))
+                                   "axis_name", "safe"))
 def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
             n_slots: int, fused_idx=None, fused_nslots=None,
             fused_interp=False, eref6=None, fused_newton: bool = False,
-            axis_name=None):
-    # fused_newton is accepted (callers splat _fused_args) but unused:
-    # a bare logL evaluation has no Newton loop
+            axis_name=None, safe: bool = False):
+    # fused_newton/safe are accepted (callers splat _fused_args) but
+    # unused: a bare logL evaluation has no Newton loop to guard
     if eref6 is not None:
         from pllmod_tpu.ops import pallas_deriv
         st, sc, eigen, lnB = _deriv_pipeline_fast(
@@ -370,13 +417,14 @@ def _lnl_at(partition, levels, offsets, edge_ref, edge_mask, brlens,
 
 @partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
                                    "fused_nslots", "fused_interp",
-                                   "fused_newton", "axis_name"))
+                                   "fused_newton", "axis_name", "safe"))
 def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
                      n_slots: int, max_newton_iters: int = 10,
                      fused_idx=None, fused_nslots=None,
                      fused_interp=False, eref6=None,
-                     fused_newton: bool = False, axis_name=None):
+                     fused_newton: bool = False, axis_name=None,
+                     safe: bool = False):
     """One Jacobi BLO sweep over SHARED branch lengths across partitions.
 
     Multi-partition derivative accumulation with per-partition scalers
@@ -403,6 +451,23 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
             sc_all.append(sc)
             eig_all.append(eigen)
             lnb_all.append(lnB)
+
+    def l_at(t):
+        """Per-edge logL summed over partitions: element ``e`` is the
+        tree logL with ONLY edge e at t[e] (others at sweep-start)."""
+        tot = jnp.zeros_like(t)
+        for i, (part, s, st, sc, eigen) in enumerate(
+                zip(partitions, scalers, st_all, sc_all, eig_all)):
+            if eref6 is not None:
+                l_all, _, _ = pallas_deriv.edge_derivatives_pallas(
+                    part, st, sc, t * s, eigen, lnb_all[i], fused_interp)
+            else:
+                l_all, _, _ = deriv_mod.edge_derivatives_batch(
+                    part, st, sc, t * s, eigen)
+            tot = tot + l_all.astype(t.dtype)
+        return tot
+
+    if eref6 is not None:
         if fused_newton and axis_name is None:
             # multi-partition fused Newton: every partition's sumtable
             # row for an edge resident in VMEM at once; per-iteration
@@ -415,6 +480,10 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
                 fused_interp)
             lnl0 = lnl0_all[live_idx].astype(brlens.dtype)
             t_opt = t_all.astype(brlens.dtype)
+            if safe:
+                return _safe_accept(edge_mask, brlens, t_opt,
+                                    l_at(brlens), l_at(t_opt),
+                                    axis_name), lnl0
             return jnp.where(edge_mask, t_opt, brlens), lnl0
         for part, s, st, sc, eigen, lnB in zip(partitions, scalers,
                                                st_all, sc_all, eig_all,
@@ -461,6 +530,9 @@ def _blo_sweep_multi(partitions, scalers, levels, offsets, edge_ref,
         lnl0 = jax.lax.psum(lnl0, axis_name)
     t_opt = minimize_newton_multi(deriv_fn, brlens, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
+    if safe:
+        return _safe_accept(edge_mask, brlens, t_opt, l_at(brlens),
+                            l_at(t_opt), axis_name), lnl0
     return jnp.where(edge_mask, t_opt, brlens), lnl0
 
 
@@ -543,17 +615,18 @@ def _driver_loop(sweep_fn, final_fn, brlens, color_masks, tolerance,
 @partial(jax.jit, static_argnames=("n_slots", "n_polish",
                                    "max_newton_iters", "fused_nslots",
                                    "fused_interp", "fused_newton",
-                                   "axis_name"))
+                                   "axis_name", "safe"))
 def _blo_run(partition, levels, offsets, edge_ref, color_masks, edge_mask,
              brlens, min_brlen, max_brlen, tol, tolerance, n_slots: int,
              max_sweeps=32, n_polish: int = 4,
              max_newton_iters: int = 10, fused_idx=None, fused_nslots=None,
              fused_interp=False, eref6=None, fused_newton: bool = False,
-             axis_name=None):
+             axis_name=None, safe: bool = False):
     """Whole single-partition BLO driver as ONE device program."""
     fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
                  fused_interp=fused_interp, eref6=eref6,
-                 fused_newton=fused_newton, axis_name=axis_name)
+                 fused_newton=fused_newton, axis_name=axis_name,
+                 safe=safe)
 
     def sweep_fn(brl, cm):
         return _blo_sweep(partition, levels, offsets, edge_ref, cm, brl,
@@ -571,19 +644,21 @@ def _blo_run(partition, levels, offsets, edge_ref, color_masks, edge_mask,
 @partial(jax.jit, static_argnames=("n_slots",
                                    "max_newton_iters", "fused_nslots",
                                    "fused_interp", "fused_newton",
-                                   "axis_name"))
+                                   "axis_name", "safe"))
 def _blo_run_multi(partitions, scalers, levels, offsets, edge_ref,
                    edge_mask, brlens, min_brlen, max_brlen, tol,
                    tolerance, n_slots: int, max_sweeps=32,
                    max_newton_iters: int = 10, fused_idx=None,
                    fused_nslots=None, fused_interp=False, eref6=None,
-                   fused_newton: bool = False, axis_name=None):
+                   fused_newton: bool = False, axis_name=None,
+                   safe: bool = False):
     """Whole multi-partition (LINKED/SCALED) BLO driver as ONE device
     program (plain Jacobi sweeps, no colors — mirrors the host
     :func:`optimize_branch_lengths_treeinfo` loop)."""
     fargs = dict(fused_idx=fused_idx, fused_nslots=fused_nslots,
                  fused_interp=fused_interp, eref6=eref6,
-                 fused_newton=fused_newton, axis_name=axis_name)
+                 fused_newton=fused_newton, axis_name=axis_name,
+                 safe=safe)
 
     def sweep_fn(brl, cm):
         return _blo_sweep_multi(partitions, scalers, levels, offsets,
@@ -612,7 +687,8 @@ _SHARDED_RUN_CACHE: dict = {}
 def _blo_run_sharded(mesh, axis_name, partition, edge_ref, color_masks,
                      edge_mask, brlens, min_brlen, max_brlen, tol,
                      tolerance, max_sweeps, n_polish, max_newton_iters,
-                     fused_idx, fused_nslots, fused_interp, eref6):
+                     fused_idx, fused_nslots, fused_interp, eref6,
+                     safe=False):
     """:func:`_blo_run` under shard_map: every device runs the whole
     smoothing driver on its pattern shard, with (df, ddf, logL) psums at
     the seams (``axis_name`` plumbed into the sweeps). The fused
@@ -624,7 +700,7 @@ def _blo_run_sharded(mesh, axis_name, partition, edge_ref, color_masks,
     from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
 
     key = ("single", mesh, axis_name, n_polish, max_newton_iters,
-           fused_nslots, fused_interp, _spec_sig(partition))
+           fused_nslots, fused_interp, safe, _spec_sig(partition))
     prog = _SHARDED_RUN_CACHE.get(key)
     if prog is None:
         pspecs = partition_specs(partition, axis_name)
@@ -636,7 +712,8 @@ def _blo_run_sharded(mesh, axis_name, partition, edge_ref, color_masks,
                 0, msw, n_polish=n_polish,
                 max_newton_iters=max_newton_iters, fused_idx=fidx,
                 fused_nslots=fused_nslots, fused_interp=fused_interp,
-                eref6=er6, fused_newton=False, axis_name=axis_name)
+                eref6=er6, fused_newton=False, axis_name=axis_name,
+                safe=safe)
 
         body = _partial(shard_map, mesh=mesh,
                         in_specs=(pspecs, P(), P(), P(), P(), P(), P(),
@@ -654,7 +731,8 @@ def _blo_run_sharded(mesh, axis_name, partition, edge_ref, color_masks,
 def _blo_run_multi_sharded(mesh, axis_name, partitions, scalers, edge_ref,
                            edge_mask, brlens, min_brlen, max_brlen, tol,
                            tolerance, max_sweeps, max_newton_iters,
-                           fused_idx, fused_nslots, fused_interp, eref6):
+                           fused_idx, fused_nslots, fused_interp, eref6,
+                           safe=False):
     """:func:`_blo_run_multi` under shard_map (see _blo_run_sharded)."""
     from functools import partial as _partial
     from jax import shard_map
@@ -662,7 +740,7 @@ def _blo_run_multi_sharded(mesh, axis_name, partitions, scalers, edge_ref,
     from pllmod_tpu.parallel.sharding import partition_specs, _spec_sig
 
     key = ("multi", mesh, axis_name, max_newton_iters, fused_nslots,
-           fused_interp, tuple(_spec_sig(p) for p in partitions))
+           fused_interp, safe, tuple(_spec_sig(p) for p in partitions))
     prog = _SHARDED_RUN_CACHE.get(key)
     if prog is None:
         pspecs = tuple(partition_specs(p, axis_name) for p in partitions)
@@ -673,7 +751,8 @@ def _blo_run_multi_sharded(mesh, axis_name, partitions, scalers, edge_ref,
                 parts, scls, (), (), eref, emask, brl, mn, mx, tl, tolc,
                 0, msw, max_newton_iters=max_newton_iters, fused_idx=fidx,
                 fused_nslots=fused_nslots, fused_interp=fused_interp,
-                eref6=er6, fused_newton=False, axis_name=axis_name)
+                eref6=er6, fused_newton=False, axis_name=axis_name,
+                safe=safe)
 
         body = _partial(shard_map, mesh=mesh,
                         in_specs=(pspecs,
@@ -739,7 +818,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                             around_edge: int | None = None,
                             colored: bool = True,
                             on_device: bool | None = None,
-                            mesh=None, mesh_axis=None):
+                            mesh=None, mesh_axis=None,
+                            safe: bool = False):
     """Optimize branch lengths of ``tree`` under ``partition``.
 
     Driver semantics mirror ``pllmod_opt_optimize_branch_lengths_local``
@@ -747,6 +827,13 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     until the logL gain drops below ``tolerance`` or ``max_sweeps`` is hit;
     a sweep that worsens logL is retried with half steps (damped Jacobi),
     and the best iterate always wins.
+
+    ``safe=True`` additionally applies the reference's per-edge SAFE
+    revert (PLLMOD_OPT_BLO_NEWTON_SAFE, pll_optimize.c:1587-1632) inside
+    every sweep: an edge's proposed length is rejected if the tree logL
+    with only that edge changed drops (one extra batched per-edge
+    evaluation per sweep; see :func:`_safe_accept`). Default off,
+    matching the reference's default NEWTON_FAST method.
 
     ``colored=True`` (default) runs each sweep as 3-4 edge-COLOR
     sub-sweeps (:func:`_edge_colors`): simultaneously updated edges never
@@ -818,7 +905,7 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                 jnp.asarray(newton_tol, dtype),
                 jnp.asarray(tolerance, dtype), max_sweeps, 4, 10,
                 fargs["fused_idx"], fargs["fused_nslots"],
-                fargs["fused_interp"], fargs["eref6"])
+                fargs["fused_interp"], fargs["eref6"], safe=safe)
         else:
             best_brlens, best_lnl = _blo_run(
                 partition, levels, offsets, edge_ref,
@@ -827,7 +914,7 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
                 jnp.asarray(max_brlen, dtype),
                 jnp.asarray(newton_tol, dtype),
                 jnp.asarray(tolerance, dtype),
-                n_slots, max_sweeps=max_sweeps, **fargs)
+                n_slots, max_sweeps=max_sweeps, safe=safe, **fargs)
         best_lnl = float(best_lnl)
         if write_back:
             tree.lengths = np.asarray(best_brlens, np.float64).copy()
@@ -843,7 +930,8 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
             brlens, lnl_sub = _blo_sweep(
                 partition, levels, offsets, edge_ref, cmask, brlens,
                 jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-                jnp.asarray(newton_tol, dtype), n_slots, **fargs)
+                jnp.asarray(newton_tol, dtype), n_slots, safe=safe,
+                **fargs)
             if lnl_here is None:
                 lnl_here = float(lnl_sub)    # logL at sweep-START brlens
         new_brlens = brlens
@@ -866,7 +954,7 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
         new_brlens, lnl_here = _blo_sweep(
             partition, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
+            jnp.asarray(newton_tol, dtype), n_slots, safe=safe, **fargs)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens
@@ -881,10 +969,11 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     return best_brlens, best_lnl
 
 
-@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters"))
+@partial(jax.jit, static_argnames=("n_slots", "max_newton_iters",
+                                   "safe"))
 def _blo_window(partition, ops_w, refs_w, edge_ids, win_mask, brlens,
                 min_brlen, max_brlen, tol, n_slots: int,
-                max_newton_iters: int = 10):
+                max_newton_iters: int = 10, safe: bool = False):
     """One Gauss-Seidel WINDOW step of the memory-bounded BLO.
 
     For each of the W edges in the window, a bounded-slot edge-rooted
@@ -932,6 +1021,15 @@ def _blo_window(partition, ops_w, refs_w, edge_ids, win_mask, brlens,
 
     t_opt = minimize_newton_multi(deriv_fn, t_w, min_brlen, max_brlen,
                                   tol=tol, max_iters=max_newton_iters)
+    if safe:
+        # per-edge SAFE revert within the window (see _safe_accept);
+        # the window's sumtables hold others-at-incoming by construction
+        l_old, _, _ = deriv_mod.edge_derivatives_batch(
+            partition, st_w, sc_w, t_w, eigen)
+        l_new, _, _ = deriv_mod.edge_derivatives_batch(
+            partition, st_w, sc_w, t_opt, eigen)
+        eps = 32.0 * jnp.finfo(brlens.dtype).eps * (1.0 + jnp.abs(l_old))
+        t_opt = jnp.where(l_new >= l_old - eps, t_opt, t_w)
     # masked write-back via a scratch row (duplicate pad ids all land on
     # the scratch entry — no scatter conflicts on live edges)
     E = brlens.shape[0]
@@ -1001,7 +1099,8 @@ def optimize_branch_lengths_chunked(partition, tree, window: int = 16,
                                     min_brlen: float = MIN_BRANCH_LEN,
                                     max_brlen: float = MAX_BRANCH_LEN,
                                     newton_tol: float = TOL_BRANCH_LEN,
-                                    write_back: bool = True):
+                                    write_back: bool = True,
+                                    safe: bool = False):
     """Memory-bounded branch-length optimization (capacity mode).
 
     The full-buffer :func:`optimize_branch_lengths` materializes 3(n−2)
@@ -1038,7 +1137,7 @@ def optimize_branch_lengths_chunked(partition, tree, window: int = 16,
         for w in range(n_win):
             brlens, lnl0 = _blo_window(
                 partition, ops_w[w], refs_w[w], edge_ids[w], masks[w],
-                brlens, *args, n_slots)
+                brlens, *args, n_slots, safe=safe)
             if lnl_sweep is None:
                 lnl_sweep = float(lnl0)   # logL at sweep-START brlens
         if lnl_sweep > best_lnl:
@@ -1064,7 +1163,8 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
                                      min_brlen: float = MIN_BRANCH_LEN,
                                      max_brlen: float = MAX_BRANCH_LEN,
                                      newton_tol: float = TOL_BRANCH_LEN,
-                                     on_device: bool | None = None):
+                                     on_device: bool | None = None,
+                                     safe: bool = False):
     """Multi-partition BLO across branch-length linkage modes.
 
     TPU build of ``pllmod_opt_optimize_branch_lengths_local_multi``
@@ -1092,7 +1192,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
                 part, t, max_sweeps=max_sweeps, tolerance=tolerance,
                 min_brlen=min_brlen, max_brlen=max_brlen,
                 newton_tol=newton_tol, on_device=on_device,
-                mesh=mesh, mesh_axis=mesh_axis)
+                mesh=mesh, mesh_axis=mesh_axis, safe=safe)
             treeinfo.brlens[i] = t.lengths
             treeinfo.partition_loglh[i] = lnl
             total += lnl
@@ -1132,7 +1232,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
                 jnp.asarray(newton_tol, dtype),
                 jnp.asarray(tolerance, dtype), max_sweeps, 10,
                 fargs["fused_idx"], fargs["fused_nslots"],
-                fargs["fused_interp"], fargs["eref6"])
+                fargs["fused_interp"], fargs["eref6"], safe=safe)
         else:
             best_brlens, best_lnl = _blo_run_multi(
                 parts, tuple(jnp.asarray(s, dtype) for s in scalers),
@@ -1141,7 +1241,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
                 jnp.asarray(max_brlen, dtype),
                 jnp.asarray(newton_tol, dtype),
                 jnp.asarray(tolerance, dtype),
-                n_slots, max_sweeps=max_sweeps, **fargs)
+                n_slots, max_sweeps=max_sweeps, safe=safe, **fargs)
         tree.lengths = np.asarray(best_brlens, np.float64).copy()
         return float(best_lnl)
 
@@ -1152,7 +1252,7 @@ def optimize_branch_lengths_treeinfo(treeinfo, max_sweeps: int = 32,
         new_brlens, lnl_here = _blo_sweep_multi(
             parts, scalers, levels, offsets, edge_ref, edge_mask, brlens,
             jnp.asarray(min_brlen, dtype), jnp.asarray(max_brlen, dtype),
-            jnp.asarray(newton_tol, dtype), n_slots, **fargs)
+            jnp.asarray(newton_tol, dtype), n_slots, safe=safe, **fargs)
         lnl_here = float(lnl_here)
         if lnl_here > best_lnl:
             best_lnl, best_brlens = lnl_here, brlens

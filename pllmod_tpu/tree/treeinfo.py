@@ -227,25 +227,39 @@ class TreeInfo:
                 total += lnl
         return total
 
-    def compute_loglh_persite(self):
+    def compute_loglh_persite(self, fast: bool | None = None):
         """Per-partition per-pattern log-likelihoods
         (pllmod_treeinfo_compute_loglh_persite, treeinfo.c:1081-1099).
 
         Returns (total_loglh, [per-pattern lnl array | None per
         partition]) — None for remote/out-of-scope partitions. Entries
         are unweighted per-PATTERN values (multiply by pattern_weights
-        and sum to recover each partition's total); always evaluated on
-        the XLA engine (full per-site vector, f64-capable)."""
+        and sum to recover each partition's total).
+
+        ``fast``: None (auto) evaluates TPU-class partitions through
+        the fused megakernel (the site vector falls out of the fused
+        root reduction — engine.loglikelihood_persite_fast), so
+        per-site diagnostics stay usable at production scale; other
+        partitions (and ``fast=False``) use the f64-capable XLA
+        engine."""
         ops, root_info = self.tree.traversal_ops()
         ri = tuple(int(x) for x in root_info)
-        ops_j = jnp.asarray(ops)
+        ops_j = None
         persite = [None] * self.n_partitions
         total = 0.0
         for i in self.local_indices():
             part = self.partitions[i]
-            brl = jnp.asarray(self.partition_brlens(i), part.dtype)
-            lnl, site_lnl = engine_mod.loglikelihood_persite(
-                part, ops_j, brl, ri)
+            use_fast = (engine_mod.use_fast_kernel(part) if fast is None
+                        else fast)
+            if use_fast:
+                lnl, site_lnl = engine_mod.loglikelihood_persite_fast(
+                    part, self.tree, self.partition_brlens(i))
+            else:
+                if ops_j is None:
+                    ops_j = jnp.asarray(ops)
+                brl = jnp.asarray(self.partition_brlens(i), part.dtype)
+                lnl, site_lnl = engine_mod.loglikelihood_persite(
+                    part, ops_j, brl, ri)
             persite[i] = np.asarray(site_lnl)
             self.partition_loglh[i] = float(lnl)
             total += float(lnl)

@@ -123,3 +123,18 @@ def test_bounded_fused_matches_scan(rng):
         l_fe, _ = engine.loglikelihood_bounded_fused(
             part.cache_eigen(), tree, interpret=True)
         assert float(l_fe) == pytest.approx(float(l_scan), rel=2e-6)
+
+
+def test_chunked_blo_safe_noop_equivalence(rng):
+    """safe=True (per-edge SAFE revert inside each window, see
+    blo._safe_accept) is bit-identical to the default on a benign case
+    — no healthy trajectory changes from enabling the guard."""
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths_chunked
+    part, tree = _parts(rng, 10, 120)
+    part = part.cache_eigen()
+    t1, t2 = tree.copy(), tree.copy()
+    b1, l1 = optimize_branch_lengths_chunked(part, t1, window=4)
+    b2, l2 = optimize_branch_lengths_chunked(part, t2, window=4,
+                                             safe=True)
+    assert l1 == l2
+    assert np.array_equal(np.asarray(b1), np.asarray(b2))

@@ -428,3 +428,91 @@ def test_optimize_multidim_free_rates_weights(rng):
     w = np.asarray(part2.rate_weights)
     assert w.sum() == pytest.approx(1.0, abs=1e-9)
     assert (w > 0).all()
+
+
+def _safe_mode_case():
+    """The pinned adversarial BLO case for per-edge SAFE mode: with one
+    bracketed-Newton iteration and far-from-optimal start lengths, edge
+    2's proposal (bisection toward the untouched bracket end) DEGRADES
+    the tree logL while other edges' proposals improve — the situation
+    the reference's per-edge eval-and-revert exists for
+    (PLLMOD_OPT_BLO_NEWTON_SAFE, pll_optimize.c:1587-1632). Found by a
+    deterministic scan (seed 28, 6 taxa, alpha 0.2, start = 3×U(.3,1),
+    5th uniform batch)."""
+    rng = np.random.default_rng(28)
+    tree = ref.random_binary_tree(rng, 6, 0.01, 1.5)
+    part = create_partition(ref.random_sequences(rng, 6, 120), states=4,
+                            n_rate_cats=4, alpha=0.2, dtype=jnp.float64)
+    trav = DirectedTraversal(tree)
+    nlive = int(trav.edge_mask.sum())
+    for _ in range(4):                      # scan drew 0.9/1.7/3.0 ×2
+        rng.uniform(0.3, 1.0, nlive)
+    start = np.clip(np.asarray(tree.lengths), 1e-6, 100.0)
+    start[trav.edge_mask] = 3.0 * rng.uniform(0.3, 1.0, nlive)
+    return tree, part, trav, start
+
+
+def _lnl_with(part, tree, lengths):
+    t = tree.copy()
+    t.lengths = np.asarray(lengths, np.float64)
+    return float(tree_loglikelihood(part, t))
+
+
+def test_blo_safe_mode_per_edge_revert():
+    """safe=True reverts exactly the edges whose single-edge update
+    degrades the tree logL (independently verified with the engine
+    oracle) and keeps the improving ones; the fast sweep demonstrably
+    contains such a degrading edge alongside improving ones."""
+    tree, part, trav, start = _safe_mode_case()
+    levels, offsets, edge_ref, n_slots = trav.schedule()
+    mask = jnp.asarray(trav.edge_mask)
+    dt = jnp.float64
+    args = (part, levels, offsets, edge_ref, mask, jnp.asarray(start, dt),
+            jnp.asarray(1e-6, dt), jnp.asarray(100.0, dt),
+            jnp.asarray(1e-8, dt), n_slots)
+    new_fast = np.asarray(_blo_sweep(*args, max_newton_iters=1)[0])
+    new_safe = np.asarray(_blo_sweep(*args, max_newton_iters=1,
+                                     safe=True)[0])
+    l_start = _lnl_with(part, tree, start)
+
+    degrading, improving = [], []
+    for e in np.nonzero(trav.edge_mask)[0]:
+        if abs(new_fast[e] - start[e]) < 1e-12:
+            continue
+        trial = start.copy()
+        trial[e] = new_fast[e]
+        dl = _lnl_with(part, tree, trial) - l_start
+        (degrading if dl < -1e-6 else improving).append((int(e), dl))
+    # the construction: at least one degrading edge among improving ones
+    assert degrading, "pinned case lost its degrading edge"
+    assert improving, "pinned case lost its improving edges"
+    for e, _ in degrading:      # reverted by safe, moved by fast
+        assert new_safe[e] == start[e]
+        assert new_fast[e] != start[e]
+    for e, _ in improving:      # kept identical to the fast proposal
+        assert new_safe[e] == new_fast[e]
+    # per-edge monotonicity contract of the accepted safe proposals
+    for e in np.nonzero(trav.edge_mask)[0]:
+        if new_safe[e] == start[e]:
+            continue
+        trial = start.copy()
+        trial[e] = new_safe[e]
+        assert _lnl_with(part, tree, trial) >= l_start - 1e-6
+
+
+def test_blo_safe_mode_noop_equivalence(rng):
+    """On a benign case no revert fires: safe=True is bit-identical to
+    the default through the public driver (host loop and the on-device
+    program), so enabling SAFE never changes healthy trajectories."""
+    import os
+    tree, part = make_case(rng, n_tips=8, n_sites=200)
+    for ondev in ("0", "1"):
+        os.environ["PLLMOD_BLO_ONDEVICE"] = ondev
+        try:
+            t1, t2 = tree.copy(), tree.copy()
+            b1, l1 = optimize_branch_lengths(part, t1, safe=False)
+            b2, l2 = optimize_branch_lengths(part, t2, safe=True)
+        finally:
+            del os.environ["PLLMOD_BLO_ONDEVICE"]
+        assert l1 == l2
+        assert np.array_equal(np.asarray(b1), np.asarray(b2))
