@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 import jax.numpy as jnp
 
-OUT = open("/root/repo/tools/probe_search246.out", "w")
+OUT = (open("/root/repo/tools/probe_search246.out", "w")
+       if __name__ == "__main__" else sys.stderr)
 T0 = time.perf_counter()
 
 
@@ -123,4 +124,5 @@ def main():
       f"(max {2*(n_taxa-3)})")
 
 
-main()
+if __name__ == "__main__":
+    main()
