@@ -109,6 +109,200 @@ _VG_LANE_FNS = {
     "cats": _neg_cats_fn,
 }
 
+
+# ---------------------------------------------------------------------------
+# EDGE-DECOMPOSITION (value, grad): the TPU-fast model-parameter
+# objective. Autodiff through the full pruning recursion forces the
+# slow differentiable XLA traversal (the serial scan — measured 0.4-3 s
+# per (value,grad) at 246 taxa × 4480 patterns; ~97% of a flagship
+# ml_search round sat in opt_model, tools/probe_search246_decomp.out).
+#
+# The likelihood is MULTILINEAR in the per-edge transition matrices
+# {P_e} (each edge's P appears exactly once in every site's pruning
+# product — the identity behind the reference's sumtable derivatives,
+# pll_optimize.c:1223-1287, applied to MODEL parameters instead of
+# branch lengths):
+#
+#     dlogL/dθ = Σ_e ⟨ ∂logL/∂P_e |_{CLVs fixed}, dP_e/dθ ⟩
+#                + ∂logL/∂(root freqs / pinv / weights) · d(...)/dθ.
+#
+# So the gradient needs only (a) the directed CLVs facing every edge —
+# PRIMAL data, computed by the fused Pallas megakernel with
+# stop_gradient (the kernel needs no VJP rule), and (b) autodiff
+# through the SMALL maps θ → P [E,C,S,S] (eigendecomp, gamma cats) and
+# the θ-dependent root reduction at ONE designated edge e0.
+#
+# Formulation (exact value + exact gradient, no fp accumulation across
+# edges): with per-edge logLs lnl_e(θ) computed against CONSTANT CLVs
+# and CONSTANT root factors,
+#
+#     h(θ) = lnl_e0^{θ-root}(θ) + Σ_{e≠e0} [ lnl_e(θ) − sg(lnl_e(θ)) ]
+#
+# Every bracket has primal value 0 (sg = stop_gradient changes no
+# values), so h's VALUE is exactly the tree logL evaluated through e0,
+# while its gradient collects every edge's P-term plus the root term.
+# ---------------------------------------------------------------------------
+def _edge_decomp_neg_loglh(p_theta, brl, idx8, e1, e2, eref, swap,
+                           emask, e0, n_slots: int, interp: bool):
+    """-logL(θ) with exact edge-decomposition gradients (see above).
+
+    ``idx8/e1/e2``: fused-megakernel tables (blo._fused_args layout);
+    ``eref`` int32 [E, 2]: directed-CLV refs facing each edge
+    (DirectedTraversal.edge_ref, original slot numbering); ``swap``
+    bool [E]: True when eref column 1 (not 0) is the ROOT side of the
+    edge; ``e0``: traced index of the designated live edge.
+
+    The root-frequency factor must ride the ROOT side of every edge's
+    contraction: the two side choices give the same VALUE by
+    reversibility (π_i P_ij = π_j P_ji), but their ∂/∂P_e partials are
+    transposes of each other, and frequency tangents leave the
+    π-reversible family — only the root-sided form's partial equals the
+    fixed-rooting ∂logL/∂P_e (the same reason libpll folds freqs into
+    the PARENT side of its sumtables, pll.c core_update_sumtable)."""
+    from pllmod_tpu.optimize import blo as blo_mod
+
+    sg = jax.lax.stop_gradient
+    p_const = jax.tree_util.tree_map(sg, p_theta)
+    dtype = p_theta.dtype
+    prec = jax.lax.Precision.HIGHEST
+
+    P_theta = p_theta.prob_matrices(brl)                  # [E, C, S, S]
+    clvs, scalers = blo_mod._directed_clvs(
+        p_const, sg(P_theta), (), (), n_slots,
+        (idx8, e1, e2, n_slots, interp))
+    clvs = sg(clvs)
+    clvU, sU = clv_mod.gather_node_clvs(p_const, clvs, scalers,
+                                        eref[:, 0])
+    clvV, sV = clv_mod.gather_node_clvs(p_const, clvs, scalers,
+                                        eref[:, 1])
+    clvU, clvV = sg(clvU), sg(clvV)
+    sc = sU + sV                                          # [E, P] int
+
+    sw = swap[:, None, None, None]
+    clvR = jnp.where(sw, clvV, clvU)        # root side (fc rides here)
+    clvS = jnp.where(sw, clvU, clvV)        # subtree side
+    # NOTE: P is NOT transposed on swapped edges — the stored matrix is
+    # ancestor→descendant in whichever role it is applied (the root
+    # side always plays ancestor): Σ_ij fc_i clvR_i P[i,j] clvS_j.
+
+    right = jnp.einsum("epcj,ecij->epci", clvS, P_theta,
+                       preferred_element_type=dtype, precision=prec)
+    fc_const = p_const.freqs_per_cat()
+    per_cat = jnp.einsum("epci,ci,epci->epc", clvR, fc_const, right,
+                         preferred_element_type=dtype, precision=prec)
+    site_lnl = jax.vmap(lk_mod._site_lnl, in_axes=(None, 0, 0))
+    lnl_e = jnp.einsum("ep,p->e", site_lnl(p_const, per_cat, sc),
+                       p_const.pattern_weights, precision=prec)   # [E]
+    grad_only = jnp.where(emask, lnl_e - sg(lnl_e), 0.0)
+    grad_only = jnp.sum(grad_only) - (lnl_e[e0] - sg(lnl_e[e0]))
+
+    # designated edge: full θ-dependence (P_e0 AND root factors)
+    per_cat0 = jnp.einsum("pci,ci,pci->pc", clvR[e0],
+                          p_theta.freqs_per_cat(), right[e0],
+                          preferred_element_type=dtype, precision=prec)
+    lnl0 = jnp.einsum("p,p->", lk_mod._site_lnl(p_theta, per_cat0,
+                                                sc[e0]),
+                      p_const.pattern_weights, precision=prec)
+    return -(lnl0 + grad_only)
+
+
+_EDGE_VG_ARGS = engine_mod.LruCache(maxsize=16)
+
+
+def _edge_vg_args(treeinfo, idx):
+    """Per-(topology, partition-shape) artifacts for the edge-decomp
+    objectives: fused tables + directed edge refs + live mask + a
+    designated live edge. Cached on (edge_nodes bytes, shape sig) —
+    SPR rounds revisit topologies only through fresh applies, and the
+    arrays are topology-sized uploads worth reusing across the families
+    of one opt_model call. Returns None when the partition can't run
+    the fused kernel (caller falls back to the autodiff objectives)."""
+    from pllmod_tpu.optimize.blo import DirectedTraversal, _fused_args
+
+    part = treeinfo.partitions[idx]
+    if not engine_mod.use_fast_kernel(part):
+        return None
+    tree = treeinfo.tree
+    key = (tree.edge_nodes.tobytes(), part.n_tips, str(part.dtype),
+           part.n_cats, part.states, part.n_patterns_padded)
+    hit = _EDGE_VG_ARGS.get(key)
+    if hit is None:
+        trav = DirectedTraversal(tree)
+        fargs = _fused_args(part, trav)
+        if not fargs:
+            return None
+        idx8, e1, e2 = fargs["fused_idx"]
+        emask_np = trav.edge_mask
+        # per-edge root-sidedness: BFS depth from the traversal's root
+        # tip; the shallower endpoint is the root side (see the swap
+        # docstring in _edge_decomp_neg_loglh)
+        adj = tree.adjacency()
+        depth = np.full(2 * tree.n_tips, -1, np.int64)
+        depth[0] = 0
+        stack = [0]
+        while stack:
+            node = stack.pop()
+            for nbr, _e in adj[node]:
+                if depth[nbr] < 0:
+                    depth[nbr] = depth[node] + 1
+                    stack.append(nbr)
+        en = np.asarray(tree.edge_nodes, np.int64)
+        u = np.where(emask_np, en[:, 0], 0)
+        v = np.where(emask_np, en[:, 1], 0)
+        swap_np = depth[v] < depth[u]
+        hit = dict(idx8=idx8, e1=e1, e2=e2,
+                   eref=jnp.asarray(trav.edge_ref),
+                   swap=jnp.asarray(swap_np),
+                   emask=jnp.asarray(emask_np),
+                   e0=jnp.asarray(int(np.argmax(emask_np)), jnp.int32),
+                   n_slots=fargs["fused_nslots"],
+                   interp=fargs["fused_interp"])
+        _EDGE_VG_ARGS[key] = hit
+    brl = jnp.asarray(np.asarray(treeinfo.partition_brlens(idx),
+                                 part.dtype))
+    return dict(hit, brl=brl)
+
+
+def _neg_rates_fn_edge(free, part, remap, pinned, brl, idx8, e1, e2,
+                       eref, swap, emask, e0, n_slots, interp):
+    full = _expand_sym(free, remap, pinned)
+    p = part.with_model_params(
+        subst_rates=jnp.broadcast_to(full, part.subst_rates.shape))
+    return _edge_decomp_neg_loglh(p, brl, idx8, e1, e2, eref, swap,
+                                  emask, e0, n_slots, interp)
+
+
+def _neg_freqs_fn_edge(ratios, part, brl, idx8, e1, e2, eref, swap,
+                       emask, e0, n_slots, interp):
+    raw = jnp.concatenate([ratios, jnp.ones((1,), ratios.dtype)])
+    freqs = raw / jnp.sum(raw)
+    p = part.with_model_params(
+        freqs=jnp.broadcast_to(freqs, part.freqs.shape))
+    return _edge_decomp_neg_loglh(p, brl, idx8, e1, e2, eref, swap,
+                                  emask, e0, n_slots, interp)
+
+
+def _neg_alpha_pinv_fn_edge(x, part, brl, idx8, e1, e2, eref, swap,
+                            emask, e0, n_slots, interp):
+    p = part.with_alpha(x[0]).replace(
+        prop_invar=jnp.full_like(part.prop_invar, x[1]))
+    return _edge_decomp_neg_loglh(p, brl, idx8, e1, e2, eref, swap,
+                                  emask, e0, n_slots, interp)
+
+
+def _neg_cats_fn_edge(r, part, brl, idx8, e1, e2, eref, swap, emask, e0,
+                      n_slots, interp):
+    return _edge_decomp_neg_loglh(part.replace(rate_cats=r), brl, idx8,
+                                  e1, e2, eref, swap, emask, e0, n_slots,
+                                  interp)
+
+
+_VG_LANE_FNS_EDGE = {
+    "alpha_pinv_edge": _neg_alpha_pinv_fn_edge,
+    "freqs_edge": _neg_freqs_fn_edge,
+    "cats_edge": _neg_cats_fn_edge,
+}
+
 _VG_LANE_PROGRAMS = engine_mod.LruCache(maxsize=32)
 
 
@@ -126,6 +320,20 @@ def _vg_lane_program(family: str, lane_statics: tuple):
         vgs = [jax.value_and_grad(
             lambda x, part, remap, ops, brl, ri, _p=st[0]:
             _neg_rates_fn(x, part, remap, _p, ops, brl, ri))
+            for st in lane_statics]
+    elif family == "rates_edge":
+        vgs = [jax.value_and_grad(
+            lambda x, part, remap, brl, i8, a, b, er, sw, em, e0,
+            _p=st[0], _ns=st[1], _it=st[2]:
+            _neg_rates_fn_edge(x, part, remap, _p, brl, i8, a, b, er,
+                               sw, em, e0, _ns, _it))
+            for st in lane_statics]
+    elif family.endswith("_edge"):
+        base = _VG_LANE_FNS_EDGE[family]
+        vgs = [jax.value_and_grad(
+            lambda x, part, brl, i8, a, b, er, sw, em, e0,
+            _f=base, _ns=st[0], _it=st[1]:
+            _f(x, part, brl, i8, a, b, er, sw, em, e0, _ns, _it))
             for st in lane_statics]
     else:
         vgs = [jax.value_and_grad(_VG_LANE_FNS[family])] * len(lane_statics)
@@ -462,23 +670,36 @@ def opt_alpha_pinv(treeinfo, tol=1e-4):
     pllmod_algorithm.c:296-342, :1313-1432). All selected partitions run
     as lock-step lanes of one combined (value, grad) program — one
     dispatch per L-BFGS evaluation step for the whole treeinfo."""
-    sel, lanes = [], []
+    sel, lanes, eas = [], [], []
     for i in treeinfo.local_indices():
         mask = treeinfo.params_to_optimize[i]
         if not ((mask & PARAM_ALPHA) and (mask & PARAM_PINV)):
             continue
         part = treeinfo.partitions[i]
-        ops_j, brl, ri = _grad_args(treeinfo, i)
+        eas.append(_edge_vg_args(treeinfo, i))
         lanes.append(dict(
             x0=np.array([float(part.alpha),
                          max(float(part.pinv_mix()), 0.02)]),
             lo=np.array([common.MIN_ALPHA, 1e-9]),
             hi=np.array([common.MAX_ALPHA, common.MAX_PINV]),
-            aux=(part, ops_j, brl, ri), statics=(), dtype=part.dtype))
+            dtype=part.dtype))
         sel.append((i, part))
     if not sel:
         return 0.0
-    results = _lbfgsb_lanes("alpha_pinv", lanes, max_iters=100, pgtol=tol)
+    if all(ea is not None for ea in eas):
+        for ln, ea, (i, part) in zip(lanes, eas, sel):
+            ln["aux"] = (part, ea["brl"], ea["idx8"], ea["e1"],
+                         ea["e2"], ea["eref"], ea["swap"], ea["emask"],
+                         ea["e0"])
+            ln["statics"] = (ea["n_slots"], ea["interp"])
+        family = "alpha_pinv_edge"
+    else:
+        for ln, (i, part) in zip(lanes, sel):
+            ops_j, brl, ri = _grad_args(treeinfo, i)
+            ln["aux"] = (part, ops_j, brl, ri)
+            ln["statics"] = ()
+        family = "alpha_pinv"
+    results = _lbfgsb_lanes(family, lanes, max_iters=100, pgtol=tol)
     total = 0.0
     for (i, part), (x, fv, _) in zip(sel, results):
         treeinfo.partitions[i] = part.with_alpha(x[0]).replace(
@@ -506,7 +727,7 @@ def opt_subst_rates(treeinfo, symmetries=None,
     combined program (one dispatch per evaluation step; the per-lane
     ``pinned`` symmetry index is a program static).
     """
-    sel, lanes = [], []
+    sel, lanes, eas = [], [], []
     for i in treeinfo.local_indices():
         if not (treeinfo.params_to_optimize[i] & PARAM_SUBST_RATES):
             continue
@@ -521,7 +742,6 @@ def opt_subst_rates(treeinfo, symmetries=None,
         k = len(uniq)
         if k < 2:
             continue
-        ops_j, brl, ri = _grad_args(treeinfo, i)
         remap_j = jnp.asarray(remap)
         cur = np.asarray(part.subst_rates[0])
         first = np.zeros(k, np.int64)
@@ -531,15 +751,28 @@ def opt_subst_rates(treeinfo, symmetries=None,
                 first[c], seen[c] = j, True
         x0 = cur[first] / cur[first][pinned]
         x0 = np.delete(x0, pinned)
+        eas.append(_edge_vg_args(treeinfo, i))
         lanes.append(dict(
             x0=np.clip(x0, min_rate, max_rate),
             lo=np.full(k - 1, min_rate), hi=np.full(k - 1, max_rate),
-            aux=(part, remap_j, ops_j, brl, ri), statics=(pinned,),
             dtype=part.dtype))
         sel.append((i, part, remap_j, pinned))
     if not sel:
         return 0.0
-    results = _lbfgsb_lanes("rates", lanes, max_iters=200, pgtol=tol)
+    if all(ea is not None for ea in eas):
+        for ln, ea, (i, part, remap_j, pinned) in zip(lanes, eas, sel):
+            ln["aux"] = (part, remap_j, ea["brl"], ea["idx8"], ea["e1"],
+                         ea["e2"], ea["eref"], ea["swap"], ea["emask"],
+                         ea["e0"])
+            ln["statics"] = (pinned, ea["n_slots"], ea["interp"])
+        family = "rates_edge"
+    else:
+        for ln, (i, part, remap_j, pinned) in zip(lanes, sel):
+            ops_j, brl, ri = _grad_args(treeinfo, i)
+            ln["aux"] = (part, remap_j, ops_j, brl, ri)
+            ln["statics"] = (pinned,)
+        family = "rates"
+    results = _lbfgsb_lanes(family, lanes, max_iters=200, pgtol=tol)
     total = 0.0
     for (i, part, remap_j, pinned), (x, fv, _) in zip(sel, results):
         full = _expand_sym(jnp.asarray(np.asarray(x, part.dtype)),
@@ -556,23 +789,35 @@ def opt_frequencies(treeinfo, min_freq=common.MIN_FREQ, tol=1e-4):
     (pllmod_algo_opt_frequencies_treeinfo, pllmod_algorithm.c:1137-1311).
     All selected partitions run as lock-step L-BFGS lanes of one
     combined program (one dispatch per evaluation step)."""
-    sel, lanes = [], []
+    sel, lanes, eas = [], [], []
     for i in treeinfo.local_indices():
         if not (treeinfo.params_to_optimize[i] & PARAM_FREQUENCIES):
             continue
         part = treeinfo.partitions[i]
         s = part.states
-        ops_j, brl, ri = _grad_args(treeinfo, i)
         cur = np.asarray(part.freqs[0])
         x0 = np.clip(cur[:-1] / cur[-1], min_freq, common.MAX_FREQ)
+        eas.append(_edge_vg_args(treeinfo, i))
         lanes.append(dict(
             x0=x0, lo=np.full(s - 1, min_freq),
-            hi=np.full(s - 1, common.MAX_FREQ),
-            aux=(part, ops_j, brl, ri), statics=(), dtype=part.dtype))
+            hi=np.full(s - 1, common.MAX_FREQ), dtype=part.dtype))
         sel.append((i, part))
     if not sel:
         return 0.0
-    results = _lbfgsb_lanes("freqs", lanes, max_iters=200, pgtol=tol)
+    if all(ea is not None for ea in eas):
+        for ln, ea, (i, part) in zip(lanes, eas, sel):
+            ln["aux"] = (part, ea["brl"], ea["idx8"], ea["e1"],
+                         ea["e2"], ea["eref"], ea["swap"], ea["emask"],
+                         ea["e0"])
+            ln["statics"] = (ea["n_slots"], ea["interp"])
+        family = "freqs_edge"
+    else:
+        for ln, (i, part) in zip(lanes, sel):
+            ops_j, brl, ri = _grad_args(treeinfo, i)
+            ln["aux"] = (part, ops_j, brl, ri)
+            ln["statics"] = ()
+        family = "freqs"
+    results = _lbfgsb_lanes(family, lanes, max_iters=200, pgtol=tol)
     total = 0.0
     for (i, part), (x, fv, _) in zip(sel, results):
         raw = np.concatenate([x, [1.0]])
@@ -699,13 +944,28 @@ def opt_rates_weights(treeinfo, min_rate=common.MIN_RATE,
                 st["part"] = st["part"].replace(rate_weights=w)
         lb_sel = [st for st in act if st["mask"] & PARAM_FREE_RATES]
         if lb_sel:
-            lb_lanes = [dict(
-                x0=np.asarray(st["part"].rate_cats, np.float64),
-                lo=np.full(st["part"].n_cats, min_rate),
-                hi=np.full(st["part"].n_cats, max_rate),
-                aux=(st["part"], ops_j, st["brl"], ri), statics=(),
-                dtype=st["part"].dtype) for st in lb_sel]
-            results = _lbfgsb_lanes("cats", lb_lanes, max_iters=100,
+            eas = [_edge_vg_args(treeinfo, st["i"]) for st in lb_sel]
+            if all(ea is not None for ea in eas):
+                lb_lanes = [dict(
+                    x0=np.asarray(st["part"].rate_cats, np.float64),
+                    lo=np.full(st["part"].n_cats, min_rate),
+                    hi=np.full(st["part"].n_cats, max_rate),
+                    aux=(st["part"], st["brl"], ea["idx8"], ea["e1"],
+                         ea["e2"], ea["eref"], ea["swap"], ea["emask"],
+                         ea["e0"]),
+                    statics=(ea["n_slots"], ea["interp"]),
+                    dtype=st["part"].dtype)
+                    for st, ea in zip(lb_sel, eas)]
+                fam = "cats_edge"
+            else:
+                lb_lanes = [dict(
+                    x0=np.asarray(st["part"].rate_cats, np.float64),
+                    lo=np.full(st["part"].n_cats, min_rate),
+                    hi=np.full(st["part"].n_cats, max_rate),
+                    aux=(st["part"], ops_j, st["brl"], ri), statics=(),
+                    dtype=st["part"].dtype) for st in lb_sel]
+                fam = "cats"
+            results = _lbfgsb_lanes(fam, lb_lanes, max_iters=100,
                                     pgtol=tol)
             for st, (x, _fv, _n) in zip(lb_sel, results):
                 st["part"] = st["part"].replace(

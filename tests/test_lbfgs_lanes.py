@@ -6,6 +6,7 @@ with per-partition trajectories identical to standalone runs
 opt_algorithms.c:542-807)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -158,3 +159,59 @@ def test_opt_model_multi_partition_improves(rng):
     lnl = om.opt_model(ti)
     assert lnl >= l0 - 1e-9
     assert np.isfinite(lnl)
+
+
+def test_edge_decomp_vg_matches_autodiff(rng):
+    """The edge-decomposition (value, grad) objectives (fused-kernel
+    CLVs as stop-gradient primal data + autodiff only through θ→P and
+    the designated root term — opt_model._edge_decomp_neg_loglh) match
+    full autodiff through the traversal for every L-BFGS family, to
+    dtype precision. This is the production TPU model-opt gradient
+    path (PERF: ~97% of a flagship search round was autodiff-through-
+    the-serial-scan, tools/probe_search246_decomp.out)."""
+    import importlib
+    om = importlib.import_module("pllmod_tpu.algorithm.opt_model")
+    from pllmod_tpu.ops import engine as engine_mod
+
+    engine_mod.FORCE_FAST_KERNEL = True
+    try:
+        n = 9
+        tree = ref.random_binary_tree(rng, n)
+        part = create_partition(
+            ref.random_sequences(rng, n, 256, gap_frac=0.0), states=4,
+            n_rate_cats=4, alpha=0.8, prop_invar=0.1, dtype=jnp.float32,
+            compress=False, pattern_pad=128)
+        ti = TreeInfo(tree, [part],
+                      params_to_optimize=common.PARAM_SUBST_RATES)
+        ea = om._edge_vg_args(ti, 0)
+        assert ea is not None
+        ops, root_info = tree.traversal_ops()
+        ri = tuple(int(x) for x in root_info)
+        ops_j = jnp.asarray(ops)
+        brl = ea["brl"]
+        new_args = (brl, ea["idx8"], ea["e1"], ea["e2"], ea["eref"],
+                    ea["swap"], ea["emask"], ea["e0"], ea["n_slots"],
+                    ea["interp"])
+        remap = jnp.asarray(np.arange(6, dtype=np.int32))
+        cases = [
+            (om._neg_rates_fn, om._neg_rates_fn_edge,
+             np.array([1.1, 2.0, 0.7, 0.9, 3.0], np.float32),
+             (part, remap, 5)),
+            (om._neg_freqs_fn, om._neg_freqs_fn_edge,
+             np.array([1.2, 0.8, 1.1], np.float32), (part,)),
+            (om._neg_alpha_pinv_fn, om._neg_alpha_pinv_fn_edge,
+             np.array([0.6, 0.15], np.float32), (part,)),
+            (om._neg_cats_fn, om._neg_cats_fn_edge,
+             np.array([0.2, 0.6, 1.2, 2.0], np.float32), (part,)),
+        ]
+        for fn_old, fn_new, x, pre in cases:
+            xj = jnp.asarray(x)
+            f_o, g_o = jax.value_and_grad(fn_old)(xj, *pre, ops_j, brl,
+                                                  ri)
+            f_n, g_n = jax.value_and_grad(fn_new)(xj, *pre, *new_args)
+            assert abs(float(f_o - f_n)) <= 1e-6 * abs(float(f_o))
+            np.testing.assert_allclose(
+                np.asarray(g_n), np.asarray(g_o),
+                rtol=5e-5, atol=5e-4 * float(np.max(np.abs(g_o))))
+    finally:
+        engine_mod.FORCE_FAST_KERNEL = None
