@@ -75,7 +75,11 @@ def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
         p = treeinfo.partitions[i]
         per += ((stride + 2 * n_edge_slots) * p.n_patterns_padded
                 * p.n_cats * p.states * 4)
-    k = max(1, int((1 << 30) // max(per, 1)))
+    # ~4 GB of live per-batch CLV buffer on a 16 GB chip: at the
+    # 246×4480 flagship shape (~490 MB/candidate) this allows K=8 —
+    # the 1 GB round-4 initial budget capped it at K=2 and left the
+    # warm fast round dispatch-bound (~240 × ~40 ms tunnel)
+    k = max(1, int((4 << 30) // max(per, 1)))
     # SMEM cap on the concatenated table: the fused kernel's prefetch is
     # column-major [8, nW] (~32 B/row in SMEM, 1 MiB budget — the
     # row-major layout cost 512 B/row and failed to compile at 2208
@@ -294,51 +298,25 @@ def _score_all_regrafts(partition, ops_R, brlens_R, clv_S, scaler_S, t_s,
     return jnp.where(edge_mask, lnls, -jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("fused_nslots", "fused_interp"))
-def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
-                                 clv_S_tup, scaler_S_tup, t_s, edge_ref,
-                                 edge_mask, half_len, min_brlen, max_brlen,
-                                 fused_idx=None, fused_nslots=None,
-                                 fused_interp=False):
-    """Thorough-mode batched scoring: per candidate edge, optimize the
-    three attachment branch lengths (subtree, x-side, y-side) by
-    coordinate-wise Newton from sumtables (the reference's radius-1
-    triplet BLO, algo_search.c:792-807) — batched over ALL candidates and
-    summed over partitions with the brlen-scaler chain rule
-    (df·s, ddf·s², pll_optimize.c:1249-1267).
-
-    Args:
-      partitions: tuple of Partition pytrees
-      part_scalers: tuple of per-partition brlen scalers (SCALED mode)
-      clv_S_tup/scaler_S_tup: per-partition pruned-subtree root CLVs
-    Returns (lnl [E], t_s_opt [E], t_x_opt [E], t_y_opt [E]).
-    """
+def _make_triplet_edge(partitions, part_scalers, eigens, min_brlen,
+                      max_brlen, dtype):
+    """one_edge(batched, cS_tup, sS_tup, t_s, hl): the per-edge triplet
+    coordinate Newton of the thorough scorer (the reference's radius-1
+    triplet BLO, algo_search.c:792-807), summed over partitions with
+    the brlen-scaler chain rule (df·s, ddf·s², pll_optimize.c:1249-
+    1267). Factored so the single-candidate scorer vmaps it over edges
+    and the K-candidate batch scorer over candidates × edges."""
     from pllmod_tpu.ops import derivatives as deriv_mod
     from pllmod_tpu.optimize.newton import minimize_newton_multi
 
-    dtype = partitions[0].dtype
-    per_part = []
-    eigens = []
-    fused = None if fused_nslots is None else (
-        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
-    for part, psc in zip(partitions, part_scalers):
-        P = part.prob_matrices(brlens_R * psc)
-        clvs, scalers = _build_clvs(part, P, ops_R, fused)
-        A_x, sx = clv_mod.gather_node_clvs(part, clvs, scalers,
-                                           edge_ref[:, 0])
-        A_y, sy = clv_mod.gather_node_clvs(part, clvs, scalers,
-                                           edge_ref[:, 1])
-        per_part.append((A_x, sx, A_y, sy))
-        eigens.append(part.eigen())
-
-    def one_edge(batched, hl):
-        # batched: tuple over partitions of (A_x, sx, A_y, sy) for ONE edge
+    def one_edge(batched, cS_tup, sS_tup, t_s, hl):
+        # batched: tuple over partitions of (A_x, sx, A_y, sy), ONE edge
         def coord_newton(t_triple, which):
             ts, tx, ty = t_triple
             sts, scs = [], []
             for (part, psc, eigen, (A_x, sx, A_y, sy),
                  clv_S, scaler_S) in zip(partitions, part_scalers, eigens,
-                                         batched, clv_S_tup, scaler_S_tup):
+                                         batched, cS_tup, sS_tup):
                 def comb(c1, t1, c2, t2, part=part, psc=psc):
                     P1 = part.prob_matrices((t1 * psc)[None])[0]
                     P2 = part.prob_matrices((t2 * psc)[None])[0]
@@ -366,7 +344,8 @@ def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
             def deriv(t):
                 df_tot = jnp.zeros_like(t)
                 ddf_tot = jnp.zeros_like(t)
-                for part, psc, eigen, st, sc in zip(partitions, part_scalers,
+                for part, psc, eigen, st, sc in zip(partitions,
+                                                    part_scalers,
                                                     eigens, sts, scs):
                     _, df, ddf = deriv_mod.edge_derivatives(
                         part, st, sc, t * psc, eigen)
@@ -395,9 +374,109 @@ def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
                 t, lnl = coord_newton(t, which)
         return lnl, t[0], t[1], t[2]
 
-    lnls, ts, tx, ty = jax.vmap(one_edge)(tuple(per_part), half_len)
+    return one_edge
+
+
+@partial(jax.jit, static_argnames=("fused_nslots", "fused_interp"))
+def _score_all_regrafts_thorough(partitions, part_scalers, ops_R, brlens_R,
+                                 clv_S_tup, scaler_S_tup, t_s, edge_ref,
+                                 edge_mask, half_len, min_brlen, max_brlen,
+                                 fused_idx=None, fused_nslots=None,
+                                 fused_interp=False):
+    """Thorough-mode scoring of ONE candidate, batched over its window
+    edges (see _make_triplet_edge).
+
+    Args:
+      partitions: tuple of Partition pytrees
+      part_scalers: tuple of per-partition brlen scalers (SCALED mode)
+      clv_S_tup/scaler_S_tup: per-partition pruned-subtree root CLVs
+    Returns (lnl [W], t_s_opt [W], t_x_opt [W], t_y_opt [W]).
+    """
+    dtype = partitions[0].dtype
+    per_part = []
+    eigens = []
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    for part, psc in zip(partitions, part_scalers):
+        P = part.prob_matrices(brlens_R * psc)
+        clvs, scalers = _build_clvs(part, P, ops_R, fused)
+        A_x, sx = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           edge_ref[:, 0])
+        A_y, sy = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           edge_ref[:, 1])
+        per_part.append((A_x, sx, A_y, sy))
+        eigens.append(part.eigen())
+
+    one_edge = _make_triplet_edge(partitions, part_scalers, eigens,
+                                  min_brlen, max_brlen, dtype)
+    lnls, ts, tx, ty = jax.vmap(
+        one_edge, in_axes=(0, None, None, None, 0))(
+        tuple(per_part), tuple(clv_S_tup), tuple(scaler_S_tup), t_s,
+        half_len)
     neg = jnp.asarray(-jnp.inf, dtype)
     return jnp.where(edge_mask, lnls, neg), ts, tx, ty
+
+
+@partial(jax.jit, static_argnames=("stride", "fused_nslots",
+                                   "fused_interp"))
+def _score_regrafts_thorough_batch(partitions, part_scalers, ops_cat,
+                                   brl_cat, clv_S_b, scaler_S_b, t_s_b,
+                                   eref_w, wmask, halves_w, min_brlen,
+                                   max_brlen, stride: int, fused_idx=None,
+                                   fused_nslots=None, fused_interp=False):
+    """K-candidate thorough scoring in ONE device program: all
+    candidates' remainder CLVs from the concatenated op table (the fast
+    batch scorer's machinery — slots offset k·stride, P ids k·E), then
+    the triplet Newton vmapped over candidates × window edges.
+    Thorough rounds were one-candidate-per-dispatch (~2 dispatches +
+    uploads × ~40 ms tunnel issue cost each = ~85 s/round at 246 taxa);
+    K candidates per program divide the dispatch stream by K.
+
+    Args:
+      ops_cat: [K·n_ops_full, 5] concatenated remainder tables
+      brl_cat: [K·E] per-candidate R branch lengths (P ids offset k·E)
+      clv_S_b/scaler_S_b: tuples over partitions of [K, Pat, C, S]/[K, Pat]
+      t_s_b: [K]; eref_w: [K, W, 2] window edge refs (slots offset
+      k·stride); wmask: [K, W] live rows; halves_w: [K, W]
+    Returns (lnl [K, W], ts [K, W], tx [K, W], ty [K, W]).
+    """
+    dtype = partitions[0].dtype
+    K, W = eref_w.shape[0], eref_w.shape[1]
+    fused = None if fused_nslots is None else (
+        fused_idx[0], fused_idx[1], fused_idx[2], fused_nslots, fused_interp)
+    per_part = []
+    eigens = []
+    for part, psc in zip(partitions, part_scalers):
+        P = part.prob_matrices(brl_cat * psc)
+        if fused is None:
+            # XLA path: the default update_partials buffer is sized for
+            # ONE tree — the concatenated table needs K·stride slots
+            Ppad = part.n_patterns_padded
+            C, S = part.n_cats, part.states
+            init_clvs = jnp.zeros((K * stride + 1, Ppad, C, S),
+                                  part.dtype)
+            init_scalers = jnp.zeros((K * stride + 1, Ppad), jnp.int32)
+            clvs, scalers = clv_mod.update_partials(
+                part, P, ops_cat, init_clvs, init_scalers)
+        else:
+            clvs, scalers = _build_clvs(part, P, ops_cat, fused)
+        A_x, sx = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           eref_w[..., 0].reshape(-1))
+        A_y, sy = clv_mod.gather_node_clvs(part, clvs, scalers,
+                                           eref_w[..., 1].reshape(-1))
+        shp = (K, W) + A_x.shape[1:]
+        per_part.append((A_x.reshape(shp), sx.reshape(shp[:3]),
+                         A_y.reshape(shp), sy.reshape(shp[:3])))
+        eigens.append(part.eigen())
+
+    one_edge = _make_triplet_edge(partitions, part_scalers, eigens,
+                                  min_brlen, max_brlen, dtype)
+    per_edge = jax.vmap(one_edge, in_axes=(0, None, None, None, 0))
+    lnls, ts, tx, ty = jax.vmap(per_edge)(
+        tuple(per_part), tuple(clv_S_b), tuple(scaler_S_b), t_s_b,
+        halves_w)
+    neg = jnp.asarray(-jnp.inf, dtype)
+    return jnp.where(wmask, lnls, neg), ts, tx, ty
 
 
 @jax.jit
@@ -834,28 +913,44 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                      triplets_dev=None)
                 for k, bld in enumerate(builds)]
 
-    def prepare_thorough(prune_edge, junction):
-        """Thorough-mode candidate: host build + the triplet-Newton
-        batched scorer (one candidate per dispatch — thorough rounds are
-        few and dominated by the in-dispatch Newton work)."""
-        bld = host_build(prune_edge, junction)
-        if bld is None:
-            return None
-        ensure_full_clvs([bld])
-        trav_R = bld["trav_R"]
-        R = bld["R"]
-        ops_R = np.full_like(trav_full.ops, -1)
-        ops_R[:len(trav_R.ops)] = trav_R.ops
-        ops_R_j = jnp.asarray(ops_R)
-        edge_ref = jnp.asarray(trav_R.edge_ref)
-        mask_j = jnp.asarray(bld["mask"])
+    def dispatch_thorough_batch(builds):
+        """K thorough candidates in ONE device program (see
+        _score_regrafts_thorough_batch): concatenated remainder tables
+        + triplet Newton over candidates × window edges. One host sync
+        per batch."""
+        ensure_full_clvs(builds)
+        K = len(builds)
         dtype0 = treeinfo.partitions[part_idx[0]].dtype
-        brl_R = jnp.asarray(np.asarray(
-            np.where(R.edge_nodes[:, 0] >= 0, R.lengths, 0.1), dtype0))
-        t_s0 = jnp.asarray(np.asarray(
-            tree.lengths[bld["prune_edge"]], dtype0))
-        halves = jnp.asarray(np.asarray(R.lengths / 2.0, dtype0))
-
+        ops_cat = np.full((K * n_ops_full, 5), -1, np.int32)
+        brl_cat = np.full(K * E, 0.1)
+        t_s_b = np.zeros(K)
+        w_lists = [np.nonzero(b["mask"])[0] for b in builds]
+        W = max(8, 1 << int(max(len(w) for w in w_lists) - 1).bit_length())
+        eref_w = np.zeros((K, W, 2), np.int64)
+        wmask = np.zeros((K, W), bool)
+        halves_w = np.full((K, W), 0.05)
+        for k, bld in enumerate(builds):
+            tr = bld["trav_R"]
+            ops_k = tr.ops.astype(np.int64).copy()
+            ops_k[:, 0] += k * stride
+            for col in (1, 3):
+                inner = ops_k[:, col] >= n_tips
+                ops_k[inner, col] += k * stride
+            ops_k[:, 2] += k * E
+            ops_k[:, 4] += k * E
+            ops_cat[k * n_ops_full:k * n_ops_full + len(ops_k)] = ops_k
+            R = bld["R"]
+            brl_cat[k * E:(k + 1) * E] = np.where(
+                R.edge_nodes[:, 0] >= 0, R.lengths, 0.1)
+            t_s_b[k] = tree.lengths[bld["prune_edge"]]
+            w_np = w_lists[k]
+            w_idx = np.concatenate(
+                [w_np, np.full(W - len(w_np), w_np[0], np.int64)])
+            er = tr.edge_ref.astype(np.int64)[w_idx].copy()
+            er[er >= n_tips] += k * stride
+            eref_w[k] = er
+            wmask[k, :len(w_np)] = True
+            halves_w[k] = R.lengths[w_idx] / 2.0
         parts = tuple(treeinfo.partitions[i] for i in part_idx)
         from pllmod_tpu.common import BRLEN_SCALED
         if treeinfo.brlen_linkage == BRLEN_SCALED:
@@ -863,30 +958,45 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                          for i in part_idx)
         else:
             pscs = tuple(1.0 for _ in part_idx)
-        cS_tup, sS_tup = [], []
+        cS_b, sS_b = [], []
         for i in part_idx:
-            refs = jnp.asarray(
-                np.asarray([_subtree_ref(bld, full_fast[i])], np.int32))
+            refs_S = jnp.asarray(np.asarray(
+                [_subtree_ref(bld, full_fast[i]) for bld in builds],
+                np.int32))
             cS, sS = _gather_subtree_clvs(treeinfo.partitions[i],
-                                          *full_clvs[i], refs)
-            cS_tup.append(cS[0])
-            sS_tup.append(sS[0])
-        # under a mesh the thorough (triplet-Newton) scorer runs the
-        # XLA pipeline — GSPMD shards it from the input shardings; the
-        # per-edge in-vmap Newton has no per-iteration psum seam in the
-        # pallas path
-        fargs = _fused_R_args(parts[0], ops_R, trav_full) \
-            if (mesh is None and all(full_fast[i] for i in part_idx)) \
-            else {}
-        scores, ts, tx, ty = _score_all_regrafts_thorough(
-            parts, pscs, ops_R_j, brl_R, tuple(cS_tup), tuple(sS_tup),
-            t_s0, edge_ref, mask_j, halves,
+                                          *full_clvs[i], refs_S)
+            cS_b.append(cS)
+            sS_b.append(sS)
+        if mesh is None and all(full_fast[i] for i in part_idx):
+            from pllmod_tpu.ops import pallas_clv
+            fi, fe1, fe2, fns = pallas_clv.compile_fused_ops(
+                parts[0], ops_cat, pad_to=len(ops_cat),
+                n_slots_min=K * stride)
+            fargs = dict(fused_idx=(fi, fe1, fe2), fused_nslots=fns,
+                         fused_interp=engine_mod.fast_kernel_interpret())
+        else:
+            # under a mesh (or non-fast shapes) the XLA pipeline runs;
+            # GSPMD shards it from the partition input shardings
+            fargs = {}
+        lnls_w, ts_w, tx_w, ty_w = _score_regrafts_thorough_batch(
+            parts, pscs, jnp.asarray(ops_cat),
+            jnp.asarray(brl_cat.astype(np.dtype(dtype0))),
+            tuple(cS_b), tuple(sS_b),
+            jnp.asarray(t_s_b.astype(np.dtype(dtype0))),
+            jnp.asarray(eref_w.astype(np.int32)), jnp.asarray(wmask),
+            jnp.asarray(halves_w.astype(np.dtype(dtype0))),
             jnp.asarray(1e-4, dtype0), jnp.asarray(100.0, dtype0),
-            **fargs)
-        return dict(prune_edge=bld["prune_edge"],
-                    junction=bld["junction"], a=bld["a"], b=bld["b"],
-                    R=R, mask=bld["mask"], score_parts=[scores],
-                    triplets_dev=(ts, tx, ty))
+            stride, **fargs)
+        lnls_np = np.asarray(lnls_w, np.float64)      # one sync/batch
+        ts_np = np.asarray(ts_w, np.float64)
+        tx_np = np.asarray(tx_w, np.float64)
+        ty_np = np.asarray(ty_w, np.float64)
+        return [dict(prune_edge=bld["prune_edge"],
+                     junction=bld["junction"], a=bld["a"], b=bld["b"],
+                     R=bld["R"], mask=bld["mask"], w_idx=w_lists[k],
+                     score_parts=[lnls_np[k]],
+                     triplets_dev=(ts_np[k], tx_np[k], ty_np[k]))
+                for k, bld in enumerate(builds)]
 
     def resolve(ctx):
         """Sync the candidate's scores and decide (filter, apply-or-
@@ -901,10 +1011,22 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             sarr = np.array(scores, np.float64)
             total_scores = sarr if total_scores is None \
                 else total_scores + sarr
+        w_np = ctx.get("w_idx")
+        if w_np is not None:      # windowed thorough scores: scatter
+            full = np.full(n_edge_slots, -np.inf)
+            full[w_np] = total_scores[:len(w_np)]
+            total_scores = full
         triplets = None
         if ctx["triplets_dev"] is not None:
-            ts, tx, ty = ctx["triplets_dev"]
-            triplets = (np.array(ts), np.array(tx), np.array(ty))
+            ts, tx, ty = (np.array(t, np.float64)
+                          for t in ctx["triplets_dev"])
+            if w_np is not None:
+                def _scat(x):
+                    out = np.full(n_edge_slots, 0.1)
+                    out[w_np] = x[:len(w_np)]
+                    return out
+                ts, tx, ty = _scat(ts), _scat(tx), _scat(ty)
+            triplets = (ts, tx, ty)
         total_scores[~mask] = -np.inf
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         sub_root = u if junction == v else v
@@ -986,10 +1108,38 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     # the serial loop).
     from itertools import chain
     if thorough:
-        for pe_j in _prune_candidates(tree):
-            ctx = prepare_thorough(*pe_j)
-            if ctx is not None:
-                resolve(ctx)
+        # adaptive K-candidate batching, same serial-equivalent driver
+        # as fast mode: candidates resolve in candidate order against
+        # exactly the tree state a serial loop would see; an applied
+        # move requeues the rest of the batch and resets the batch size
+        batch_max_t = _spr_batch_limit(treeinfo, E, stride)
+        cand_iter_t = iter(_prune_candidates(tree))
+        batch_size_t = 1
+        while True:
+            builds = []
+            while len(builds) < batch_size_t:
+                nxt = next(cand_iter_t, None)
+                if nxt is None:
+                    break
+                bld = host_build(*nxt)
+                if bld is not None:
+                    builds.append(bld)
+            if not builds:
+                break
+            ctxs = dispatch_thorough_batch(builds)
+            applied_at = None
+            for j, ctx in enumerate(ctxs):
+                if resolve(ctx):
+                    applied_at = j
+                    break
+            if applied_at is not None:
+                if applied_at + 1 < len(builds):
+                    cand_iter_t = chain(
+                        [b["cand"] for b in builds[applied_at + 1:]],
+                        cand_iter_t)
+                batch_size_t = 1
+            else:
+                batch_size_t = min(batch_size_t * 2, batch_max_t)
     else:
         batch_max = _spr_batch_limit(treeinfo, E, stride)
         cand_iter = iter(_prune_candidates(tree))
