@@ -114,18 +114,25 @@ def main():
         snapshot(f"round {rounds['n']} ({rec.mode} r={rec.radius}) "
                  f"logL {rec.loglh:.3f} applied {rec.n_applied}")
 
-    # warmup: 1 fast round pays the per-shape compiles
+    # warmup: one fast + one thorough round pay the per-shape compiles
+    # of BOTH stages (and the final model-opt) before counting
     t0 = time.perf_counter()
-    search_mod.ml_search(ti, radius_min=1, radius_step=5, radius_max=5,
-                         max_rounds=1, thorough=False, on_round=on_round)
-    p(f"warmup round: {time.perf_counter()-t0:.0f}s")
+    search_mod.ml_search(ti, radius_min=1, radius_step=5, radius_max=10,
+                         max_rounds=14, thorough=True, on_round=on_round)
+    p(f"warmup search: {time.perf_counter()-t0:.0f}s")
 
     # warm: count fresh jit-entry compiles across 2 more rounds
     compiles = []
 
     class H(logging.Handler):
         def emit(self, record):
-            compiles.append(record.getMessage())
+            msg = record.getMessage()
+            # count real XLA compilations only: eager tiny-op TRACE
+            # records re-fire per call (constant folding defeats the
+            # eager cache) but are sub-ms host work + hash-memoized on
+            # the axon executable store — not compiles
+            if "XLA compilation" in msg:
+                compiles.append(msg)
 
     jax.config.update("jax_log_compiles", True)
     logger = logging.getLogger("jax._src.dispatch")
@@ -145,9 +152,9 @@ def main():
     for m in compiles[:20]:
         p("  COMPILE:", m.split(" for jit")[0][:120], "|",
           m[m.find("jit"):][:80] if "jit" in m else "")
-    # thorough pays NEW per-shape compiles (triplet Newton programs) on
-    # its first round; the assert therefore bounds, not zeroes
-    assert len(compiles) < 40, "per-topology recompile regression"
+    # both stages were warmed above; residual compiles come only from
+    # shape-bucket growth (batch K / window W buckets)
+    assert len(compiles) < 20, "per-topology recompile regression"
     p("OK decomposition complete")
 
 
