@@ -60,6 +60,15 @@ SPR_BATCH_MAX: int | None = None
 # existing probes that toggle it don't crash; it has no effect).
 SPR_SPECULATE = True
 
+# Structural host_build cache: the remainder tree R, radius mask and
+# DirectedTraversal of a candidate depend only on (topology, prune_edge,
+# junction, radius window) — ~10-20 ms of host python each, rebuilt for
+# every candidate every round (~5-10 s/round at 246 taxa) although
+# converged rounds revisit identical topologies. Branch LENGTHS change
+# between rounds (BLO/model-opt), so hits refresh R.lengths from the
+# live tree (fused edge = sum of the two merged junction edges).
+_HOST_BUILD_CACHE = engine_mod.LruCache(maxsize=1024)
+
 
 def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
     """Auto batch bound: K candidates cost ~K·(stride + 2·E)·Ppad·C·S·4
@@ -716,6 +725,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
     full_clvs: dict[int, tuple] = {}
     full_fast: dict[int, bool] = {}
     dirty_nodes: set[int] = set()
+    topo_state = {"bytes": None}   # host_build cache key, None = stale
 
     n_tips = tree.n_tips
     n_ops_full = 3 * (n_tips - 2)
@@ -740,6 +750,19 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 cutoff_state["skipped"] = cutoff_state.get("skipped", 0) + 1
                 return None
         sub_root = u if junction == v else v
+        if topo_state["bytes"] is None:
+            topo_state["bytes"] = tree.edge_nodes.tobytes()
+        ck = (topo_state["bytes"], prune_edge, junction, radius_min,
+              radius_max)
+        hit = _HOST_BUILD_CACHE.get(ck)
+        if hit is not None:
+            if hit == "skip":
+                return None
+            bld, fused_e, freed_e = hit
+            lens = tree.lengths.copy()
+            lens[fused_e] = tree.lengths[fused_e] + tree.lengths[freed_e]
+            bld["R"].lengths = lens
+            return bld
         nbrs = [(n, e) for n, e in tree.neighbors(junction)
                 if e != prune_edge]
         if len(nbrs) != 2:
@@ -749,7 +772,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
 
         # ---- remainder tree R: dissolve junction, drop subtree edges ----
         R = tree.copy()
-        moves.prune(R, junction, keep_edge=prune_edge)
+        freed_e, fused_e = moves.prune(R, junction, keep_edge=prune_edge)
         R.edge_nodes[prune_edge] = (-1, -1)
         sub_arr = np.fromiter(sub_nodes, np.int64, len(sub_nodes))
         en = R.edge_nodes
@@ -760,20 +783,25 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         root_tip = next((t for t in range(R.n_tips)
                          if t not in sub_nodes and R.adjacency()[t]), None)
         if root_tip is None:
+            _HOST_BUILD_CACHE[ck] = "skip"
             return None
 
         # radius window around the original location
         mask = _radius_mask(R, a, b, radius_min, radius_max, n_edge_slots)
         mask &= R.edge_nodes[:, 0] >= 0
         if not mask.any():
+            _HOST_BUILD_CACHE[ck] = "skip"
             return None
         trav_R = DirectedTraversal(R, root_tip=root_tip)
         mask = mask & trav_R.edge_mask
         if not mask.any():
+            _HOST_BUILD_CACHE[ck] = "skip"
             return None
-        return dict(cand=(prune_edge, junction), prune_edge=prune_edge,
-                    junction=junction, a=a, b=b, R=R, mask=mask,
-                    trav_R=trav_R, sub_root=sub_root, sub_nodes=sub_nodes)
+        bld = dict(cand=(prune_edge, junction), prune_edge=prune_edge,
+                   junction=junction, a=a, b=b, R=R, mask=mask,
+                   trav_R=trav_R, sub_root=sub_root, sub_nodes=sub_nodes)
+        _HOST_BUILD_CACHE[ck] = (bld, fused_e, freed_e)
+        return bld
 
     def ensure_full_clvs(builds):
         """Full-tree directed CLVs for every build's pruned-subtree CLV,
@@ -1071,6 +1099,7 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
             # validity protocol: only the old (a—junction—b) and new
             # (x—junction—y) attachment neighborhoods changed
             dirty_nodes.update((junction, a, b, x_node, y_node))
+            topo_state["bytes"] = None    # topology changed
             if triplets is not None:
                 # write optimized attachment lengths (reference saves &
                 # applies the best triplet, algo_search.c:809-819)
