@@ -101,6 +101,7 @@ def main(n_taxa: int = 16, n_sites: int = 512) -> int:
     failures += check_multi_eval(tree, rng, n_taxa, n_sites)
     failures += check_derivatives(tree, rng, n_taxa, n_sites)
     failures += check_bounded_serial(rng)
+    failures += check_edge_grad(rng)
     print("PASS" if failures == 0 else f"{failures} FAILURES", flush=True)
     return failures
 
@@ -234,6 +235,69 @@ def check_bounded_serial(rng) -> int:
         fails += not ok
         print(f"{'OK ' if ok else 'FAIL'} bounded-serial {n} taxa "
               f"rel {rel:.2e}", flush=True)
+    return fails
+
+
+def check_edge_grad(rng) -> int:
+    """Edge-decomposition model-parameter gradients ON-CHIP vs autodiff
+    through the XLA traversal (round-4's flagship-search fix,
+    opt_model._edge_decomp_neg_loglh). The CLVs come from the REAL
+    fused Pallas kernel here — interpret-mode tests cannot catch
+    Mosaic/XLA-TPU-specific numeric bugs in this path."""
+    import importlib
+    import jax
+    import jax.numpy as jnp
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree.topology import Tree
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.common import PARAM_SUBST_RATES
+    from __graft_entry__ import _random_newick
+    om = importlib.import_module("pllmod_tpu.algorithm.opt_model")
+
+    n = 16
+    tree = Tree.from_newick(_random_newick(n, rng))
+    mat = np.array(list("ACGT"))[rng.integers(0, 4, (n, 512))]
+    part = create_partition(["".join(r) for r in mat], states=4,
+                            n_rate_cats=4, alpha=0.8, compress=False,
+                            dtype=jnp.float32)
+    ti = TreeInfo(tree, [part], params_to_optimize=PARAM_SUBST_RATES)
+    ea = om._edge_vg_args(ti, 0)
+    if ea is None:
+        print("FAIL edge-grad: fast kernel gated off", flush=True)
+        return 1
+    ops, root_info = tree.traversal_ops()
+    ri = tuple(int(x) for x in root_info)
+    ops_j = jnp.asarray(ops)
+    brl = ea["brl"]
+    args = (brl, ea["idx8"], ea["e1"], ea["e2"], ea["eref"], ea["swap"],
+            ea["emask"], ea["e0"], ea["n_slots"], ea["interp"])
+    fails = 0
+    cases = [
+        ("rates", om._neg_rates_fn, om._neg_rates_fn_edge,
+         np.array([1.1, 2.0, 0.7, 0.9, 3.0], np.float32),
+         (part, jnp.asarray(np.arange(6, dtype=np.int32)), 5)),
+        ("freqs", om._neg_freqs_fn, om._neg_freqs_fn_edge,
+         np.array([1.2, 0.8, 1.1], np.float32), (part,)),
+        ("alpha", om._neg_cats_fn, om._neg_cats_fn_edge,
+         np.array([0.2, 0.6, 1.2, 2.0], np.float32), (part,)),
+    ]
+    for name, fn_old, fn_new, x, pre in cases:
+        xj = jnp.asarray(x)
+        st_old = (3,) if name == "rates" else ()
+        st_new = (3, 12, 13) if name == "rates" else (10, 11)
+        f_o, g_o = jax.jit(jax.value_and_grad(fn_old),
+                           static_argnums=st_old)(xj, *pre, ops_j, brl,
+                                                  ri)
+        f_n, g_n = jax.jit(jax.value_and_grad(fn_new),
+                           static_argnums=st_new)(xj, *pre, *args)
+        g_o, g_n = np.asarray(g_o), np.asarray(g_n)
+        rel_f = abs(float(f_o - f_n)) / abs(float(f_o))
+        rel_g = float(np.max(np.abs(g_o - g_n)
+                             / (np.abs(g_o) + 1e-2 * np.abs(g_o).max())))
+        ok = rel_f < 1e-6 and rel_g < 1e-3
+        fails += not ok
+        print(f"{'OK ' if ok else 'FAIL'} edge-grad {name:6s} "
+              f"rel f {rel_f:.2e} rel g {rel_g:.2e}", flush=True)
     return fails
 
 
