@@ -346,14 +346,50 @@ def _vg_lane_program(family: str, lane_statics: tuple):
     return prog
 
 
+def _use_ondevice_lbfgs() -> bool:
+    """Whole-L-BFGS-on-device policy: on for accelerators (each host
+    evaluation step pays ~40 ms dispatch ISSUE on the remote runtime —
+    ~40 steps × 2-3 families per opt_model call), off on CPU where the
+    host driver is the f64 reference. ``PLLMOD_LBFGS_ONDEVICE`` ∈ {0,1}
+    force-overrides (tests use 1 to run the device driver on CPU)."""
+    import os
+    env = os.environ.get("PLLMOD_LBFGS_ONDEVICE")
+    if env is not None:
+        return env != "0"
+    from pllmod_tpu.common import is_tpu
+    return is_tpu()
+
+
 def _lbfgsb_lanes(family: str, lanes: list, max_iters: int, pgtol: float):
-    """Run K lanes through :func:`minimize_lbfgsb_multi` against the
-    cached combined program. Each lane dict: x0 / lo / hi (numpy),
-    aux (traced array tuple), statics (program-key tuple), dtype.
-    Returns the per-lane (x_opt, f_opt, n_evals) list."""
-    prog = _vg_lane_program(family, tuple(l["statics"] for l in lanes))
+    """Run K lanes through the lock-step L-BFGS against the cached
+    combined (value, grad) program. Each lane dict: x0 / lo / hi
+    (numpy), aux (traced array tuple), statics (program-key tuple),
+    dtype. Returns the per-lane (x_opt, f_opt, n_evals) list.
+
+    On accelerators the WHOLE multi-lane trajectory runs as one device
+    program (optimize/lbfgsb.py minimize_lbfgsb_multi_device — the
+    L-BFGS member of the whole-Brent / on-device-BLO family); the host
+    loop remains the CPU/f64 reference path."""
+    statics = tuple(l["statics"] for l in lanes)
+    prog = _vg_lane_program(family, statics)
     auxs = tuple(l["aux"] for l in lanes)
     dtypes = [l["dtype"] for l in lanes]
+
+    if _use_ondevice_lbfgs():
+        from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb_multi_device
+
+        def vg_traced(xs, auxs_):
+            return prog(tuple(x.astype(dtypes[k])
+                              for k, x in enumerate(xs)), auxs_)
+
+        key = ("lbfgs_dev", family, statics,
+               tuple(str(d) for d in dtypes),
+               tuple(np.shape(l["x0"]) for l in lanes), max_iters,
+               pgtol)
+        return minimize_lbfgsb_multi_device(
+            vg_traced, [l["x0"] for l in lanes],
+            [l["lo"] for l in lanes], [l["hi"] for l in lanes],
+            max_iters=max_iters, pgtol=pgtol, cache_key=key, auxs=auxs)
 
     def vg_multi(xs):
         outs = prog(tuple(jnp.asarray(np.asarray(x, dtypes[k]))

@@ -198,3 +198,251 @@ def minimize_lbfgsb_multi(value_and_grad_multi, x0s, lowers, uppers,
                 xs[k] = stop.value[0]
                 live[k] = False
     return results
+
+
+# ---------------------------------------------------------------------------
+# Whole-optimizer-on-device variant: the ENTIRE lock-step multi-lane
+# L-BFGS trajectory as ONE jitted program (the L-BFGS member of the
+# round-3/4 "whole optimizer as one device program" family — whole-Brent
+# lanes and the on-device BLO driver are the precedents). The host
+# drivers above pay one ~40 ms dispatch ISSUE per evaluation on the
+# remote-TPU runtime (~40 evals × 2-3 families per opt_model call);
+# this collapses a family's whole optimization to one dispatch.
+#
+# The state machine mirrors `_lbfgsb_gen` transition-for-transition
+# (projected two-loop direction, Armijo backtracking, Wolfe-style
+# expansion, curvature-guarded history update, pgtol/factr stops); lane
+# algebra runs in float64 like the host version (tiny [m, d] tensors —
+# negligible even on TPU's emulated f64).
+# ---------------------------------------------------------------------------
+def _device_lane_state(x0, lower, upper, m):
+    import jax.numpy as jnp
+    f64 = jnp.float64
+    x = jnp.clip(jnp.asarray(x0, f64), jnp.asarray(lower, f64),
+                 jnp.asarray(upper, f64))
+    d = x.shape[0]
+    z = jnp.zeros((), f64)
+    return dict(
+        x=x, f=z, g=jnp.zeros(d, f64),
+        S=jnp.zeros((m, d), f64), Y=jnp.zeros((m, d), f64),
+        rho=jnp.zeros(m, f64), cnt=jnp.zeros((), jnp.int32),
+        phase=jnp.zeros((), jnp.int32),        # 0=init, 1=LS, 2=EXPAND
+        dvec=jnp.zeros(d, f64), step=jnp.ones((), f64),
+        ls=jnp.zeros((), jnp.int32), exp=jnp.zeros((), jnp.int32),
+        x_eval=x, x_new=x, f_new=z, g_new=jnp.zeros(d, f64),
+        iters=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+        n_evals=jnp.zeros((), jnp.int32), lower=jnp.asarray(lower, f64),
+        upper=jnp.asarray(upper, f64))
+
+
+def _two_loop_direction(st, m):
+    """Projected two-loop recursion on the free set (newest history at
+    ring slot m-1; `valid` masks unfilled slots)."""
+    import jax
+    import jax.numpy as jnp
+    x, g = st["x"], st["g"]
+    lower, upper = st["lower"], st["upper"]
+    free = ~(((x <= lower) & (g > 0)) | ((x >= upper) & (g < 0)))
+    q = jnp.where(free, g, 0.0)
+    valid = jnp.arange(m) >= (m - jnp.minimum(st["cnt"], m))
+
+    def bwd(i, carry):
+        q, alphas = carry
+        idx = m - 1 - i                      # newest -> oldest
+        a = st["rho"][idx] * jnp.dot(st["S"][idx], q)
+        a = jnp.where(valid[idx], a, 0.0)
+        q = q - a * st["Y"][idx]
+        return q, alphas.at[idx].set(a)
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd,
+                                  (q, jnp.zeros(m, q.dtype)))
+    have = st["cnt"] > 0
+    sy = jnp.dot(st["S"][m - 1], st["Y"][m - 1])
+    yy = jnp.maximum(jnp.dot(st["Y"][m - 1], st["Y"][m - 1]), 1e-300)
+    q = jnp.where(have, q * (sy / yy), q)
+
+    def fwd(idx, q):
+        b = st["rho"][idx] * jnp.dot(st["Y"][idx], q)
+        upd = st["S"][idx] * (alphas[idx] - b)
+        return q + jnp.where(valid[idx], upd, 0.0)
+
+    q = jax.lax.fori_loop(0, m, fwd, q)
+    d = -jnp.where(free, q, 0.0)
+    # not a descent direction -> projected steepest descent
+    d = jnp.where(jnp.dot(d, g) >= 0, -jnp.where(free, g, 0.0), d)
+    return d
+
+
+_DEVICE_PROGRAMS: dict = {}
+
+
+def minimize_lbfgsb_multi_device(vg_multi_traced, x0s, lowers, uppers,
+                                 m: int = 10, max_iters: int = 100,
+                                 factr: float = LBFGSB_FACTR,
+                                 pgtol: float = 1e-5, cache_key=None,
+                                 auxs=()):
+    """One-dispatch lock-step multi-lane L-BFGS-B.
+
+    Args:
+      vg_multi_traced: traced fn, (tuple of K x-arrays (f64), auxs) ->
+        tuple of K (f, g) pairs (any float dtype; cast to f64
+        internally).
+      x0s/lowers/uppers: per-lane numpy arrays (dims may differ).
+      cache_key: hashable key under which the compiled whole-trajectory
+        program is cached; MUST capture everything that changes the
+        computation except ``auxs`` (which are TRACED operands, so one
+        program serves every topology / parameter state).
+      auxs: per-lane traced operand pytrees forwarded to the objective.
+    Returns list of K (x_opt np[d], f_opt float, n_evals int).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    K = len(x0s)
+    EPS = _EPSMCH
+
+    def finalize(st, is_init=False):
+        """History update + stops + next direction + first LS trial.
+        Consumes (x_new, f_new, g_new)."""
+        s_vec = st["x_new"] - st["x"]
+        y_vec = st["g_new"] - st["g"]
+        sy = jnp.dot(s_vec, y_vec)
+        good = sy > 1e-10 * jnp.linalg.norm(s_vec) * jnp.linalg.norm(
+            y_vec)
+        S2 = jnp.where(good, jnp.roll(st["S"], -1, axis=0)
+                       .at[m - 1].set(s_vec), st["S"])
+        Y2 = jnp.where(good, jnp.roll(st["Y"], -1, axis=0)
+                       .at[m - 1].set(y_vec), st["Y"])
+        rho2 = jnp.where(good, jnp.roll(st["rho"], -1)
+                         .at[m - 1].set(1.0 / sy), st["rho"])
+        cnt2 = st["cnt"] + good.astype(st["cnt"].dtype)
+        f_prev = st["f"]
+        st = dict(st, S=S2, Y=Y2, rho=rho2, cnt=cnt2, x=st["x_new"],
+                  f=st["f_new"], g=st["g_new"],
+                  iters=st["iters"] + (0 if is_init else 1))
+        # the host loop has no factr check before the first step
+        stop_factr = (not is_init) & (factr > 0) & (
+            (f_prev - st["f"]) <= factr * EPS * jnp.maximum(
+                jnp.maximum(jnp.abs(st["f"]), jnp.abs(f_prev)), 1.0))
+        x, g = st["x"], st["g"]
+        pg = jnp.where((x <= st["lower"]) & (g > 0), 0.0,
+                       jnp.where((x >= st["upper"]) & (g < 0), 0.0, g))
+        stop_pg = jnp.max(jnp.abs(pg)) <= pgtol
+        stop_iters = st["iters"] >= max_iters
+        d = _two_loop_direction(st, m)
+        no_dir = ~jnp.any(d != 0)
+        x_t = jnp.clip(x + d, st["lower"], st["upper"])
+        no_move = ~jnp.any(x_t != x)
+        done = stop_factr | stop_pg | stop_iters | no_dir | no_move
+        return dict(st, done=st["done"] | done, dvec=d,
+                    step=jnp.ones((), x.dtype),
+                    ls=jnp.zeros((), jnp.int32),
+                    phase=jnp.full((), 1, jnp.int32),
+                    x_eval=jnp.where(done, x, x_t))
+
+    def lane_step(st, f_e, g_e):
+        f_e = f_e.astype(jnp.float64)
+        g_e = g_e.astype(jnp.float64)
+        st = dict(st, n_evals=st["n_evals"]
+                  + (~st["done"]).astype(jnp.int32))
+
+        def do_init(st):
+            st = dict(st, f=f_e, g=g_e, x_new=st["x"], f_new=f_e,
+                      g_new=g_e)
+            return finalize(st, is_init=True)
+
+        def do_ls(st):
+            dx = st["x_eval"] - st["x"]
+            gdx = jnp.dot(st["g"], dx)
+            armijo = f_e <= st["f"] + 1e-4 * gdx
+
+            # -- accepted: enter the expansion check ---------------------
+            def accepted(st):
+                st = dict(st, x_new=st["x_eval"], f_new=f_e, g_new=g_e,
+                          exp=jnp.zeros((), jnp.int32))
+                dgx = jnp.dot(st["g_new"], st["x_new"] - st["x"])
+                curv = dgx >= 0.9 * jnp.dot(st["g"],
+                                            st["x_new"] - st["x"])
+                x_try = jnp.clip(st["x"] + 2.0 * st["step"] * st["dvec"],
+                                 st["lower"], st["upper"])
+                same = ~jnp.any(x_try != st["x_new"])
+
+                def fin(st):
+                    return finalize(st)
+
+                def expand(st):
+                    return dict(st, phase=jnp.full((), 2, jnp.int32),
+                                x_eval=x_try)
+
+                return jax.lax.cond(curv | same, fin, expand, st)
+
+            # -- rejected: halve the step or give up ---------------------
+            def rejected(st):
+                step2 = st["step"] * 0.5
+                ls2 = st["ls"] + 1
+                x_t = jnp.clip(st["x"] + step2 * st["dvec"],
+                               st["lower"], st["upper"])
+                give_up = (ls2 >= 30) | (~jnp.any(x_t != st["x"]))
+                return dict(st, step=step2, ls=ls2,
+                            done=st["done"] | give_up,
+                            x_eval=jnp.where(give_up, st["x"], x_t))
+
+            return jax.lax.cond(armijo, accepted, rejected, st)
+
+        def do_expand(st):
+            x_try = st["x_eval"]
+            gdx = jnp.dot(st["g"], x_try - st["x"])
+            fail = (f_e > st["f"] + 1e-4 * gdx) | (f_e >= st["f_new"])
+
+            def keep(st):            # expansion failed: finalize x_new
+                return finalize(st)
+
+            def grow(st):
+                st = dict(st, step=st["step"] * 2.0, x_new=x_try,
+                          f_new=f_e, g_new=g_e, exp=st["exp"] + 1)
+                dgx = jnp.dot(st["g_new"], st["x_new"] - st["x"])
+                curv = dgx >= 0.9 * jnp.dot(st["g"],
+                                            st["x_new"] - st["x"])
+                x_t2 = jnp.clip(st["x"] + 2.0 * st["step"] * st["dvec"],
+                                st["lower"], st["upper"])
+                same = ~jnp.any(x_t2 != st["x_new"])
+                stop = curv | same | (st["exp"] >= 8)
+                return jax.lax.cond(
+                    stop, finalize,
+                    lambda s: dict(s, x_eval=x_t2), st)
+
+            return jax.lax.cond(fail, keep, grow, st)
+
+        def live(st):
+            return jax.lax.switch(st["phase"], (do_init, do_ls,
+                                                do_expand), st)
+
+        return jax.lax.cond(st["done"], lambda s: s, live, st)
+
+    def run(states, auxs):
+        def cond(carry):
+            states, _ = carry
+            return ~jnp.stack([s["done"] for s in states]).all()
+
+        def body(carry):
+            states, auxs = carry
+            fgs = vg_multi_traced(tuple(s["x_eval"] for s in states),
+                                  auxs)
+            return (tuple(lane_step(s, f, g)
+                          for s, (f, g) in zip(states, fgs)), auxs)
+
+        out, _ = jax.lax.while_loop(cond, body, (tuple(states), auxs))
+        return out
+
+    states = tuple(_device_lane_state(x0s[k], lowers[k], uppers[k], m)
+                   for k in range(K))
+    prog = _DEVICE_PROGRAMS.get(cache_key) if cache_key else None
+    if prog is None:
+        import jax as _jax
+        prog = _jax.jit(run)
+        if cache_key:
+            _DEVICE_PROGRAMS[cache_key] = prog
+    out = prog(states, auxs)
+    out = jax.device_get(out)                 # ONE host sync for all
+    return [(np.asarray(s["x"], np.float64), float(s["f"]),
+             int(s["n_evals"])) for s in out]

@@ -215,3 +215,44 @@ def test_edge_decomp_vg_matches_autodiff(rng):
                 rtol=5e-5, atol=5e-4 * float(np.max(np.abs(g_o))))
     finally:
         engine_mod.FORCE_FAST_KERNEL = None
+
+
+def test_lbfgs_ondevice_matches_host(rng):
+    """The whole-trajectory on-device L-BFGS (one device program per
+    family — optimize/lbfgsb.py minimize_lbfgsb_multi_device) reproduces
+    the host lock-step driver exactly through opt_model: same optimum,
+    same parameter estimates (the state machine mirrors _lbfgsb_gen
+    transition-for-transition; CPU f64 algebra both sides)."""
+    import os
+    import importlib
+    om = importlib.import_module("pllmod_tpu.algorithm.opt_model")
+    from pllmod_tpu.ops import engine as engine_mod
+
+    engine_mod.FORCE_FAST_KERNEL = True
+    res = {}
+    try:
+        n = 9
+        tree = ref.random_binary_tree(rng, n)
+        seqs = ref.random_sequences(rng, n, 300, gap_frac=0.0)
+        masks = (common.PARAM_SUBST_RATES | common.PARAM_FREQUENCIES
+                 | common.PARAM_ALPHA | common.PARAM_BRANCHES_ITERATIVE)
+        for dev in ("0", "1"):
+            os.environ["PLLMOD_LBFGS_ONDEVICE"] = dev
+            try:
+                part = create_partition(
+                    seqs, states=4, n_rate_cats=4, alpha=0.6,
+                    dtype=jnp.float32, compress=False, pattern_pad=128)
+                ti = TreeInfo(tree.copy(), [part],
+                              params_to_optimize=masks)
+                lnl = om.opt_model(ti, tol=1e-3)
+                res[dev] = (lnl,
+                            np.asarray(ti.partitions[0].subst_rates[0]),
+                            np.asarray(ti.partitions[0].freqs[0]))
+            finally:
+                del os.environ["PLLMOD_LBFGS_ONDEVICE"]
+    finally:
+        engine_mod.FORCE_FAST_KERNEL = None
+    (lh, rh, fh), (ld, rd, fd) = res["0"], res["1"]
+    assert abs(lh - ld) < max(1e-5 * abs(lh), 0.5)
+    np.testing.assert_allclose(rd, rh, rtol=1e-3)
+    np.testing.assert_allclose(fd, fh, rtol=1e-3)
