@@ -72,7 +72,8 @@ _HOST_BUILD_CACHE = engine_mod.LruCache(maxsize=1024)
 
 def _spr_batch_limit(treeinfo, n_edge_slots: int, stride: int) -> int:
     """Auto batch bound: K candidates cost ~K·(stride + 2·E)·Ppad·C·S·4
-    bytes of live CLV buffer + gathered edge CLVs; budget ~1 GB."""
+    bytes of live CLV buffer + gathered edge CLVs; budget ~4 GB (see
+    the comment below on the round-4 bump from the 1 GB initial)."""
     import os
     env = os.environ.get("PLLMOD_SPR_BATCH")
     if env:
