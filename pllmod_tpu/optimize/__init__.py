@@ -4,6 +4,10 @@
   (``pllmod_opt_minimize_newton_multi``, opt_algorithms.c:133-261)
 - :mod:`pllmod_tpu.optimize.blo` — branch-length optimization on all edges
   at once from directed CLVs (``pllmod_opt_optimize_branch_lengths_*``)
+- :mod:`pllmod_tpu.optimize.blo_bounded` — memory-bounded O(n log n)
+  whole-tree BLO (the reference's recomp_iterative regime,
+  pll_optimize.c:778-926, as a segmented heavy-path Euler walk on the
+  fused megakernel — the north-star capacity mode)
 - :mod:`pllmod_tpu.optimize.brent` — vectorized Brent 1-D minimization
   (opt_algorithms.c:809-1467)
 - :mod:`pllmod_tpu.optimize.lbfgsb` — bound-constrained L-BFGS with
@@ -21,6 +25,10 @@ from pllmod_tpu.optimize.blo import (  # noqa: F401
     DirectedTraversal,
     optimize_branch_lengths,
     optimize_branch_lengths_chunked,
+)
+from pllmod_tpu.optimize.blo_bounded import (  # noqa: F401
+    BoundedSweepSchedule,
+    optimize_branch_lengths_bounded,
 )
 from pllmod_tpu.optimize.brent import minimize_brent_multi  # noqa: F401
 from pllmod_tpu.optimize.lbfgsb import minimize_lbfgsb  # noqa: F401

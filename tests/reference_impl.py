@@ -149,3 +149,50 @@ def random_sequences(rng, n_tips, n_sites, alphabet="ACGT", gap_frac=0.05):
     probs = [((1 - gap_frac) / len(alphabet))] * len(alphabet) + [gap_frac]
     seqs = rng.choice(chars, p=probs, size=(n_tips, n_sites))
     return ["".join(row) for row in seqs]
+
+
+def simulated_sequences(rng, tree, n_sites, rates=None, freqs=None,
+                        alpha=0.9, cats=4):
+    """DNA sequences evolved ALONG ``tree`` under GTR+Γ (scipy expm per
+    edge) — tree-signal data for optimizer golden tests: random
+    sequences carry no phylogenetic signal, so their likelihood surface
+    has degenerate/saturated optima that different (all-correct) ascent
+    schemes resolve differently."""
+    from scipy.linalg import expm
+    from pllmod_tpu.ops import gamma as gamma_mod
+    if rates is None:
+        rates = np.asarray([1.2, 2.5, 0.8, 1.1, 3.0, 1.0])
+    if freqs is None:
+        freqs = np.asarray([0.3, 0.25, 0.2, 0.25])
+    states = len(freqs)
+    S = np.zeros((states, states))
+    S[np.triu_indices(states, 1)] = rates
+    S = S + S.T
+    Q = S * freqs[None, :]
+    np.fill_diagonal(Q, -Q.sum(1))
+    Q /= -(np.diag(Q) * freqs).sum()
+    cat_rates = np.asarray(
+        gamma_mod.compute_gamma_cats_host(alpha, cats, "mean"))
+    site_cat = rng.integers(0, cats, n_sites)
+    adj = tree.adjacency()
+    root = tree.n_tips
+    seqs = {root: rng.choice(states, n_sites, p=freqs)}
+    stack = [(root, -1)]
+    while stack:
+        node, parent = stack.pop()
+        for nbr, e in adj[node]:
+            if nbr == parent:
+                continue
+            Ps = [expm(Q * float(tree.lengths[e]) * r) for r in cat_rates]
+            cur = seqs[node]
+            out = np.empty(n_sites, np.int64)
+            for c in range(cats):
+                m = site_cat == c
+                if m.any():
+                    rows = Ps[c][cur[m]]
+                    out[m] = (rng.random((m.sum(), 1)) <
+                              rows.cumsum(1)).argmax(1)
+            seqs[nbr] = out
+            stack.append((nbr, node))
+    chars = np.array(list("ACGT"))
+    return ["".join(chars[seqs[t]]) for t in range(tree.n_tips)]
