@@ -122,6 +122,56 @@ void pllmod_transfer_distance_matrix(const uint64_t* a, int64_t na,
 }
 
 // ---------------------------------------------------------------------------
+// TBE minimum transfer distances via counting traversals (the Nature
+// linear-scan regime of the reference's pllmod_utree_tbe_nature,
+// tbe_functions.c:104-147 search_mindist): for each reference split, ONE
+// O(N) pass over the bootstrap tree's postorder accumulates the number
+// of light-side taxa under every node; the candidate transfer distance
+// at a node with subtree size s and ones o = |light ∩ subtree| is
+// |light Δ subtree| = p + s - 2o, folded to min(d, n - d) (the
+// complement orientation). Replaces the O(R x B x words) popcount
+// matrix whose cost explodes at >=10k taxa x hundreds of boot trees.
+//
+// light:  uint64 [R, n_words] light-side (p = popcount <= n/2) masks
+// p:      int32 [R]
+// post:   int32 [n_post, 3] rows (node, left_child, right_child) in
+//         postorder over the boot tree rooted at a tip's neighbor; node
+//         ids < n_tips are leaves (implicit), >= n_tips inner.
+// n_nodes: total node-id space (count buffer size)
+// out:    int32 [R] minimum transfer distance (floor p-1 from trivial
+//         splits included, matching the naive driver semantics)
+// ---------------------------------------------------------------------------
+void pllmod_tbe_mindist(const uint64_t* light, const int32_t* p,
+                        int64_t R, int64_t n_words, int64_t n_tips,
+                        const int32_t* post, int64_t n_post,
+                        int64_t n_nodes, int32_t* out) {
+  std::vector<int32_t> size(n_nodes, 0);
+  std::vector<int32_t> ones(n_nodes, 0);
+  // subtree sizes: one counting pass with all-ones "query"
+  for (int64_t t = 0; t < n_tips; ++t) size[t] = 1;
+  for (int64_t i = 0; i < n_post; ++i) {
+    const int32_t* row = post + i * 3;
+    size[row[0]] = size[row[1]] + size[row[2]];
+  }
+  const int64_t half = n_tips / 2;
+  for (int64_t r = 0; r < R; ++r) {
+    const uint64_t* lr = light + r * n_words;
+    for (int64_t t = 0; t < n_tips; ++t)
+      ones[t] = (lr[t >> 6] >> (t & 63)) & 1u;
+    int32_t best = p[r] - 1;
+    for (int64_t i = 0; i < n_post && best > 0; ++i) {
+      const int32_t* row = post + i * 3;
+      const int32_t o = ones[row[1]] + ones[row[2]];
+      ones[row[0]] = o;
+      int64_t cand = (int64_t)p[r] + size[row[0]] - 2 * o;
+      if (cand > half) cand = n_tips - cand;
+      if (cand < best) best = (int32_t)cand;
+    }
+    out[r] = best;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Shared-split count between two sorted-or-unsorted split sets (RF core).
 // Uses a hash set over split bytes. Returns the number of shared splits.
 // ---------------------------------------------------------------------------

@@ -124,6 +124,27 @@ def transfer_distance_matrix(a: np.ndarray, b: np.ndarray,
     return out
 
 
+def tbe_mindist(light: np.ndarray, p: np.ndarray, post: np.ndarray,
+                n_tips: int, n_nodes: int) -> np.ndarray:
+    """Counting-traversal minimum transfer distances (one O(N) pass per
+    reference split over the boot tree's postorder — the reference's
+    Nature-algorithm regime, tbe_functions.c:104-147). light uint64
+    [R, words] light-side masks, p int32 [R], post int32 [n_post, 3]
+    rows (node, left, right). Returns int32 [R]."""
+    lib = _load()
+    light = np.ascontiguousarray(light, np.uint64)
+    p = np.ascontiguousarray(p, np.int32)
+    post = np.ascontiguousarray(post, np.int32)
+    R, W = light.shape
+    out = np.zeros(R, np.int32)
+    lib.pllmod_tbe_mindist(
+        _ptr(light, ctypes.c_uint64), _ptr(p, ctypes.c_int32),
+        ctypes.c_int64(R), ctypes.c_int64(W), ctypes.c_int64(n_tips),
+        _ptr(post, ctypes.c_int32), ctypes.c_int64(post.shape[0]),
+        ctypes.c_int64(n_nodes), _ptr(out, ctypes.c_int32))
+    return out
+
+
 def shared_splits(a: np.ndarray, b: np.ndarray) -> int:
     lib = _load()
     a = np.ascontiguousarray(a, np.uint64)

@@ -166,3 +166,26 @@ def test_fbp_and_tbe_support(rng):
     assert all(v == 1.0 for v in fbp_id.values())
     tbe_id = tbe_support(reft, [reft.copy()])
     assert all(v == 1.0 for v in tbe_id.values())
+
+
+def test_tbe_counting_matches_naive(rng):
+    """The native counting-traversal transfer index (the reference's
+    Nature-algorithm regime, tbe_functions.c:104-147) equals the naive
+    popcount-matrix scan on random tree pairs of several sizes."""
+    from pllmod_tpu import native
+    from pllmod_tpu.tree import tbe as tbe_mod
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    for n in (6, 17, 64, 200):
+        reft = ref.random_binary_tree(rng, n)
+        ref_splits, _ = sp.tree_splits(reft)
+        for _ in range(3):
+            boot = ref.random_binary_tree(rng, n)
+            d_cnt, p1 = tbe_mod.transfer_index(ref_splits, boot, n)
+            # force the naive matrix path
+            bs, _ = sp.tree_splits(boot, include_tips=False)
+            d_mat = np.minimum(
+                (p1 - 1).astype(np.int64),
+                tbe_mod.transfer_distance_matrix(ref_splits, bs,
+                                                 n).min(axis=1))
+            np.testing.assert_array_equal(np.asarray(d_cnt), d_mat)

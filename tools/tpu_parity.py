@@ -102,6 +102,8 @@ def main(n_taxa: int = 16, n_sites: int = 512) -> int:
     failures += check_derivatives(tree, rng, n_taxa, n_sites)
     failures += check_bounded_serial(rng)
     failures += check_edge_grad(rng)
+    failures += check_device_lbfgs(rng)
+    failures += check_bounded_blo(rng)
     print("PASS" if failures == 0 else f"{failures} FAILURES", flush=True)
     return failures
 
@@ -299,6 +301,81 @@ def check_edge_grad(rng) -> int:
         print(f"{'OK ' if ok else 'FAIL'} edge-grad {name:6s} "
               f"rel f {rel_f:.2e} rel g {rel_g:.2e}", flush=True)
     return fails
+
+
+def check_device_lbfgs(rng) -> int:
+    """The 189-dimension protein-GTR rates family through the
+    whole-trajectory ON-DEVICE L-BFGS vs the host lock-step driver, both
+    on-chip (round-4 VERDICT weak 3: the device lane algebra silently
+    runs f32 on TPU and had only been validated in f64 on CPU and at
+    6-dim DNA on-chip; the 189-dim projected L-BFGS is the case the
+    optimizer exists for — replaces the vendored f2c L-BFGS-B,
+    opt_algorithms.c:418-540)."""
+    import os
+    import importlib
+    from pllmod_tpu.tree.topology import Tree
+    from pllmod_tpu.tree.treeinfo import TreeInfo
+    from pllmod_tpu.common import PARAM_SUBST_RATES
+    from pllmod_tpu.ops import charmap
+    from __graft_entry__ import _random_newick
+    om = importlib.import_module("pllmod_tpu.algorithm.opt_model")
+
+    n, sites = 10, 256
+    tree = Tree.from_newick(_random_newick(n, rng))
+    syms = charmap.MULTI_SYMBOLS[:20]
+    mat = np.array(list(syms))[rng.integers(0, 20, (n, sites))]
+    seqs = ["".join(r) for r in mat]
+    res = {}
+    for dev in ("0", "1"):
+        os.environ["PLLMOD_LBFGS_ONDEVICE"] = dev
+        try:
+            part = create_partition_cached(seqs, 20, 4, np.random.
+                                           default_rng(5))
+            ti = TreeInfo(tree.copy(), [part],
+                          params_to_optimize=PARAM_SUBST_RATES)
+            lnl = om.opt_subst_rates(ti, tol=1e-3)
+            res[dev] = (float(lnl),
+                        np.asarray(ti.partitions[0].subst_rates[0]))
+        finally:
+            del os.environ["PLLMOD_LBFGS_ONDEVICE"]
+    (lh, rh), (ld, rd) = res["0"], res["1"]
+    dl = abs(lh - ld)
+    drel = float(np.max(np.abs(rd - rh) / np.maximum(np.abs(rh), 1e-3)))
+    ok = dl <= max(1e-5 * abs(lh), 0.5) and drel < 2e-2
+    print(f"{'OK ' if ok else 'FAIL'} device-L-BFGS 189-dim PROTGTR "
+          f"host {lh:.4f} dev {ld:.4f} dlnl {dl:.2e} "
+          f"max rate rel {drel:.2e}", flush=True)
+    return int(not ok)
+
+
+def check_bounded_blo(rng) -> int:
+    """Memory-bounded whole-tree BLO (optimize/blo_bounded.py) vs the
+    full directed-CLV driver ON-CHIP (the round-5 capacity-mode sweep:
+    segmented megakernel + sumtable + Newton kernels on real Mosaic)."""
+    import jax.numpy as jnp
+    from pllmod_tpu.ops.partition import create_partition
+    from pllmod_tpu.tree.topology import Tree
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths
+    from pllmod_tpu.optimize.blo_bounded import \
+        optimize_branch_lengths_bounded
+    from __graft_entry__ import _random_newick
+
+    n = 40
+    tree = Tree.from_newick(_random_newick(n, rng))
+    mat = np.array(list("ACGT"))[rng.integers(0, 4, (n, 512))]
+    part = create_partition(["".join(r) for r in mat], states=4,
+                            n_rate_cats=4, alpha=0.8, compress=False,
+                            dtype=jnp.float32).cache_eigen()
+    t_f, t_b = tree.copy(), tree.copy()
+    _, l_full = optimize_branch_lengths(part, t_f, tolerance=1e-7,
+                                        max_sweeps=64)
+    _, l_b = optimize_branch_lengths_bounded(part, t_b, tolerance=1e-7,
+                                             max_sweeps=64)
+    d = abs(l_b - l_full)
+    ok = d < 0.05
+    print(f"{'OK ' if ok else 'FAIL'} bounded-BLO 40 taxa "
+          f"full {l_full:.4f} bounded {l_b:.4f} d {d:.3f}", flush=True)
+    return int(not ok)
 
 
 if __name__ == "__main__":
