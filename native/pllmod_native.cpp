@@ -15,6 +15,7 @@
 //
 // Exposed as a plain C ABI for ctypes; all buffers are caller-allocated.
 
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -119,6 +120,156 @@ void pllmod_transfer_distance_matrix(const uint64_t* a, int64_t na,
       out[i * nb + j] = static_cast<int32_t>(d < dd ? d : dd);
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Directed Fitch state sets (the parsimony analog of directed CLVs):
+// for every live edge e=(u,v), A[e] = Fitch set of u's side computed
+// toward v, B[e] = v's side toward u (pll_fastparsimony's per-direction
+// state sets). masks: uint64 [n_tips, S] per-site state bitmasks.
+// edges: int32 [E, 2] (-1 rows dead). Outputs A/B uint64 [E, S].
+// Returns 0, or -1 on malformed trees (e.g. disconnected).
+// ---------------------------------------------------------------------------
+static inline void fitch2(const uint64_t* a, const uint64_t* b,
+                          uint64_t* out, int64_t S) {
+  for (int64_t s = 0; s < S; ++s) {
+    const uint64_t inter = a[s] & b[s];
+    out[s] = inter ? inter : (a[s] | b[s]);
+  }
+}
+
+int pllmod_directed_fitch_sets(const int32_t* edges, int64_t E,
+                               int64_t n_tips, int64_t n_nodes,
+                               const uint64_t* masks, int64_t S,
+                               uint64_t* A, uint64_t* B) {
+  // adjacency (node -> incident (nbr, edge) pairs)
+  std::vector<int32_t> deg(n_nodes, 0);
+  for (int64_t e = 0; e < E; ++e)
+    if (edges[2 * e] >= 0) { ++deg[edges[2 * e]]; ++deg[edges[2 * e + 1]]; }
+  std::vector<int64_t> off(n_nodes + 1, 0);
+  for (int64_t i = 0; i < n_nodes; ++i) off[i + 1] = off[i] + deg[i];
+  std::vector<int32_t> nbr(off[n_nodes]), ned(off[n_nodes]);
+  std::vector<int64_t> fill(off.begin(), off.end() - 1);
+  for (int64_t e = 0; e < E; ++e) {
+    const int32_t u = edges[2 * e], v = edges[2 * e + 1];
+    if (u < 0) continue;
+    nbr[fill[u]] = v; ned[fill[u]++] = (int32_t)e;
+    nbr[fill[v]] = u; ned[fill[v]++] = (int32_t)e;
+  }
+  // dir_set(e, toward): the set of the side OPPOSITE `toward`; store
+  // A[e] = set of edges[e][0]'s side, B[e] = edges[e][1]'s side.
+  // Iterative DFS from the first live tip's neighbor computing "up"
+  // sets post-order, then "down" sets pre-order.
+  int64_t root_tip = -1;
+  for (int64_t t = 0; t < n_tips; ++t)
+    if (deg[t]) { root_tip = t; break; }
+  if (root_tip < 0 || deg[root_tip] != 1) return -1;
+  const int32_t r = nbr[off[root_tip]];
+  const int32_t e0 = ned[off[root_tip]];
+  auto side_ptr = [&](int64_t e, int32_t node) {
+    return (edges[2 * e] == node) ? A + e * S : B + e * S;
+  };
+  // post-order stack: (node, parent_edge, phase)
+  std::vector<std::array<int32_t, 3>> stack;
+  stack.push_back({r, e0, 0});
+  std::vector<uint64_t> tmp(S);
+  while (!stack.empty()) {
+    auto [node, pe, phase] = stack.back();
+    stack.pop_back();
+    if (node < n_tips) {
+      std::memcpy(side_ptr(pe, node), masks + node * S, S * 8);
+      continue;
+    }
+    if (phase == 0) {
+      stack.push_back({node, pe, 1});
+      for (int64_t k = off[node]; k < off[node + 1]; ++k)
+        if (ned[k] != pe) stack.push_back({nbr[k], ned[k], 0});
+    } else {
+      uint64_t* out = side_ptr(pe, node);
+      bool first = true;
+      for (int64_t k = off[node]; k < off[node + 1]; ++k) {
+        if (ned[k] == pe) continue;
+        // child set toward `node` = the side of edge ned[k] at nbr[k]
+        const uint64_t* cs = side_ptr(ned[k], nbr[k]);
+        if (first) { std::memcpy(out, cs, S * 8); first = false; }
+        else fitch2(out, cs, out, S);
+      }
+    }
+  }
+  std::memcpy(side_ptr(e0, root_tip), masks + root_tip * S, S * 8);
+  // pre-order down sets: set at `node` toward child c = fitch2 of the
+  // parent-side set and the other children's up sets
+  std::vector<std::array<int32_t, 2>> pstack;
+  pstack.push_back({r, e0});
+  while (!pstack.empty()) {
+    auto [node, pe] = pstack.back();
+    pstack.pop_back();
+    if (node < n_tips) continue;
+    for (int64_t k = off[node]; k < off[node + 1]; ++k) {
+      if (ned[k] == pe) continue;
+      const int32_t ce = ned[k];
+      // down set for child edge ce (side at `node`)
+      uint64_t* out = side_ptr(ce, node);
+      // parent side of pe at the OTHER endpoint (i.e. not node's side)
+      const uint64_t* ps = (edges[2 * pe] == node) ? B + pe * S
+                                                   : A + pe * S;
+      std::memcpy(out, ps, S * 8);
+      for (int64_t k2 = off[node]; k2 < off[node + 1]; ++k2) {
+        if (ned[k2] == pe || ned[k2] == ce) continue;
+        fitch2(out, side_ptr(ned[k2], nbr[k2]), out, S);
+      }
+      pstack.push_back({nbr[k], ce});
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Greedy stepwise-addition parsimony tree (pll_fastparsimony_stepwise
+// regime): insert taxa in `order`, each at the edge minimizing
+// sum_sites w * [(fitch_edge_set & tip_mask) == 0], recomputing the
+// directed sets per insertion (O(n) fitch passes, all in-cache).
+// Multi-partition = concatenated masks/weights (cost is per-site
+// separable). edges_out: int32 [2n-3, 2]; inner ids start at n_tips.
+// Tie-break: lowest edge id (matches np.argmin-first semantics of the
+// python reference path). Returns 0 or -1.
+// ---------------------------------------------------------------------------
+int pllmod_parsimony_stepwise(const uint64_t* masks, int64_t n,
+                              int64_t S, const double* w,
+                              const int32_t* order,
+                              int32_t* edges_out) {
+  if (n < 3) return -1;
+  const int64_t E_max = 2 * n - 3;
+  std::vector<int32_t> edges(E_max * 2, -1);
+  const int32_t t0 = order[0], t1 = order[1], t2 = order[2];
+  edges[0] = t0; edges[1] = (int32_t)n;
+  edges[2] = t1; edges[3] = (int32_t)n;
+  edges[4] = t2; edges[5] = (int32_t)n;
+  int64_t E = 3;
+  int32_t next_inner = (int32_t)n + 1;
+  std::vector<uint64_t> A(E_max * S), B(E_max * S), es(S);
+  for (int64_t i = 3; i < n; ++i) {
+    const int32_t tip = order[i];
+    if (pllmod_directed_fitch_sets(edges.data(), E, n, next_inner,
+                                   masks, S, A.data(), B.data()) != 0)
+      return -1;
+    const uint64_t* tm = masks + (int64_t)tip * S;
+    double best_cost = 0; int64_t best = -1;
+    for (int64_t e = 0; e < E; ++e) {
+      fitch2(A.data() + e * S, B.data() + e * S, es.data(), S);
+      double cost = 0;
+      for (int64_t s = 0; s < S; ++s)
+        if (!(es[s] & tm[s])) cost += w[s];
+      if (best < 0 || cost < best_cost) { best_cost = cost; best = e; }
+    }
+    const int32_t u = edges[2 * best], v = edges[2 * best + 1];
+    const int32_t wn = next_inner++;
+    edges[2 * best] = u; edges[2 * best + 1] = wn;
+    edges[2 * E] = wn; edges[2 * E + 1] = v; ++E;
+    edges[2 * E] = tip; edges[2 * E + 1] = wn; ++E;
+  }
+  std::memcpy(edges_out, edges.data(), E_max * 2 * 4);
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

