@@ -225,6 +225,116 @@ int pllmod_directed_fitch_sets(const int32_t* edges, int64_t E,
 }
 
 // ---------------------------------------------------------------------------
+// Directed-CLV traversal compilation (the host-side schedule build of
+// optimize/blo.DirectedTraversal — the SPR candidate hot loop at >=1k
+// taxa): one post-order pass (every inner node's CLV toward its
+// parent) + one pre-order pass (every node's CLV away from each
+// child), rows (slot, ref1, edge1, ref2, edge2) with slot = row index
+// and refs = tip id or n_tips + slot. slot_de[e][side] = the slot of
+// the CLV at edges[e][side] directed toward the other endpoint (-1 =
+// absent: tips, or edges outside root_tip's component). Traversal
+// order replicates the python builder exactly (same adjacency
+// enumeration + LIFO stacks) so slot numbering is identical.
+// Returns n_rows, or -1 (malformed/multifurcating -> python fallback).
+// ---------------------------------------------------------------------------
+int64_t pllmod_directed_traversal(const int32_t* edges, int64_t E,
+                                  int64_t n_tips, int64_t n_nodes,
+                                  int32_t root_tip, int32_t* ops_out,
+                                  int64_t cap, int32_t* slot_de) {
+  std::vector<int32_t> deg(n_nodes, 0);
+  for (int64_t e = 0; e < E; ++e)
+    if (edges[2 * e] >= 0) { ++deg[edges[2 * e]]; ++deg[edges[2 * e + 1]]; }
+  std::vector<int64_t> off(n_nodes + 1, 0);
+  for (int64_t i = 0; i < n_nodes; ++i) off[i + 1] = off[i] + deg[i];
+  std::vector<int32_t> nbr(off[n_nodes]), ned(off[n_nodes]);
+  std::vector<int64_t> fill(off.begin(), off.end() - 1);
+  for (int64_t e = 0; e < E; ++e) {
+    const int32_t u = edges[2 * e], v = edges[2 * e + 1];
+    if (u < 0) continue;
+    nbr[fill[u]] = v; ned[fill[u]++] = (int32_t)e;
+    nbr[fill[v]] = u; ned[fill[v]++] = (int32_t)e;
+  }
+  for (int64_t i = 0; i < 2 * E; ++i) slot_de[i] = -1;
+  if (root_tip < 0 || root_tip >= n_tips || deg[root_tip] != 1)
+    return -1;
+  const int32_t r = nbr[off[root_tip]];
+  const int32_t e0 = ned[off[root_tip]];
+  int64_t n_rows = 0;
+  auto slot_ref = [&](int64_t e, int32_t node) -> int32_t* {
+    return slot_de + 2 * e + (edges[2 * e] == node ? 0 : 1);
+  };
+  auto ref_of = [&](int32_t node, int64_t via_edge) -> int64_t {
+    if (node < n_tips) return node;
+    const int32_t s = *slot_ref(via_edge, node);
+    return s < 0 ? -1 : n_tips + s;
+  };
+  // post-order (LIFO two-phase, neighbors pushed in adjacency order)
+  std::vector<std::array<int32_t, 4>> st;  // node, parent, pedge, phase
+  st.push_back({r, root_tip, e0, 0});
+  while (!st.empty()) {
+    auto [node, par, pe, phase] = st.back();
+    st.pop_back();
+    if (node < n_tips) continue;
+    if (phase == 0) {
+      st.push_back({node, par, pe, 1});
+      for (int64_t k = off[node]; k < off[node + 1]; ++k)
+        if (!(nbr[k] == par && ned[k] == pe))
+          st.push_back({nbr[k], node, ned[k], 0});
+    } else {
+      int32_t kc[2], ke[2];
+      int nk = 0;
+      for (int64_t k = off[node]; k < off[node + 1]; ++k) {
+        if (nbr[k] == par && ned[k] == pe) continue;
+        if (nk >= 2) return -1;            // multifurcation
+        kc[nk] = nbr[k]; ke[nk] = ned[k]; ++nk;
+      }
+      if (nk != 2 || n_rows >= cap) return -1;
+      const int64_t r1 = ref_of(kc[0], ke[0]);
+      const int64_t r2 = ref_of(kc[1], ke[1]);
+      if (r1 < 0 || r2 < 0) return -1;
+      *slot_ref(pe, node) = (int32_t)n_rows;
+      int32_t* row = ops_out + 5 * n_rows++;
+      row[0] = (int32_t)(n_rows - 1);
+      row[1] = (int32_t)r1; row[2] = ke[0];
+      row[3] = (int32_t)r2; row[4] = ke[1];
+    }
+  }
+  // pre-order: slots (u -> child)
+  std::vector<std::array<int32_t, 3>> ps;  // node, parent, pedge
+  ps.push_back({r, root_tip, e0});
+  while (!ps.empty()) {
+    auto [u, par, pe] = ps.back();
+    ps.pop_back();
+    if (u < n_tips) continue;
+    int32_t kc[2], ke[2];
+    int nk = 0;
+    for (int64_t k = off[u]; k < off[u + 1]; ++k) {
+      if (ned[k] == pe) continue;
+      if (nk >= 2) return -1;
+      kc[nk] = nbr[k]; ke[nk] = ned[k]; ++nk;
+    }
+    if (nk != 2) return -1;
+    for (int pass = 0; pass < 2; ++pass) {
+      const int32_t c = kc[pass], ec = ke[pass];
+      const int32_t o = kc[1 - pass];
+      const int32_t eo = ke[1 - pass];
+      const int64_t rp = ref_of(par, pe);
+      const int64_t ro = ref_of(o, eo);
+      if (rp < 0 || ro < 0 || n_rows >= cap) return -1;
+      *slot_ref(ec, u) = (int32_t)n_rows;
+      int32_t* row = ops_out + 5 * n_rows++;
+      row[0] = (int32_t)(n_rows - 1);
+      row[1] = (int32_t)rp; row[2] = pe;
+      row[3] = (int32_t)ro; row[4] = eo;
+      (void)c;
+    }
+    ps.push_back({kc[0], u, ke[0]});
+    ps.push_back({kc[1], u, ke[1]});
+  }
+  return n_rows;
+}
+
+// ---------------------------------------------------------------------------
 // Greedy stepwise-addition parsimony tree (pll_fastparsimony_stepwise
 // regime): insert taxa in `order`, each at the edge minimizing
 // sum_sites w * [(fitch_edge_set & tip_mask) == 0], recomputing the

@@ -694,30 +694,28 @@ def _prune_candidates(tree):
 def _radius_mask(tree_R, a, b, radius_min, radius_max, n_edge_slots):
     """Edges of R whose BFS distance from the original location (the fused
     edge's endpoints a..b) lies within [radius_min, radius_max]
-    (nodes_at_node_dist, utree_operations.c:389-503)."""
-    import collections
-    dist = {a: 0, b: 0}
-    q = collections.deque([a, b])
-    adj = tree_R.adjacency()
-    while q:
-        n = q.popleft()
-        if dist[n] > radius_max:
-            continue
-        for nbr, _e in adj[n]:
-            if nbr not in dist:
-                dist[nbr] = dist[n] + 1
-                q.append(nbr)
-    big = np.iinfo(np.int32).max
+    (nodes_at_node_dist, utree_operations.c:389-503).
+
+    Vectorized bounded edge-relaxation (radius_max+1 rounds of
+    ``np.minimum.at`` over the live edge array finalize every node
+    distance ≤ radius_max+1) instead of the python deque BFS — no
+    adjacency build, O(radius · E) numpy."""
+    en = tree_R.edge_nodes
+    live = np.nonzero(en[:, 0] >= 0)[0]
+    lu = en[live, 0].astype(np.int64)
+    lv = en[live, 1].astype(np.int64)
+    big = np.int64(1) << 40
+    dist = np.full(tree_R.n_nodes, big, np.int64)
+    dist[[a, b]] = 0
+    for _ in range(radius_max + 1):
+        du, dv = dist[lu], dist[lv]
+        np.minimum.at(dist, lu, dv + 1)
+        np.minimum.at(dist, lv, du + 1)
+    # edge distance = max of endpoint distances: 0 ONLY for the fused
+    # edge (the no-op reinsertion); edges incident to the prune spot
+    # count as distance 1 (reference nodes_at_node_dist semantics)
     edge_dist = np.full(n_edge_slots, big, np.int64)
-    for e, (x, y) in enumerate(tree_R.edge_nodes):
-        if x < 0:
-            continue
-        dx = dist.get(int(x), big)
-        dy = dist.get(int(y), big)
-        # edge distance = max of endpoint distances: 0 ONLY for the fused
-        # edge (the no-op reinsertion); edges incident to the prune spot
-        # count as distance 1 (reference nodes_at_node_dist semantics)
-        edge_dist[e] = max(dx, dy) if max(dx, dy) < big else big
+    edge_dist[live] = np.maximum(dist[lu], dist[lv])
     return (edge_dist >= radius_min) & (edge_dist <= radius_max)
 
 
@@ -841,11 +839,19 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
                 & np.isin(en[:, 1], sub_arr))
         en[drop] = -1
         R.invalidate()
-        root_tip = next((t for t in range(R.n_tips)
-                         if t not in sub_nodes and R.adjacency()[t]), None)
-        if root_tip is None:
+        # vectorized root-tip search: first live tip outside the subtree
+        # (no adjacency build — the O(n) python rebuild was the measured
+        # host-build cost at 1k taxa)
+        has_edge = np.zeros(R.n_tips, bool)
+        lv = en[en[:, 0] >= 0]
+        has_edge[lv[lv[:, 0] < R.n_tips, 0]] = True
+        has_edge[lv[lv[:, 1] < R.n_tips, 1]] = True
+        has_edge[sub_arr[sub_arr < R.n_tips]] = False
+        rt = np.nonzero(has_edge)[0]
+        if len(rt) == 0:
             _HOST_BUILD_CACHE[ck] = "skip"
             return None
+        root_tip = int(rt[0])
 
         # radius window around the original location
         mask = _radius_mask(R, a, b, radius_min, radius_max, n_edge_slots)

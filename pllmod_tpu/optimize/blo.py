@@ -56,6 +56,34 @@ class DirectedTraversal:
 
     def __init__(self, tree, root_tip: int = 0):
         n_tips = tree.n_tips
+        from pllmod_tpu import native
+        if native.available():
+            out = native.directed_traversal(tree.edge_nodes, n_tips,
+                                            tree.n_nodes, root_tip)
+            if out is not None:
+                # native fast path (identical slot numbering — the SPR
+                # candidate host-build hot loop at >=1k taxa)
+                ops, slot_de = out
+                en = tree.edge_nodes
+                live = en[:, 0] >= 0
+                tip0 = en[:, 0] < n_tips
+                tip1 = en[:, 1] < n_tips
+                ref0 = np.where(tip0, en[:, 0], n_tips + slot_de[:, 0])
+                ref1 = np.where(tip1, en[:, 1], n_tips + slot_de[:, 1])
+                ok = (live & (tip0 | (slot_de[:, 0] >= 0))
+                      & (tip1 | (slot_de[:, 1] >= 0)))
+                edge_ref = np.zeros((len(en), 2), np.int32)
+                edge_ref[ok, 0] = ref0[ok]
+                edge_ref[ok, 1] = ref1[ok]
+                self.n_tips = n_tips
+                self.ops = np.ascontiguousarray(ops)
+                self.edge_ref = edge_ref
+                self.edge_mask = np.asarray(ok)
+                self._slot_de = slot_de
+                self._en = en.copy()
+                self._slot_of = None
+                self._sched = None
+                return
         adj = tree.adjacency()
         # root at root_tip's neighbor
         (r, _e0), = adj[root_tip]
@@ -113,8 +141,27 @@ class DirectedTraversal:
         self.ops = np.asarray(rows, np.int32).reshape(-1, 5)
         self.edge_ref = edge_ref
         self.edge_mask = edge_mask
-        self.slot_of = slot_of
+        self._slot_of = slot_of
         self._sched = None
+
+    @property
+    def slot_of(self) -> dict:
+        """(node, toward-neighbor) -> directed slot. Built lazily on
+        the native path (most remainder-tree traversals never need
+        it)."""
+        if self._slot_of is None:
+            so = {}
+            en, sd = self._en, self._slot_de
+            for e in range(len(en)):
+                u, v = int(en[e, 0]), int(en[e, 1])
+                if u < 0:
+                    continue
+                if sd[e, 0] >= 0:
+                    so[(u, v)] = int(sd[e, 0])
+                if sd[e, 1] >= 0:
+                    so[(v, u)] = int(sd[e, 1])
+            self._slot_of = so
+        return self._slot_of
 
     def schedule(self):
         """Level schedule over the directed ops + remapped edge refs.

@@ -88,7 +88,14 @@ def prune(tree: Tree, junction: int, keep_edge: int):
     into one (length = sum), and the freed edge slot id is returned.
 
     Returns (freed_edge_id, fused_edge_id)."""
-    nbrs = [(n, e) for n, e in tree.neighbors(junction) if e != keep_edge]
+    # direct edge-array scan: junction's incident edges without building
+    # (or invalidating) the full adjacency — prune runs once per SPR
+    # candidate host build, where the O(n) python adjacency rebuild was
+    # the measured cost (same (nbr, edge) order: ascending edge id)
+    en = tree.edge_nodes
+    rows = np.nonzero((en[:, 0] == junction) | (en[:, 1] == junction))[0]
+    nbrs = [(int(en[e, 1] if en[e, 0] == junction else en[e, 0]), int(e))
+            for e in rows if e != keep_edge]
     if tree.is_tip(junction) or len(nbrs) != 2:
         raise TreeError(TREE_ERROR_SPR_INVALID_NODE,
                         f"cannot prune at node {junction}")
