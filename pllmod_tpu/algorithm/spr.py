@@ -60,6 +60,10 @@ SPR_BATCH_MAX: int | None = None
 # existing probes that toggle it don't crash; it has no effect).
 SPR_SPECULATE = True
 
+# Wall-decomposition accumulator: total host seconds spent inside SPR
+# candidate host builds (probe/diagnostic; reset at will).
+HOST_BUILD_SECONDS = 0.0
+
 # Structural host_build cache: the remainder tree R, radius mask and
 # DirectedTraversal of a candidate depend only on (topology, prune_edge,
 # junction, radius window) — ~10-20 ms of host python each, rebuilt for
@@ -795,6 +799,15 @@ def spr_round(treeinfo, radius_min: int = 1, radius_max: int = 10,
         """Host-only candidate construction (staleness + cutoff checks,
         remainder tree, radius mask, directed traversal). No device
         work, no tree mutation; None = candidate skipped."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        try:
+            return _host_build_inner(prune_edge, junction)
+        finally:
+            global HOST_BUILD_SECONDS
+            HOST_BUILD_SECONDS += _time.perf_counter() - _t0
+
+    def _host_build_inner(prune_edge, junction):
         u, v = (int(x) for x in tree.edge_nodes[prune_edge])
         if u < 0 or junction not in (u, v):
             return None  # candidate went stale after an applied SPR

@@ -322,6 +322,147 @@ def compile_levels(ops, n_tips: int):
 # ~16 slots for 10,000 taxa instead of ~10,000 (BASELINE.md §3
 # north-star memory plan; see PERF_NOTES.md "Memory").
 # ---------------------------------------------------------------------------
+def bounded_slot_ops_pipelined(ops, n_tips: int, root_refs=None,
+                               lookahead: int = 24, min_dist: int = 3,
+                               slack: int = 8):
+    """Slot-recycled serial schedule REORDERED for the fused megakernel's
+    2-deep write pipeline: a windowed peephole over the Sethi-Ullman
+    order that at each position emits the earliest of the next
+    ``lookahead`` ready rows whose children were written ≥ ``min_dist``
+    rows back (no RAW fence — the plain SU order fences ~75% of rows at
+    10k taxa, stalling the kernel's DMA prefetch on every one), falling
+    back to the earliest ready row (fence) when the DAG truly
+    serializes. Slots recycle through a FIFO queue seeded with
+    ``lookahead + slack`` spares so a freed slot is not immediately
+    rewritten; live slots ≤ SU bound + lookahead + slack. Same contract
+    as :func:`bounded_slot_ops`."""
+    import numpy as np
+    from collections import deque
+    ops = np.asarray(ops)
+    live = ops[ops[:, 0] >= 0]
+    children = {int(r[0]): ((int(r[1]), int(r[2])),
+                            (int(r[3]), int(r[4]))) for r in live}
+    pinned = set()
+    if root_refs is not None:
+        pinned = {int(x) - n_tips for x in root_refs if int(x) >= n_tips}
+    # SU emission order of ORIGINAL slots: replay bounded_slot_ops on a
+    # copy to obtain the order (its out_rows are in SU order but with
+    # recycled ids; we need original ids — recompute the order here via
+    # the same needier-child-first postorder)
+    order = _su_emission_order(live, n_tips)
+    n = len(order)
+    dep = {}
+    n_cons = {s: 0 for s in children}
+    for s, ((c1, _e1), (c2, _e2)) in children.items():
+        ds = [c - n_tips for c in (c1, c2)
+              if c >= n_tips and (c - n_tips) in children]
+        dep[s] = ds
+        for d in ds:
+            n_cons[d] += 1
+    emitted = {}
+    cons_left = dict(n_cons)
+    free = deque(range(lookahead + slack))
+    next_slot = [lookahead + slack]
+    slot_map = {}
+    out_rows = []
+    taken = [False] * n
+    head = 0
+
+    def alloc():
+        if free:
+            return free.popleft()
+        v = next_slot[0]
+        next_slot[0] += 1
+        return v
+
+    while head < n:
+        pos = len(out_rows)
+        pick = None
+        scanned = 0
+        i = head
+        while i < n and scanned < lookahead:
+            if not taken[i]:
+                s = order[i]
+                if all(d in emitted for d in dep[s]):
+                    if all(pos - emitted[d] >= min_dist
+                           for d in dep[s]):
+                        pick = i
+                        break
+                    if pick is None:
+                        pick = i          # fence fallback: earliest ready
+                scanned += 1
+            i += 1
+        if pick is None:                  # nothing ready in window
+            pick = next(j for j in range(head, n) if not taken[j])
+        s = order[pick]
+        taken[pick] = True
+        while head < n and taken[head]:
+            head += 1
+        (c1, e1), (c2, e2) = children[s]
+
+        def ref(c):
+            return c if c < n_tips else n_tips + slot_map[c - n_tips]
+
+        r1, r2 = ref(c1), ref(c2)
+        for d in dep[s]:
+            cons_left[d] -= 1
+            if cons_left[d] == 0 and d not in pinned:
+                free.append(slot_map[d])
+        slot_map[s] = alloc()
+        emitted[s] = pos
+        out_rows.append([slot_map[s], r1, e1, r2, e2])
+    return (np.asarray(out_rows, np.int32), next_slot[0], slot_map)
+
+
+def _su_emission_order(live, n_tips: int):
+    """Original-slot emission order of :func:`bounded_slot_ops` (the
+    needier-child-first Sethi-Ullman postorder), without slot ids."""
+    import numpy as np
+    children = {int(r[0]): ((int(r[1]), int(r[2])),
+                            (int(r[3]), int(r[4]))) for r in live}
+    need = {}
+
+    def compute_need(slot):
+        stack = [(slot, False)]
+        while stack:
+            s2, done = stack.pop()
+            if s2 in need:
+                continue
+            kids = [c - n_tips for (c, _e) in children[s2] if c >= n_tips]
+            if done or not kids:
+                n1 = need.get(kids[0], 0) if len(kids) > 0 else 0
+                n2 = need.get(kids[1], 0) if len(kids) > 1 else 0
+                if not kids:
+                    need[s2] = 1
+                elif len(kids) == 1:
+                    need[s2] = max(n1, 1)
+                else:
+                    need[s2] = (n1 + 1) if n1 == n2 else max(n1, n2)
+            else:
+                stack.append((s2, True))
+                for k in kids:
+                    stack.append((k, False))
+
+    roots = set(children) - {int(c) - n_tips for r in live
+                             for c in (r[1], r[3]) if int(c) >= n_tips}
+    order = []
+    for r in sorted(roots):
+        compute_need(r)
+        stack = [(r, False)]
+        while stack:
+            s2, done = stack.pop()
+            if done:
+                order.append(s2)
+            else:
+                stack.append((s2, True))
+                kids = [(c - n_tips) for (c, _e) in children[s2]
+                        if c >= n_tips]
+                kids.sort(key=lambda k: need[k])
+                for k in kids:
+                    stack.append((k, False))
+    return order
+
+
 def bounded_slot_ops(ops, n_tips: int, root_refs=None):
     """Reorder a pruning op table into a slot-recycling serial schedule.
 

@@ -215,7 +215,10 @@ def loglikelihood_bounded_fused(partition, tree, brlens=None,
     ops, root_info = tree.traversal_ops(root_edge)
     u, v, e = (int(x) for x in root_info)
     n_tips = partition.n_tips
-    ops_b, n_slots_b, slot_map = clv_mod.bounded_slot_ops(
+    # pipelined variant: ~56 spare slots buy a near-fence-free order
+    # (the tight SU order fences ~75% of rows at 10k taxa, stalling the
+    # kernel's DMA prefetch pipeline on every one)
+    ops_b, n_slots_b, slot_map = clv_mod.bounded_slot_ops_pipelined(
         np.asarray(ops), n_tips, root_refs=(u, v))
 
     def remap(x):

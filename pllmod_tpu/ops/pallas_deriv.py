@@ -50,6 +50,13 @@ def compile_edge_refs(edge_ref, edge_mask, n_tips: int):
     [E, 6] int32 rows (slot1, slot2, is_tip1, is_tip2, tip1, tip2) —
     same column convention as the megakernel's idx8[:, :6]. Dead edge
     slots become tip0/tip0 dummies (mask downstream)."""
+    return jnp.asarray(compile_edge_refs_np(edge_ref, edge_mask, n_tips))
+
+
+def compile_edge_refs_np(edge_ref, edge_mask, n_tips: int):
+    """Host-only :func:`compile_edge_refs` (callers batching many tables
+    stack and upload once — a device_put per table costs a ~40 ms
+    tunnel round trip on the remote runtime)."""
     edge_ref = np.asarray(edge_ref)
     edge_mask = np.asarray(edge_mask)
     E = edge_ref.shape[0]
@@ -68,7 +75,7 @@ def compile_edge_refs(edge_ref, edge_mask, n_tips: int):
                 out[e, k] = r - n_tips
                 out[e, 2 + k] = 0
                 out[e, 4 + k] = 0
-    return jnp.asarray(out.astype(np.int32))
+    return out.astype(np.int32)
 
 
 def sumtable_basis(partition, eigen=None):

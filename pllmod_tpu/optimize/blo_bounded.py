@@ -110,7 +110,7 @@ class BoundedSweepSchedule:
       n_rows / n_emits: live totals (schedule-size accounting)
     """
 
-    def __init__(self, tree, seg_rows: int = 64, seg_emits: int = 16,
+    def __init__(self, tree, seg_rows: int = 256, seg_emits: int = 64,
                  root_tip: int = 0, pad_segments_to: int | None = None):
         n_tips = tree.n_tips
         if n_tips < 4:
@@ -302,22 +302,114 @@ class BoundedSweepSchedule:
         zeroR = np.zeros(R, np.int32)
         idx8s, e1s, e2s, erefs = [], [], [], []
         for i in range(self.seg_ops.shape[0]):
-            if not (self.seg_ops[i, :, 0] >= 0).any():
-                idx8, e1, e2, ns = dummy8, zeroR, zeroR, n_slots_k
+            # hazard-respecting within-segment reorder: the walk's rows
+            # are chains of adjacent dependencies (~75% would fence,
+            # stalling the megakernel's prefetch); pushing producers ≥3
+            # rows ahead of consumers where the DAG allows removes most
+            seg = _reorder_segment_rows(self.seg_ops[i], self.n_tips)
+            if not (seg[:, 0] >= 0).any():
+                idx8, e1, e2 = dummy8, zeroR, zeroR
             else:
-                idx8, e1, e2, ns = pallas_clv.compile_fused_ops(
-                    partition, self.seg_ops[i], serial=True,
-                    pad_to=R, n_slots_min=n_slots_k)
-            assert ns == n_slots_k, (ns, n_slots_k)
-            idx8s.append(np.asarray(idx8))
-            e1s.append(np.asarray(e1))
-            e2s.append(np.asarray(e2))
-            erefs.append(np.asarray(pallas_deriv.compile_edge_refs(
-                self.seg_refs[i], self.seg_mask[i], self.n_tips)))
+                # as_numpy: host-side only — a jnp array per segment
+                # would cost one ~40 ms tunnel device_put EACH (~4750
+                # puts = 222 s at 10k taxa); everything uploads below
+                # in SIX stacked transfers
+                packed, ns = pallas_clv.compile_fused_ops(
+                    partition, seg, serial=True,
+                    pad_to=R, n_slots_min=n_slots_k, as_numpy=True)
+                assert ns == n_slots_k, (ns, n_slots_k)
+                idx8 = packed[:8].T
+                e1, e2 = packed[8], packed[9]
+            idx8s.append(idx8)
+            e1s.append(e1)
+            e2s.append(e2)
+            erefs.append(pallas_deriv.compile_edge_refs_np(
+                self.seg_refs[i], self.seg_mask[i], self.n_tips))
         return (jnp.asarray(np.stack(idx8s)), jnp.asarray(np.stack(e1s)),
                 jnp.asarray(np.stack(e2s)), jnp.asarray(np.stack(erefs)),
                 jnp.asarray(self.seg_edges), jnp.asarray(self.seg_mask),
                 n_slots_k)
+
+
+def _reorder_segment_rows(rows: np.ndarray, n_tips: int,
+                          min_dist: int = 3) -> np.ndarray:
+    """Reorder one segment's op rows so producers sit ≥ ``min_dist``
+    rows ahead of their consumers where the dependency DAG allows
+    (bounded-lookahead list scheduling over exact RAW/WAR/WAW edges on
+    slot ids). Semantics-preserving: same writes, same
+    last-write-per-slot, so the segment-end buffer state the emits read
+    is unchanged — only the megakernel's fence count drops (the walk's
+    natural order fences most rows, stalling the DMA prefetch)."""
+    live_idx = np.nonzero(rows[:, 0] >= 0)[0]
+    n = len(live_idx)
+    if n <= 2:
+        return rows
+    lv = [list(map(int, rows[i])) for i in live_idx]
+    preds: list[set] = [set() for _ in range(n)]
+    last_writer: dict[int, int] = {}
+    readers: dict[int, list] = {}
+    for i, (o, r1, _e1, r2, _e2) in enumerate(lv):
+        for r in (r1, r2):
+            s = r - n_tips
+            if r >= n_tips and s in last_writer:
+                preds[i].add(last_writer[s])          # RAW
+        if o in last_writer:
+            preds[i].add(last_writer[o])              # WAW
+        for j in readers.get(o, ()):                  # WAR
+            if j != i:
+                preds[i].add(j)
+        readers[o] = []
+        last_writer[o] = i
+        for r in (r1, r2):
+            if r >= n_tips:
+                readers.setdefault(r - n_tips, []).append(i)
+    succs_left = [0] * n
+    children_of: list[list] = [[] for _ in range(n)]
+    for i in range(n):
+        for p in preds[i]:
+            children_of[p].append(i)
+    indeg = [len(preds[i]) for i in range(n)]
+    ready = [i for i in range(n) if indeg[i] == 0]
+    pos_of = [0] * n
+    order = []
+    raw_preds = []
+    for i, (o, r1, _e1, r2, _e2) in enumerate(lv):
+        rp = set()
+        for r in (r1, r2):
+            s = r - n_tips
+            if r >= n_tips:
+                # RAW producers only (fence condition)
+                for p in preds[i]:
+                    if lv[p][0] == s:
+                        rp.add(p)
+        raw_preds.append(rp)
+    emitted = [False] * n
+    while ready:
+        pos = len(order)
+        pick = None
+        # prefer the EARLIEST-original ready row that is fence-free;
+        # ready is kept in ascending original order (insertion sorted)
+        for k, i in enumerate(ready[:16]):
+            if all(pos - pos_of[p] >= min_dist for p in raw_preds[i]
+                   if emitted[p]) and all(emitted[p]
+                                          for p in raw_preds[i]):
+                pick = k
+                break
+        if pick is None:
+            pick = 0
+        i = ready.pop(pick)
+        pos_of[i] = pos
+        emitted[i] = True
+        order.append(i)
+        for c in children_of[i]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                # keep ascending original order (stable tie-break)
+                import bisect
+                bisect.insort(ready, c)
+    out = rows.copy()
+    out[live_idx] = np.asarray([lv[i] for i in order], rows.dtype)
+    return out
 
 
 def validate_schedule(sched: BoundedSweepSchedule, tree) -> None:
@@ -470,8 +562,8 @@ def _bounded_sweep(partition, idx8_s, e1_s, e2_s, eref_s, eids_s, em_s,
     return brl, lnl0
 
 
-def optimize_branch_lengths_bounded(partition, tree, seg_rows: int = 64,
-                                    seg_emits: int = 16,
+def optimize_branch_lengths_bounded(partition, tree, seg_rows: int = 256,
+                                    seg_emits: int = 64,
                                     max_sweeps: int = 32,
                                     tolerance: float = 1e-4,
                                     min_brlen: float = MIN_BRANCH_LEN,

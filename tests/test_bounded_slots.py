@@ -117,7 +117,10 @@ def test_bounded_fused_matches_scan(rng):
         l_scan, ns = engine.loglikelihood_bounded(part, tree)
         l_fused, ns_f = engine.loglikelihood_bounded_fused(
             part, tree, interpret=True)
-        assert ns_f == ns or abs(ns_f - ns) <= 1
+        # the fused path's PIPELINED scheduler spends `lookahead+slack`
+        # spare slots to erase RAW fences (clv.bounded_slot_ops_
+        # pipelined); still O(log n + const), nowhere near one-per-node
+        assert ns_f <= ns + 24 + 8 + 2
         assert float(l_fused) == pytest.approx(float(l_scan), rel=2e-6)
         # cached-eigen path too (fused_p12 branch)
         l_fe, _ = engine.loglikelihood_bounded_fused(

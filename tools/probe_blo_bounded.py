@@ -123,7 +123,7 @@ def stage_smoke():
 
 def stage_mid():
     part, tree = _setup(1024, 16384, seed=2)
-    _trace_driver(part, tree, seg_rows=64, seg_emits=16)
+    _trace_driver(part, tree, seg_rows=256, seg_emits=64)
 
 
 def stage_north():
@@ -142,7 +142,7 @@ def stage_north():
                                                      brlens=bl2)
     jax.block_until_ready(lnl2)
     p(f"bounded eval (warm, new brlens): {time.perf_counter()-t0:.2f}s")
-    _trace_driver(part, tree, seg_rows=64, seg_emits=16)
+    _trace_driver(part, tree, seg_rows=256, seg_emits=64)
 
 
 def main():
