@@ -32,7 +32,11 @@ def _setup(n_taxa, n_sites, seed=0, sim=True):
     ascii4 = np.frombuffer(b"ACGT", np.uint8)
     if sim and os.path.exists(cache):
         dat = np.load(cache)
-        seqs = [bytes(row).decode() for row in ascii4[dat["codes"]]]
+        codes = np.ascontiguousarray(dat["codes"])
+        blob = ascii4[codes].tobytes()       # ONE conversion pass
+        S = codes.shape[1]
+        seqs = [blob[i * S:(i + 1) * S].decode("ascii")
+                for i in range(codes.shape[0])]
         tree.lengths = dat["lengths"]
     elif sim:
         seqs = ref.simulated_sequences(rng, tree, n_sites)
