@@ -264,8 +264,14 @@ def create_partition(
     else:
         cats = dev(np.ones(n_rate_cats))
 
+    # ship tip codes int8 over the wire (codes < 128 always: ≤ 23 for
+    # the widest charmap) and upcast ON DEVICE — the remote tunnel
+    # moves ~28 MB/s, so the int32 form cost 142 s at 10k × 100k
+    # (tools/probe_capacity_eval.out); downstream consumers keep the
+    # int32 contract unchanged
     return Partition(
-        tip_states=jnp.asarray(tip_states),
+        tip_states=jnp.asarray(tip_states.astype(np.int8)
+                               ).astype(jnp.int32),
         code_clv=dev(code_clv),
         pattern_weights=dev(w),
         inv_indicator=dev(inv_indicator),
