@@ -835,6 +835,32 @@ def _use_ondevice_driver(on_device, fargs) -> bool:
     return is_tpu()
 
 
+# HBM budget for the full-buffer BLO's working set (directed CLVs
+# 3(n−2) slots + per-edge sumtables ~2n rows); past it, whole-tree
+# smoothing auto-routes to the O(n log n) bounded sweep.
+# PLLMOD_BLO_MEM_BUDGET (bytes) overrides.
+BLO_MEM_BUDGET = 8 << 30
+
+
+def _bounded_blo_auto(partition, tree) -> bool:
+    """True when whole-tree smoothing should run the memory-bounded
+    sweep: fused-kernel-capable shape AND the full directed-CLV buffer
+    + sumtable working set exceeds the budget (e.g. ≥ ~800 taxa at
+    100k patterns — PERF_NOTES 'Memory')."""
+    import os
+    from pllmod_tpu.ops import engine as engine_mod
+    if not engine_mod.use_fast_kernel(partition):
+        return False
+    n = tree.n_tips
+    if n < 8:
+        return False
+    budget = int(os.environ.get("PLLMOD_BLO_MEM_BUDGET", BLO_MEM_BUDGET))
+    cs = partition.n_cats * partition.states
+    est = (3 * (n - 2) + 2 * (2 * n - 3)) * cs \
+        * partition.n_patterns_padded * 4
+    return est > budget
+
+
 def _edges_within_radius(tree, edge: int, radius: int):
     """Edge ids within BFS distance ``radius`` of ``edge``'s endpoints
     (the reference's local-BLO neighborhood, pll_optimize.c:1646-1682)."""
@@ -904,6 +930,18 @@ def optimize_branch_lengths(partition, tree, max_sweeps: int = 32,
     """
     if partition.eigen_lam is None:
         partition = partition.cache_eigen()   # hot path: brlens-only grads
+    if (edges is None and around_edge is None and mesh is None
+            and _bounded_blo_auto(partition, tree)):
+        # whole-tree smoothing past the directed-buffer memory budget:
+        # the O(n log n) bounded sweep (optimize/blo_bounded.py — the
+        # reference's recomp_iterative regime) replaces the full-buffer
+        # Jacobi driver transparently
+        from pllmod_tpu.optimize.blo_bounded import \
+            optimize_branch_lengths_bounded
+        return optimize_branch_lengths_bounded(
+            partition, tree, max_sweeps=max_sweeps, tolerance=tolerance,
+            min_brlen=min_brlen, max_brlen=max_brlen,
+            newton_tol=newton_tol, write_back=write_back)
     trav = DirectedTraversal(tree)
     fargs = _fused_args(partition, trav)
     if fargs:

@@ -146,3 +146,24 @@ def test_bounded_blo_padded_segments(rng):
     assert l1 == pytest.approx(l2, abs=1e-3)
     np.testing.assert_allclose(t1.lengths, t2.lengths, rtol=1e-4,
                                atol=1e-7)
+
+
+def test_auto_route_to_bounded(rng, monkeypatch):
+    """optimize_branch_lengths transparently routes whole-tree smoothing
+    to the bounded sweep past the directed-buffer memory budget (env
+    PLLMOD_BLO_MEM_BUDGET shrunk to force it at test size), matching
+    the full-buffer result."""
+    from pllmod_tpu.optimize.blo import optimize_branch_lengths
+    part, tree = _parts(rng, 14, 200)
+    tree.lengths = np.clip(tree.lengths * 2.0 + 0.02, 1e-4, 5.0)
+    engine_mod.FORCE_FAST_KERNEL, saved = True, engine_mod.FORCE_FAST_KERNEL
+    try:
+        t_full = tree.copy()
+        _, l_full = optimize_branch_lengths(part, t_full,
+                                            tolerance=1e-7)
+        monkeypatch.setenv("PLLMOD_BLO_MEM_BUDGET", "1")
+        t_b = tree.copy()
+        _, l_b = optimize_branch_lengths(part, t_b, tolerance=1e-7)
+    finally:
+        engine_mod.FORCE_FAST_KERNEL = saved
+    assert l_b == pytest.approx(l_full, abs=0.05)
