@@ -340,11 +340,32 @@ def check_device_lbfgs(rng) -> int:
             del os.environ["PLLMOD_LBFGS_ONDEVICE"]
     (lh, rh), (ld, rd) = res["0"], res["1"]
     dl = abs(lh - ld)
+    # Endpoint-rate distance is only a diagnostic: 189 GTR rates from
+    # 256 random sites are heavily underdetermined, so the f32 device
+    # lane algebra legitimately lands elsewhere on the flat ridge than
+    # the f64 host algebra while matching logL to ~1e-2.  The real
+    # correctness criterion is that the device endpoint is a genuine
+    # stationary point of the same quality: restart the HOST (f64
+    # algebra) driver FROM the device endpoint and require it cannot
+    # meaningfully improve on it.
     drel = float(np.max(np.abs(rd - rh) / np.maximum(np.abs(rh), 1e-3)))
-    ok = dl <= max(1e-5 * abs(lh), 0.5) and drel < 2e-2
+    part = create_partition_cached(seqs, 20, 4,
+                                   np.random.default_rng(5))
+    part = part.with_model_params(subst_rates=np.asarray(
+        rd, np.float64)[None, :]).cache_eigen()
+    ti = TreeInfo(tree.copy(), [part],
+                  params_to_optimize=PARAM_SUBST_RATES)
+    os.environ["PLLMOD_LBFGS_ONDEVICE"] = "0"
+    try:
+        lnl_polish = float(om.opt_subst_rates(ti, tol=1e-3))
+    finally:
+        del os.environ["PLLMOD_LBFGS_ONDEVICE"]
+    gain = lnl_polish - ld        # host improvement over device endpoint
+    ok = dl <= max(1e-5 * abs(lh), 0.5) and gain <= 0.05
     print(f"{'OK ' if ok else 'FAIL'} device-L-BFGS 189-dim PROTGTR "
           f"host {lh:.4f} dev {ld:.4f} dlnl {dl:.2e} "
-          f"max rate rel {drel:.2e}", flush=True)
+          f"host-polish gain {gain:+.3f} (rate drift on the flat "
+          f"ridge {drel:.2e}, diagnostic)", flush=True)
     return int(not ok)
 
 
