@@ -231,10 +231,17 @@ def gather_node_clvs(partition, clvs, scalers, nodes):
     """
     n_tips = partition.n_tips
     C = clvs.shape[2]
+    S = partition.code_clv.shape[1]
     is_tip = nodes < n_tips
     tip_idx = jnp.where(is_tip, nodes, 0)
     codes = partition.tip_states[tip_idx]                   # [W, P]
-    tclv = partition.code_clv[codes]                        # [W, P, S]
+    # per-state gathers: the one-shot code_clv[codes] form emits a
+    # [W*P, S] gather temp whose S-wide minor dim XLA-TPU pads to 128
+    # lanes (32x HBM at S=4 — 16 GB for 0.5 GB of data, the
+    # probe_spr_big 4096x4096 OOM); gathering each state column keeps
+    # the minor dim on P and the values bit-identical
+    cct = partition.code_clv.T                              # [S, codes]
+    tclv = jnp.stack([cct[s][codes] for s in range(S)], -1)  # [W, P, S]
     tclv = jnp.broadcast_to(tclv[:, :, None, :],
                             (*tclv.shape[:2], C, tclv.shape[2]))
     slot_idx = jnp.where(is_tip, 0, nodes - n_tips)

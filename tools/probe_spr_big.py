@@ -49,9 +49,17 @@ def run(n_taxa, n_sites):
       f"({time.perf_counter()-t0:.0f}s)")
     t0 = time.perf_counter()
     labels = [f"t{i}" for i in range(n_taxa)]
-    start_tree, pscore = starting.parsimony_stepwise(
-        labels, seqs, charmap_mod.DNA, seed=1)
-    p(f"parsimony start in {time.perf_counter()-t0:.1f}s")
+    import os
+    from pllmod_tpu.tree.topology import Tree
+    cache = f"/tmp/spr_big_start_{n_taxa}x{n_sites}.nwk"
+    if os.path.exists(cache):
+        start_tree = Tree.from_newick(open(cache).read())
+        p("parsimony start (cached)")
+    else:
+        start_tree, pscore = starting.parsimony_stepwise(
+            labels, seqs, charmap_mod.DNA, seed=1)
+        open(cache, "w").write(start_tree.to_newick())
+        p(f"parsimony start in {time.perf_counter()-t0:.1f}s")
     ti = TreeInfo(start_tree, [part],
                   params_to_optimize=PARAM_BRANCHES_ITERATIVE)
 
